@@ -1,0 +1,3 @@
+from pyspark_recs.io.loaders import load_table, load_tables
+
+__all__ = ["load_table", "load_tables"]

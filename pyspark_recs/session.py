@@ -1,0 +1,70 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults chosen for the 100 TB design point (AQE on, skew-join handling,
+partition coalescing) while remaining correct on local[N] test runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime SQL confs we want on every session, including sessions handed to
+# us by an external harness (see ``apply_runtime_confs``). All of these are
+# settable after session creation.
+RUNTIME_CONFS: dict[str, str] = {
+    # Adaptive execution: runtime re-planning, partition coalescing and
+    # skew-join splitting — essential at 100 TB where static plans misjudge.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # The driver-generated testdata stores `events.ts` as parquet
+    # TIMESTAMP(NANOS) which Spark cannot map to TimestampType; read it as
+    # LongType and convert explicitly (see pyspark_recs.io.loaders).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow for pandas interchange — the only sanctioned Python boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # A conf may be static in some deployments; never fail a query
+            # over a tuning knob.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "pyspark-recs",
+    shuffle_partitions: int | None = None,
+    master: str | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``shuffle_partitions`` defaults to $SPARK_GRAFT_CPUS (32 in the test
+    rig). On a real cluster you would size this to ~2-3x total cores and
+    let AQE coalesce; the conf here is the local-mode stand-in.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or cpus),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    spark = builder.getOrCreate()
+    return apply_runtime_confs(spark)

@@ -1,0 +1,313 @@
+"""Core relational operators (SURVEY.md §2.2-2.6), as composable
+DataFrame->DataFrame functions.
+
+Each function is declarative — it only *builds* a logical plan and lets
+Catalyst choose the physical strategy. Scale notes (100 TB design point)
+are attached per operator. Reference-parity citations point into
+/root/reference (see SURVEY.md §2 for the full mapping).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Versioned-batch / latest-load semantics (P2/J1/O2)
+# ---------------------------------------------------------------------------
+def latest_batch(
+    df: DataFrame,
+    batch_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Keep only rows belonging to the newest batch.
+
+    Reference parity: the "latest_etl" CTE repeated in all four staging
+    models (articles_staging.sql:1-7,23-26 etc.): ``ORDER BY ts DESC LIMIT
+    1`` then inner-join raw on the batch id.
+
+    Scale: the subquery is a global top-1 — Spark plans
+    TakeOrderedAndProject (no full sort), and the join side is a single
+    row, so we broadcast it: the whole operator costs one scan + a
+    broadcast hash join, no shuffle of the big side.
+    """
+    latest = (
+        df.select(batch_col, order_col)
+        .orderBy(F.desc(order_col), F.desc(batch_col))
+        .limit(1)
+        .select(batch_col)
+    )
+    return df.join(F.broadcast(latest), on=batch_col, how="inner")
+
+
+# ---------------------------------------------------------------------------
+# Dedup (A2 / W1)
+# ---------------------------------------------------------------------------
+def dedup_exact(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """GROUP BY-all-columns distinct (dedup_transactions.sql:9-14).
+
+    Scale: hash aggregate with map-side partial combine; at 100 TB prefer
+    dropDuplicates over window row_number — it needs no ordering and
+    combines before the shuffle.
+    """
+    return df.dropDuplicates(list(subset)) if subset else df.dropDuplicates()
+
+
+def dedup_last_value(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Distinct rows, with `value_cols` overwritten by the value of the
+    last row (by `order_cols`) in each `group_keys` partition.
+
+    Reference parity: dedup_transactions.sql:1-17 — GROUP BY all columns,
+    then ``last_value(x) OVER (PARTITION BY keys ORDER BY t_dat)``.
+
+    ⚠ Frame-semantics trap (SURVEY §2.5 W1): Snowflake's default frame for
+    last_value is the ENTIRE partition; Spark's default frame with an
+    ORDER BY is unboundedPreceding..currentRow, which would silently
+    return the current row. We set rowsBetween(unboundedPreceding,
+    unboundedFollowing) explicitly.
+
+    Faithful to the reference's wart (SURVEY §2.5 W2): a group with 3
+    distinct rows yields 3 identical output rows post-overwrite — no
+    second dedup is applied here; callers wanting one-row-per-key chain
+    ``dedup_exact`` after.
+
+    Scale: one shuffle on group_keys shared by the distinct and the
+    window (Catalyst reuses the partitioning when keys align).
+    """
+    distinct = df.dropDuplicates()
+    w = (
+        Window.partitionBy(*group_keys)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    out = distinct
+    for c in value_cols:
+        out = out.withColumn(c, F.last(F.col(c)).over(w))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Frequency filter (A1 + J4)
+# ---------------------------------------------------------------------------
+def frequency_filter(
+    df: DataFrame,
+    key: str,
+    min_count: int,
+    pred: Column | None = None,
+    count_alias: str | None = None,
+) -> DataFrame:
+    """Keep rows whose `key` appears >= min_count times among rows
+    matching `pred`.
+
+    Reference parity: filtered_dataframe.sql:1-19 — "frequent_customers"
+    CTE (COUNT(*) GROUP BY customer_id HAVING >= 5 over the training
+    window) inner-joined back to the facts; semantically a LEFT SEMI join
+    because the CTE is unique per key.
+
+    If ``count_alias`` is given the count column is kept on the output
+    (inner join); otherwise a left-semi join keeps the fact schema
+    untouched.
+
+    Scale: the aggregate side is pre-shrunk (predicate pushed below the
+    groupBy, map-side partial counts), usually small enough to broadcast;
+    AQE converts the join at runtime when it is.
+    """
+    base = df.filter(pred) if pred is not None else df
+    frequent = base.groupBy(key).count().filter(F.col("count") >= min_count)
+    if count_alias:
+        frequent = frequent.withColumnRenamed("count", count_alias)
+        return df.join(frequent, on=key, how="inner")
+    return df.join(frequent.select(key), on=key, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Dimension enrichment (J2 + P11)
+# ---------------------------------------------------------------------------
+def left_enrich(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    defaults: dict[str, object] | None = None,
+) -> DataFrame:
+    """LEFT OUTER equi-join facts <- dim, with per-column defaults for
+    unmatched rows.
+
+    Reference parity: articles_metadata.sql:1-7 (articles LEFT JOIN images
+    keeps NULL s3_url) + the 'NO_GROUP' default lookups
+    (my_merlin_flow.py:395).
+
+    Scale: dimensions are broadcast (hint applied); a 100k-article dim is
+    a few MB — never shuffle the fact table for it.
+    """
+    out = facts.join(F.broadcast(dim), on=key, how="left")
+    for col, default in (defaults or {}).items():
+        out = out.withColumn(col, F.coalesce(F.col(col), F.lit(default)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Windowed group statistics (J5 / F5)
+# ---------------------------------------------------------------------------
+def window_group_stat(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    stat: str = "avg",
+    alias: str | None = None,
+) -> DataFrame:
+    """Attach a per-group statistic to every row without a join.
+
+    Reference parity: NVTabular ``JoinGroupby(cont_cols=['price'],
+    stats=['mean'])`` (workflow_builder.py:60-69) — group stat joined back
+    onto each row.
+
+    Scale: the window form shuffles once on the keys; the groupBy+join
+    form shuffles twice. Window (no ORDER BY -> whole-partition frame) is
+    strictly better here.
+    """
+    w = Window.partitionBy(*keys)
+    fn = getattr(F, stat)
+    return df.withColumn(alias or f"{stat}_{value_col}", fn(value_col).over(w))
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (O3/W3) and global argmax (A4)
+# ---------------------------------------------------------------------------
+def top_k_per_group(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    rank_alias: str = "rn",
+) -> DataFrame:
+    """row_number()<=k per partition — the generic top-k retrieval shape
+    (my_merlin_flow.py:91-95,342,481).
+
+    Callers MUST pass a total order (include a unique tiebreak column) or
+    results are nondeterministic.
+
+    Scale: Spark pushes a per-partition rank limit below the shuffle
+    (WindowGroupLimit in the physical plan), so each map task emits at
+    most k rows per group before shuffling.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return df.withColumn(rank_alias, F.row_number().over(w)).filter(
+        F.col(rank_alias) <= k
+    )
+
+
+def argmax_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    target_col: str,
+    order_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """max_by with an explicit (order, tiebreak) struct — deterministic
+    argmax per group.
+
+    Reference parity: best-hyperparameter selection
+    ``sorted(results)[0]`` (my_merlin_flow.py:355-364).
+
+    Scale: a single hash aggregate; no window, no sort.
+    """
+    return df.groupBy(*keys).agg(
+        F.max_by(
+            F.col(target_col), F.struct(F.col(order_col), F.col(tiebreak_col))
+        ).alias(target_col),
+        F.max(order_col).alias(order_col),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar feature transforms expressible relationally (A3 / F3 / F1)
+# ---------------------------------------------------------------------------
+def zscore(
+    df: DataFrame, value_col: str, alias: str | None = None
+) -> DataFrame:
+    """(x - mean) / stddev_samp over the whole input, as a crossjoin with
+    a 1-row broadcast stats aggregate.
+
+    Reference parity: NVTabular ``Normalize()`` (workflow_builder.py:66).
+
+    Scale: the stats aggregate is a full scan reduced to one row
+    (partial aggregation map-side), broadcast everywhere — never a window
+    over an unpartitioned frame (which would funnel 100 TB through one
+    task).
+    """
+    stats = df.agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_samp(value_col).alias("__sigma"),
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    return out.withColumn(
+        alias or f"{value_col}_z",
+        (F.col(value_col) - F.col("__mu")) / F.col("__sigma"),
+    ).drop("__mu", "__sigma")
+
+
+def bucketize_fixed_width(
+    df: DataFrame, value_col: str, width: float, alias: str | None = None
+) -> DataFrame:
+    """floor(x / width) ordinal bucketing (NVTabular ``Bucketize``,
+    workflow_builder.py:26-27, generalized to fixed width).
+
+    Pure projection — stays inside whole-stage codegen.
+    """
+    return df.withColumn(
+        alias or f"{value_col}_bucket",
+        F.floor(F.col(value_col) / F.lit(width)).cast("long"),
+    )
+
+
+def categorify_dictionary(df: DataFrame, col: str) -> DataFrame:
+    """Build the Categorify dictionary: sorted distinct non-null values ->
+    contiguous codes starting at 1; 0 is reserved for null/OOV
+    (NVTabular Categorify, workflow_builder.py:18-58; artifacts
+    ``unique.<col>.parquet`` my_merlin_flow.py:242-246).
+
+    Determinism: codes follow the value sort order, so refits on identical
+    input are stable (SURVEY §7 watch-list).
+
+    Scale note: the dictionary for a single column is bounded by the
+    column's cardinality; the global row_number is computed over the
+    *distinct* values only. For >100M-cardinality columns switch to the
+    estimator in pyspark_recs.features.categorify which zips with a
+    partition-offset scan instead of a single-partition window.
+    """
+    w = Window.orderBy(F.col(col).asc())
+    return (
+        df.select(col)
+        .filter(F.col(col).isNotNull())
+        .distinct()
+        .withColumn("code", F.row_number().over(w).cast("long"))
+    )
+
+
+def time_split_label(
+    ts_col: Column,
+    train_end: str,
+    valid_end: str,
+    alias: str = "split",
+) -> Column:
+    """train/valid/test label from two boundary dates
+    (my_merlin_flow.py:128-130,196-199: ``t_dat < d1``, ``d1 <= t_dat <
+    d2``, ``t_dat >= d2``).
+
+    Scale: a pure projection; when the fact table is date-partitioned the
+    three split filters become partition pruning.
+    """
+    return (
+        F.when(ts_col < F.lit(train_end).cast("timestamp"), F.lit("train"))
+        .when(ts_col < F.lit(valid_end).cast("timestamp"), F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias(alias)
+    )

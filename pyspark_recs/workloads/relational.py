@@ -1,0 +1,733 @@
+"""Relational operator workloads (SURVEY.md §2.1-2.6) over the driver
+testdata, each with a DuckDB oracle twin.
+
+Query naming: rNN_<operator>. Every computed column is aliased
+identically in the Spark plan and the oracle SQL (the driver hashes
+columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_recs.io import load_table
+from pyspark_recs.sql import (
+    argmax_per_group,
+    bucketize_fixed_width,
+    categorify_dictionary,
+    dedup_last_value,
+    frequency_filter,
+    latest_batch,
+    left_enrich,
+    time_split_label,
+    top_k_per_group,
+)
+from pyspark_recs.workloads.common import davg, dsum, sql_davg, sql_dsum
+
+TRAIN_END = "2000-01-01"
+VALID_END = "2001-01-01"
+
+
+# --------------------------------------------------------------------- r01
+def r01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship scan+filter+hash-aggregate (A1 shape; TPC-H Q1 pattern).
+
+    Scale: filter pushed to the parquet scan; partial aggregation
+    map-side; 6-group output — the shuffle moves only partial aggregates.
+    """
+    li = load_table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+R01_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {sql_davg('l_quantity')} AS avg_qty,
+       {sql_davg('l_extendedprice')} AS avg_price,
+       {sql_davg('l_discount')} AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------- r02
+def r02_frequent_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequency filter with kept count (A1: COUNT GROUP BY HAVING >= k,
+    filtered_dataframe.sql:1-12) joined to the dim."""
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    freq = (
+        orders.filter(F.col("o_orderdate") < F.lit(TRAIN_END).cast("timestamp"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("num_orders"))
+        .filter(F.col("num_orders") >= 8)
+    )
+    return (
+        customer.join(freq, customer.c_custkey == freq.o_custkey, "inner")
+        .select("c_custkey", "c_name", "num_orders")
+    )
+
+
+R02_SQL = f"""
+SELECT c_custkey, c_name, CAST(num_orders AS BIGINT) AS num_orders
+FROM customer
+JOIN (
+  SELECT o_custkey, count(*) AS num_orders
+  FROM orders WHERE o_orderdate < TIMESTAMP '{TRAIN_END}'
+  GROUP BY o_custkey HAVING count(*) >= 8
+) f ON c_custkey = f.o_custkey
+"""
+
+
+# --------------------------------------------------------------------- r03
+def r03_frequent_customer_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi frequency filter of the fact table (J4,
+    filtered_dataframe.sql:13-19), then aggregate."""
+    orders = load_table(spark, sf, "orders")
+    kept = frequency_filter(
+        orders,
+        key="o_custkey",
+        min_count=8,
+        pred=F.col("o_orderdate") < F.lit(TRAIN_END).cast("timestamp"),
+    )
+    return kept.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+
+
+R03_SQL = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_dsum('o_totalprice')} AS revenue
+FROM orders
+WHERE o_custkey IN (
+  SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '{TRAIN_END}'
+  GROUP BY o_custkey HAVING count(*) >= 8)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------- r04
+def r04_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP-BY-all-columns dedup (A2, dedup_transactions.sql:9-14)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.select("l_returnflag", "l_linestatus", "l_shipdate").dropDuplicates()
+
+
+R04_SQL = "SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate FROM lineitem"
+
+
+# --------------------------------------------------------------------- r05
+def r05_dedup_last_value(spark: SparkSession, sf: str) -> DataFrame:
+    """W1: whole-partition-frame last_value overwrite after distinct
+    (dedup_transactions.sql:1-17 semantics, incl. the Snowflake frame
+    default — see pyspark_recs.sql.transforms.dedup_last_value)."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "value", "ts"
+    )
+    return dedup_last_value(
+        ev,
+        group_keys=["user_id", "event_type"],
+        order_cols=["ts", "value"],
+        value_cols=["value"],
+    ).select("user_id", "event_type", "ts", "value")
+
+
+R05_SQL = """
+WITH d AS (SELECT DISTINCT user_id, event_type, value, ts FROM events)
+SELECT user_id, event_type, ts,
+       last_value(value) OVER (
+         PARTITION BY user_id, event_type ORDER BY ts, value
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS value
+FROM d
+"""
+
+
+# --------------------------------------------------------------------- r06
+def r06_latest_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Latest-batch filter (P2/J1/O2: 1-row CTE broadcast-joined to the
+    big table, articles_staging.sql:1-7,23-26), batched by event day."""
+    ev = load_table(spark, sf, "events").withColumn(
+        "batch_day", F.to_date("ts")
+    )
+    return (
+        latest_batch(ev, batch_col="batch_day", order_col="batch_day")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+R06_SQL = f"""
+WITH latest AS (
+  SELECT CAST(ts AS DATE) AS batch_day FROM events
+  ORDER BY batch_day DESC LIMIT 1)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events e JOIN latest l ON CAST(e.ts AS DATE) = l.batch_day
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------- r07
+def r07_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-on-read JSON path extraction + cast + null defaulting
+    (P1+P3: RAW_DATA:"field"::TYPE, articles_staging.sql:10-22;
+    COALESCE(NULLIF(...)) customers_staging.sql:11-13)."""
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.coalesce(
+            F.get_json_object("props", "$.missing").cast("double"), F.lit(0.0)
+        ).alias("missing_v"),
+    )
+
+
+R07_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       COALESCE(CAST(json_extract_string(props, '$.missing') AS DOUBLE), 0.0)
+         AS missing_v
+FROM events
+"""
+
+
+# --------------------------------------------------------------------- r08
+def r08_url_synthesis(spark: SparkSession, sf: str) -> DataFrame:
+    """String concat projection (P4, images_staging.sql:10)."""
+    part = load_table(spark, sf, "part")
+    return part.select(
+        "p_partkey",
+        F.concat(
+            F.lit("https://img.example.com/"),
+            F.col("p_partkey").cast("string"),
+            F.lit(".jpg"),
+        ).alias("img_url"),
+    )
+
+
+R08_SQL = """
+SELECT p_partkey,
+       'https://img.example.com/' || CAST(p_partkey AS VARCHAR) || '.jpg'
+         AS img_url
+FROM part
+"""
+
+
+# --------------------------------------------------------------------- r09
+def r09_left_join_defaults(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT OUTER enrich + default for unmatched (J2+P11,
+    articles_metadata.sql:1-7 / 'NO_GROUP' my_merlin_flow.py:395)."""
+    orders = load_table(spark, sf, "orders")
+    rich = load_table(spark, sf, "customer").filter(F.col("c_acctbal") > 4000)
+    enriched = left_enrich(
+        orders,
+        rich.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        key="o_custkey",
+        defaults={"c_mktsegment": "NO_GROUP"},
+    )
+    return enriched.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+R09_SQL = f"""
+SELECT COALESCE(c_mktsegment, 'NO_GROUP') AS segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM orders
+LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 4000) c
+  ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------- r10
+def r10_three_way_join(spark: SparkSession, sf: str) -> DataFrame:
+    """3-way inner equi-join fact⋈fact⋈dim with named projection (J3,
+    joined_dataframe.sql:1-16 — named columns, not `a.*`, so Spark never
+    sees ambiguous duplicates; SURVEY §7 watch-list).
+
+    Scale: lineitem⋈orders co-shuffles on orderkey; customer is
+    broadcast. At 100 TB bucket both facts on the join key to skip the
+    shuffle entirely.
+    """
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+            "inner",
+        )
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(revenue).alias("revenue"),
+    )
+
+
+R10_SQL = f"""
+SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------- r11
+def r11_per_part_avg_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group stat attached to every row via window, no join (J5/F5,
+    NVTabular JoinGroupby workflow_builder.py:60-69)."""
+    li = load_table(spark, sf, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    avg_price = (
+        F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        avg_price.alias("avg_part_price"),
+    )
+
+
+R11_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(27,6)))
+              OVER (PARTITION BY l_partkey) AS DOUBLE)
+         / count(*) OVER (PARTITION BY l_partkey) AS avg_part_price
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------- r12
+def r12_time_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-range train/valid/test split (P7, my_merlin_flow.py:128-130).
+
+    Scale: with a date-partitioned fact table these predicates become
+    partition pruning (SURVEY §4)."""
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.select(
+            time_split_label(F.col("o_orderdate"), TRAIN_END, VALID_END),
+            "o_totalprice",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+R12_SQL = f"""
+SELECT CASE WHEN o_orderdate < TIMESTAMP '{TRAIN_END}' THEN 'train'
+            WHEN o_orderdate < TIMESTAMP '{VALID_END}' THEN 'valid'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM orders GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------- r13
+def r13_date_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Date-part feature extraction (P8/F4, workflow_builder.py:30-40)."""
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("purchase_year"),
+            F.month("o_orderdate").alias("purchase_month"),
+            "o_totalprice",
+        )
+        .groupBy("purchase_year", "purchase_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+R13_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS purchase_year,
+       CAST(month(o_orderdate) AS INTEGER) AS purchase_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM orders GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------- r14
+def r14_topk_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k per group with deterministic tiebreak (O3, top-k retrieval
+    shape my_merlin_flow.py:91-95). Spark plans a WindowGroupLimit: each
+    map task pre-prunes to k rows per group before the shuffle."""
+    orders = load_table(spark, sf, "orders")
+    return top_k_per_group(
+        orders,
+        partition_cols=["o_custkey"],
+        order_cols=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+
+
+R14_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------- r15
+def r15_latest_event(spark: SparkSession, sf: str) -> DataFrame:
+    """Global ORDER BY ... LIMIT 1 → TakeOrderedAndProject, no full sort
+    (O2, articles_staging.sql:5-6)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(1)
+        .select("event_id", "ts", "event_type")
+    )
+
+
+R15_SQL = """
+SELECT event_id, ts, event_type FROM events
+ORDER BY ts DESC, event_id DESC LIMIT 1
+"""
+
+
+# --------------------------------------------------------------------- r16
+def r16_union_splits(spark: SparkSession, sf: str) -> DataFrame:
+    """unionByName of tagged splits, then aggregate (O5,
+    my_merlin_flow.py:233 concat-for-fit)."""
+    orders = load_table(spark, sf, "orders")
+    d1 = F.lit(TRAIN_END).cast("timestamp")
+    train = orders.filter(F.col("o_orderdate") < d1).withColumn(
+        "part_tag", F.lit("train")
+    )
+    rest = orders.filter(F.col("o_orderdate") >= d1).withColumn(
+        "part_tag", F.lit("rest")
+    )
+    return train.unionByName(rest).groupBy("part_tag").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+R16_SQL = f"""
+SELECT part_tag, CAST(count(*) AS BIGINT) AS n_orders,
+       max(o_totalprice) AS max_price
+FROM (
+  SELECT 'train' AS part_tag, o_totalprice FROM orders
+  WHERE o_orderdate < TIMESTAMP '{TRAIN_END}'
+  UNION ALL
+  SELECT 'rest' AS part_tag, o_totalprice FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{TRAIN_END}')
+GROUP BY part_tag
+"""
+
+
+# --------------------------------------------------------------------- r17
+def r17_distinct_values(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTINCT facet values (A5, pred_inspector.py:78)."""
+    orders = load_table(spark, sf, "orders")
+    return orders.select("o_orderpriority").distinct()
+
+
+R17_SQL = "SELECT DISTINCT o_orderpriority FROM orders"
+
+
+# --------------------------------------------------------------------- r18
+def r18_argmax_per_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic argmax per group via max_by over an (order, tiebreak)
+    struct (A4, best-run selection my_merlin_flow.py:355-364)."""
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
+    )
+    return argmax_per_group(
+        joined,
+        keys=["c_nationkey"],
+        target_col="o_orderkey",
+        order_col="o_totalprice",
+        tiebreak_col="o_orderkey",
+    ).select(
+        "c_nationkey",
+        F.col("o_orderkey").alias("best_orderkey"),
+        F.col("o_totalprice").alias("max_price"),
+    )
+
+
+R18_SQL = """
+SELECT c_nationkey, o_orderkey AS best_orderkey, o_totalprice AS max_price
+FROM (
+  SELECT c_nationkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey)
+WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------- r19
+def r19_categorify_dictionary(spark: SparkSession, sf: str) -> DataFrame:
+    """Categorify fit: sorted distinct values -> contiguous codes from 1
+    (F1, workflow_builder.py:18-58; unique.<col>.parquet artifacts)."""
+    customer = load_table(spark, sf, "customer")
+    return categorify_dictionary(customer, "c_mktsegment")
+
+
+R19_SQL = """
+SELECT c_mktsegment, CAST(row_number() OVER (ORDER BY c_mktsegment) AS BIGINT)
+         AS code
+FROM (SELECT DISTINCT c_mktsegment FROM customer WHERE c_mktsegment IS NOT NULL)
+"""
+
+
+# --------------------------------------------------------------------- r20
+def r20_categorify_encode_oov(spark: SparkSession, sf: str) -> DataFrame:
+    """Categorify transform with 0 = null/OOV: dictionary fit on a subset,
+    applied to the full table (F1 OOV semantics)."""
+    part = load_table(spark, sf, "part")
+    dictionary = categorify_dictionary(part.filter(F.col("p_size") < 10), "p_type")
+    return (
+        part.join(F.broadcast(dictionary), on="p_type", how="left")
+        .select(
+            "p_partkey",
+            F.coalesce(F.col("code"), F.lit(0)).cast("long").alias("type_code"),
+        )
+    )
+
+
+R20_SQL = """
+WITH dict AS (
+  SELECT p_type, row_number() OVER (ORDER BY p_type) AS code
+  FROM (SELECT DISTINCT p_type FROM part WHERE p_size < 10 AND p_type IS NOT NULL))
+SELECT p_partkey, CAST(COALESCE(code, 0) AS BIGINT) AS type_code
+FROM part LEFT JOIN dict USING (p_type)
+"""
+
+
+# --------------------------------------------------------------------- r21
+def r21_bucketize(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width bucketing (F3, workflow_builder.py:26-27)."""
+    customer = load_table(spark, sf, "customer")
+    return (
+        bucketize_fixed_width(customer, "c_acctbal", 1000.0, alias="bucket")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
+R21_SQL = """
+SELECT CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+FROM customer GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------- r22
+def r22_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Global z-score normalize with exact-decimal moments (A3/F5,
+    NVTabular Normalize workflow_builder.py:66).
+
+    Scale: moments = one full-scan partial aggregate reduced to one row,
+    broadcast back — no window over an unpartitioned frame.
+
+    The sum of squares is computed on x/2^12 (exact binary downscale) so
+    the decimal cast stays inside the engine-agreement envelope (see
+    workloads/common.py), then rescaled by 2^24."""
+    orders = load_table(spark, sf, "orders")
+    x = F.col("o_totalprice")
+    y = x / F.lit(4096.0)
+    stats = orders.agg(
+        dsum(x, scale=6).alias("s1"),
+        dsum(y * y, scale=6).alias("s2y"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    out = orders.crossJoin(F.broadcast(stats))
+    mu = F.col("s1") / F.col("n")
+    s2 = F.col("s2y") * F.lit(16777216.0)
+    var = (s2 - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return out.select(
+        "o_orderkey",
+        ((x - mu) / F.sqrt(var)).alias("totalprice_z"),
+    )
+
+
+R22_SQL = f"""
+WITH stats AS (
+  SELECT {sql_dsum('o_totalprice')} AS s1,
+         {sql_dsum('(o_totalprice / 4096.0) * (o_totalprice / 4096.0)', 6)}
+           AS s2y,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders)
+SELECT o_orderkey,
+       (o_totalprice - s1 / n)
+         / sqrt((s2y * 16777216.0 - s1 * s1 / n) / (n - 1)) AS totalprice_z
+FROM orders, stats
+"""
+
+
+# --------------------------------------------------------------------- r23
+def r23_explode_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """UDTF-shaped explode of an array column (§2.8,
+    my_merlin_flow.py:387-403 flattening → explode)."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+R23_SQL = """
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> '' GROUP BY token
+"""
+
+
+# --------------------------------------------------------------------- r24
+def r24_fill_missing_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """F2+F5 chain: per-item mean price, FillMissing(0), then z-score over
+    items (workflow_builder.py:60-69 full JoinGroupby→FillMissing→
+    Normalize pipeline)."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    item_avg = li.groupBy("l_partkey").agg(
+        davg("l_extendedprice").alias("avg_price")
+    )
+    filled = (
+        part.join(item_avg, part.p_partkey == item_avg.l_partkey, "left")
+        .select("p_partkey", F.coalesce("avg_price", F.lit(0.0)).alias("avg_price"))
+    )
+    x = F.col("avg_price")
+    y = x / F.lit(64.0)
+    stats = filled.agg(
+        dsum(x, scale=6).alias("s1"),
+        dsum(y * y, scale=6).alias("s2y"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    out = filled.crossJoin(F.broadcast(stats))
+    mu = F.col("s1") / F.col("n")
+    s2 = F.col("s2y") * F.lit(4096.0)
+    var = (s2 - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return out.select("p_partkey", ((x - mu) / F.sqrt(var)).alias("avg_price_z"))
+
+
+R24_SQL = f"""
+WITH filled AS (
+  SELECT p_partkey, COALESCE(a.avg_price, 0.0) AS avg_price
+  FROM part LEFT JOIN (
+    SELECT l_partkey, {sql_davg('l_extendedprice')} AS avg_price
+    FROM lineitem GROUP BY l_partkey) a
+  ON p_partkey = a.l_partkey),
+stats AS (
+  SELECT {sql_dsum('avg_price')} AS s1,
+         {sql_dsum('(avg_price / 64.0) * (avg_price / 64.0)', 6)} AS s2y,
+         CAST(count(*) AS BIGINT) AS n
+  FROM filled)
+SELECT p_partkey,
+       (avg_price - s1 / n)
+         / sqrt((s2y * 4096.0 - s1 * s1 / n) / (n - 1)) AS avg_price_z
+FROM filled, stats
+"""
+
+
+QUERIES = {
+    "r01_pricing_summary": r01_pricing_summary,
+    "r02_frequent_customers": r02_frequent_customers,
+    "r03_frequent_customer_orders": r03_frequent_customer_orders,
+    "r04_dedup_exact": r04_dedup_exact,
+    "r05_dedup_last_value": r05_dedup_last_value,
+    "r06_latest_batch": r06_latest_batch,
+    "r07_json_extract": r07_json_extract,
+    "r08_url_synthesis": r08_url_synthesis,
+    "r09_left_join_defaults": r09_left_join_defaults,
+    "r10_three_way_join": r10_three_way_join,
+    "r11_per_part_avg_price": r11_per_part_avg_price,
+    "r12_time_split": r12_time_split,
+    "r13_date_parts": r13_date_parts,
+    "r14_topk_per_customer": r14_topk_per_customer,
+    "r15_latest_event": r15_latest_event,
+    "r16_union_splits": r16_union_splits,
+    "r17_distinct_values": r17_distinct_values,
+    "r18_argmax_per_nation": r18_argmax_per_nation,
+    "r19_categorify_dictionary": r19_categorify_dictionary,
+    "r20_categorify_encode_oov": r20_categorify_encode_oov,
+    "r21_bucketize": r21_bucketize,
+    "r22_zscore": r22_zscore,
+    "r23_explode_tokens": r23_explode_tokens,
+    "r24_fill_missing_normalize": r24_fill_missing_normalize,
+}
+
+ORACLE = {
+    "r01_pricing_summary": R01_SQL,
+    "r02_frequent_customers": R02_SQL,
+    "r03_frequent_customer_orders": R03_SQL,
+    "r04_dedup_exact": R04_SQL,
+    "r05_dedup_last_value": R05_SQL,
+    "r06_latest_batch": R06_SQL,
+    "r07_json_extract": R07_SQL,
+    "r08_url_synthesis": R08_SQL,
+    "r09_left_join_defaults": R09_SQL,
+    "r10_three_way_join": R10_SQL,
+    "r11_per_part_avg_price": R11_SQL,
+    "r12_time_split": R12_SQL,
+    "r13_date_parts": R13_SQL,
+    "r14_topk_per_customer": R14_SQL,
+    "r15_latest_event": R15_SQL,
+    "r16_union_splits": R16_SQL,
+    "r17_distinct_values": R17_SQL,
+    "r18_argmax_per_nation": R18_SQL,
+    "r19_categorify_dictionary": R19_SQL,
+    "r20_categorify_encode_oov": R20_SQL,
+    "r21_bucketize": R21_SQL,
+    "r22_zscore": R22_SQL,
+    "r23_explode_tokens": R23_SQL,
+    "r24_fill_missing_normalize": R24_SQL,
+}
