@@ -1,0 +1,184 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- exact dedup is a hash-groupBy (one shuffle on a 16-byte digest, never
+  on the document body);
+- MinHash signatures are a pure projection (no shuffle); LSH banding
+  turns all-pairs O(n²) into a self-equi-join on (band, key) buckets —
+  shuffle keyed by band hash, candidate pairs only within buckets;
+- SimHash is a token-explode + bit-count aggregate (one shuffle on
+  doc_id, combiner-friendly);
+- n-gram Jaccard is the *verification* step applied to candidate pairs
+  only, never all pairs.
+
+All hashing is md5-derived (pyspark_recs.llmops.hashing) so the DuckDB
+oracle reproduces results bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_recs.llmops.hashing import MINHASH_COEFFS, MINHASH_PRIME, md5_long
+from pyspark_recs.llmops.textstats import tokens
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup by content digest: one row per distinct text with the
+    canonical (min) doc_id and duplicate count (generalizes A2,
+    dedup_transactions.sql:9-14).
+
+    Scale: groupBy on md5 digest — tiny shuffle keys; the text column is
+    pruned before the exchange."""
+    return (
+        df.select("doc_id", F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def word_shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (1-based element_at, mirroring the
+    1-based list indexing of the SQL oracle)."""
+    words = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, i + j) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signatures: shingle → 60-bit hash → k universal-hash
+    permutations (a*h+b mod p) → per-permutation min.
+
+    Output: doc_id, sig_0..sig_{k-1}. Pure projection — embarrassingly
+    parallel, no shuffle, safe at any scale."""
+    shingles = word_shingles(F.col(text_col), shingle_n)
+    hashes = F.transform(shingles, lambda s: md5_long(s) % MINHASH_PRIME)
+    sigs = [
+        F.array_min(
+            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME)
+        ).alias(f"sig_{j}")
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return df.filter(F.size(tokens(F.col(text_col))) >= shingle_n).select(
+        "doc_id", *sigs
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, rows_per_band: int = 2
+) -> DataFrame:
+    """LSH banding: split the signature into bands of ``rows_per_band``
+    minhashes, bucket by (band_id, band value), emit candidate pairs
+    sharing any bucket.
+
+    Scale: the self-join is an equi-join on (band_id, band_key) — Spark
+    shuffles both sides by bucket; within-bucket pair expansion is the
+    only quadratic term and is bounded by bucket size (salt or re-band
+    if a degenerate bucket appears; AQE skew-join splits oversized
+    partitions)."""
+    n_sigs = len(MINHASH_COEFFS)
+    n_bands = n_sigs // rows_per_band
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(b),
+                *[
+                    F.col(f"sig_{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = signatures.select(
+        "doc_id", F.explode(bands).alias("band_key")
+    )
+    left = buckets.alias("x")
+    right = buckets.alias("y")
+    return (
+        left.join(
+            right,
+            (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """SimHash: per-token 60-bit hash; each of ``bits`` bit positions
+    votes +1/-1 weighted by term frequency; fingerprint packs the sign
+    bits.
+
+    Scale: explode + groupBy(doc_id) with map-side combine — the shuffle
+    carries ``bits`` small integers per doc, not tokens."""
+    exploded = df.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
+    ).withColumn("h", md5_long(F.col("token")))
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"bit_{b}")
+        for b in range(bits)
+    ]
+    voted = exploded.groupBy("doc_id").agg(*bit_votes)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"bit_{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return voted.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """n-gram Jaccard similarity over candidate pairs within blocking
+    groups (here: metadata blocks; in the full pipeline: LSH buckets).
+
+    Jaccard = |A∩B| / |A∪B| over distinct n-gram sets. Division of two
+    small exact integers — bit-deterministic.
+
+    Scale: NEVER all-pairs — the join is equi on the blocking key, and
+    the quadratic term is bounded per block."""
+    with_sets = df.select(
+        *group_cols,
+        F.col("doc_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("grams"),
+    )
+    a = with_sets.alias("a")
+    b = with_sets.alias("b")
+    cond = (F.col("a.doc_id") < F.col("b.doc_id"))
+    for g in group_cols:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

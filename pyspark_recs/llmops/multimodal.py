@@ -1,0 +1,62 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed by Arrow-batched ``mapInPandas``.
+
+The reference's multimodal surface is CLIP image encoding over
+HTTP-fetched bytes (app_utils.py:10-26, my_merlin_flow.py:586-599). Here
+the Spark-side plumbing — binary column, schema contract, Arrow batch
+shape, partition-parallel UDF — is real and tested; the actual
+image/audio decoders are STUBBED (the container has no codec libs):
+``decode_stub`` deterministically derives metadata from the bytes so the
+pipeline is oracle-checkable end-to-end.
+
+Scale: mapInPandas streams Arrow batches (no per-row Python overhead);
+payload columns are pruned before any shuffle; real decoders plug in by
+replacing ``_decode_one`` only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = "doc_id bigint, n_bytes int, first_byte int, payload_hash string"
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the opaque binary column (here: utf-8 bytes of the text —
+    stand-in for image/audio payloads read via
+    ``spark.read.format('binaryFile')``)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
+
+
+def _decode_one(payload: bytes) -> dict:
+    """STUB decoder. A real image decoder (PIL/ffmpeg/torchvision) would
+    go here and raise NotImplementedError if the codec is unavailable;
+    this deterministic stand-in keeps the pipeline testable without
+    codec libraries."""
+    import hashlib
+
+    return {
+        "n_bytes": len(payload),
+        "first_byte": payload[0] if payload else -1,
+        "payload_hash": hashlib.md5(payload).hexdigest(),
+    }
+
+
+def decode_metadata(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode of binary payloads into typed metadata."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [_decode_one(p) for p in pdf["payload"]]
+            out = pd.DataFrame(meta)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return df.select("doc_id", "payload").mapInPandas(
+        decode_batches, schema=DECODED_SCHEMA
+    )

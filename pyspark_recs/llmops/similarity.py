@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns.
+
+Two tiers (SURVEY §2.7 M4/M7 generalized):
+- ``cosine_topk_bruteforce``: exact scan — the correctness baseline and
+  the oracle-checkable path. Dot products are computed with fixed-point
+  integer folds so results are bit-identical across engines and
+  partitionings.
+- ``lsh_topk``: MLlib BucketedRandomProjectionLSH — the 100 TB path
+  (probe only candidate buckets instead of all n·m pairs).
+
+Scale notes for brute force: queries are broadcast (small side), the
+candidate scan is embarrassingly parallel, and per-query top-k uses a
+window over the query partition — with Q queries and N candidates the
+shuffle is O(Q·k) after per-task pre-pruning (WindowGroupLimit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+# Fixed-point scale for dot-product folds (products ≤ ~0.5 elementwise
+# for unit-norm vectors → terms ≤ 5e11 < 2^53; 64-dim sums ≤ 3e13).
+_DOT_SCALE = 1e12
+
+
+def _fixed_dot(a, b):
+    """Exact integer-fold dot product of two float-array columns."""
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(
+            x.cast("double") * y.cast("double") * F.lit(_DOT_SCALE) + F.lit(0.5)
+        ).cast("long"),
+    )
+    return (
+        F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v).cast(
+            "double"
+        )
+        / F.lit(_DOT_SCALE)
+    )
+
+
+def cosine_topk_bruteforce(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: query_id, neighbor_id, cos_sim, rank (1-based), excluding
+    self-matches; ties broken by neighbor_id ascending.
+    """
+    cand = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cand_vec"),
+    )
+    qry = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    pairs = cand.crossJoin(F.broadcast(qry)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    dot = _fixed_dot(F.col("cand_vec"), F.col("query_vec"))
+    norm_c = F.sqrt(_fixed_dot(F.col("cand_vec"), F.col("cand_vec")))
+    norm_q = F.sqrt(_fixed_dot(F.col("query_vec"), F.col("query_vec")))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (dot / (norm_c * norm_q)).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via BucketedRandomProjectionLSH (the scale
+    path: candidate generation by bucket equi-join instead of a full
+    cross product).
+
+    Distances are Euclidean; for unit-normalized embeddings the ranking
+    is equivalent to cosine. Not oracle-checkable (model-seeded), tested
+    by recall-vs-bruteforce in tests/.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    cand = candidates.select(
+        F.col(id_col).alias("id"), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    qry = queries.select(
+        F.col(id_col).alias("id"), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(cand)
+    joined = model.approxSimilarityJoin(qry, cand, float("inf"), "dist").filter(
+        F.col("datasetA.id") != F.col("datasetB.id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        joined.select(
+            F.col("datasetA.id").alias("query_id"),
+            F.col("datasetB.id").alias("neighbor_id"),
+            F.col("dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,115 @@
+"""Text-analysis operators: tokenization, language-ID heuristic, quality
+scoring, token counting, document fingerprinting.
+
+All pure ``pyspark.sql.functions`` expressions — JVM-side, inside
+whole-stage codegen, no Python in the hot path. Transcendentals
+(exp/log) are deliberately avoided in scores so results are bit-portable
+across libms (only +,-,*,/ and integer ops are used).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_recs.llmops.hashing import md5_long
+
+# Tiny English function-word list for the language-ID heuristic. The
+# ratio of function words to tokens is a classic cheap LID signal.
+EN_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+
+def tokens(text_col: Column) -> Column:
+    """Whitespace tokenization with empty-token filtering."""
+    return F.filter(F.split(text_col, " "), lambda w: w != F.lit(""))
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("words", tokens(F.col(text_col)))
+
+
+def en_stopword_ratio(words: Column) -> Column:
+    """Fraction of tokens that are English function words."""
+    is_stop = lambda w: w.isin(*EN_STOPWORDS)  # noqa: E731
+    return F.size(F.filter(words, is_stop)).cast("double") / F.size(words)
+
+
+def langid(df: DataFrame, text_col: str = "text", threshold: float = 0.08) -> DataFrame:
+    """Heuristic language ID: stopword-ratio thresholding.
+
+    Scale: pure projection; at 100 TB this is the cheap first pass that
+    routes documents before any model-based LID.
+    """
+    words = tokens(F.col(text_col))
+    ratio = en_stopword_ratio(words)
+    return df.select(
+        "doc_id",
+        ratio.alias("en_ratio"),
+        F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("other")).alias(
+            "pred_lang"
+        ),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality features + linear score
+    (length / punctuation / stopword ratios — the classic pre-training
+    filter set)."""
+    words = tokens(F.col(text_col))
+    n_tokens = F.size(words)
+    total_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    avg_token_len = total_len.cast("double") / n_tokens
+    n_chars = F.length(F.col(text_col))
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), "[a-z0-9 ]", "")).cast("double")
+        / n_chars
+    )
+    stop_ratio = en_stopword_ratio(words)
+    quality = (
+        F.lit(0.25) * avg_token_len
+        + F.lit(2.0) * stop_ratio
+        - F.lit(1.5) * punct_ratio
+    )
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        avg_token_len.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + regex word-chunk tokens (the
+    BPE-ish lower bound) + chars-per-token."""
+    words = tokens(F.col(text_col))
+    ws_tokens = F.size(words)
+    re_tokens = F.regexp_count(F.col(text_col), F.lit("[a-z0-9]+"))
+    return df.select(
+        "doc_id",
+        ws_tokens.alias("ws_tokens"),
+        re_tokens.alias("re_tokens"),
+        (F.length(F.col(text_col)).cast("double") / ws_tokens).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+def char_fingerprints(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Document fingerprint: min hash over character k-grams (the
+    winnowing/MOSS family, collapsed to window = whole document).
+
+    Scale: O(len) hashes per doc in one projection. At 100 TB switch the
+    md5 to a rolling polynomial hash (same API) — md5 here keeps oracle
+    parity.
+    """
+    text = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(text) - (k - 1)),
+        lambda i: F.substr(text, i, F.lit(k)),
+    )
+    fp = F.array_min(F.transform(grams, md5_long))
+    return df.select("doc_id", fp.alias("fingerprint"))

@@ -1,2 +1,332 @@
-QUERIES = {}
-ORACLE = {}
+"""LLM-data-pipeline workloads (dedup / similarity / text / multimodal)
+over the testdata ``documents`` and ``embeddings`` tables, each with a
+DuckDB oracle twin (md5-derived hashing keeps results bit-identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_recs.io import load_table
+from pyspark_recs.llmops import (
+    MINHASH_COEFFS,
+    MINHASH_PRIME,
+    cosine_topk_bruteforce,
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from pyspark_recs.llmops.multimodal import decode_metadata, with_binary_payload
+from pyspark_recs.llmops.similarity import lsh_topk
+from pyspark_recs.llmops.textstats import (
+    EN_STOPWORDS,
+    char_fingerprints,
+    langid,
+    quality_scores,
+    token_stats,
+)
+
+# ---------------------------------------------------------------- SQL
+# fragments shared by several oracles
+
+_TOKS = (
+    "SELECT doc_id, lang, source, "
+    "list_filter(string_split(text, ' '), w -> w <> '') AS words "
+    "FROM documents"
+)
+
+
+def _sql_md5_long(expr: str) -> str:
+    return f"CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+_SHINGLES = f"""
+toks AS ({_TOKS}),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+      range(1, len(words) - 1),
+      i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS shingles
+  FROM toks WHERE len(words) >= 3)
+"""
+
+_SIG_SELECTS = ",\n  ".join(
+    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+    f" AS sig_{j}"
+    for j, (a, b) in enumerate(MINHASH_COEFFS)
+)
+
+_SIGNATURES = f"""
+WITH {_SHINGLES},
+hs AS (
+  SELECT doc_id, list_transform(shingles,
+      s -> {_sql_md5_long('s')} % {MINHASH_PRIME}) AS hs
+  FROM sh)
+SELECT doc_id, {_SIG_SELECTS} FROM hs
+"""
+
+
+# --------------------------------------------------------------------- l01
+def l01_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup by content digest (generalizes A2)."""
+    return exact_dedup_groups(load_table(spark, sf, "documents"))
+
+
+L01_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --------------------------------------------------------------------- l02
+def l02_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash signatures over 3-word shingles (pure projection)."""
+    return minhash_signatures(load_table(spark, sf, "documents"))
+
+
+L02_SQL = _SIGNATURES
+
+
+# --------------------------------------------------------------------- l03
+def l03_lsh_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH banding: candidate near-dup pairs via bucket
+    self-join (never all-pairs)."""
+    sigs = minhash_signatures(load_table(spark, sf, "documents"))
+    return lsh_candidate_pairs(sigs, rows_per_band=2)
+
+
+_BAND_KEYS = ", ".join(
+    f"'{b}_' || CAST(sig_{2 * b} AS VARCHAR) || '_' || CAST(sig_{2 * b + 1} AS VARCHAR)"
+    for b in range(len(MINHASH_COEFFS) // 2)
+)
+
+L03_SQL = f"""
+WITH sigs AS ({_SIGNATURES}),
+buckets AS (
+  SELECT doc_id, unnest([{_BAND_KEYS}]) AS band_key FROM sigs)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM buckets x JOIN buckets y
+  ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+"""
+
+
+# --------------------------------------------------------------------- l04
+def l04_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """16-bit SimHash fingerprints (token-frequency-weighted bit votes)."""
+    return simhash_fingerprints(load_table(spark, sf, "documents"), bits=16)
+
+
+_BIT_VOTES = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bit_{b}"
+    for b in range(16)
+)
+_FP_SUM = " + ".join(
+    f"CASE WHEN bit_{b} > 0 THEN {2**b} ELSE 0 END" for b in range(16)
+)
+
+L04_SQL = f"""
+WITH toks AS ({_TOKS}),
+flat AS (SELECT doc_id, unnest(words) AS token FROM toks),
+h AS (SELECT doc_id, {_sql_md5_long('token')} AS h FROM flat),
+v AS (SELECT doc_id, {_BIT_VOTES} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({_FP_SUM} AS BIGINT) AS simhash FROM v
+"""
+
+
+# --------------------------------------------------------------------- l05
+def l05_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked n-gram Jaccard similarity (verification-step shape;
+    unigram sets, metadata blocking on lang+source)."""
+    docs = load_table(spark, sf, "documents")
+    return ngram_jaccard_pairs(
+        docs, group_cols=["lang", "source"], shingle_n=1, threshold=0.5
+    )
+
+
+L05_SQL = f"""
+WITH toks AS ({_TOKS}),
+g AS (SELECT doc_id, lang, source, list_distinct(words) AS grams
+      FROM toks WHERE len(words) >= 1)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+  FROM g a JOIN g b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+WHERE jaccard >= 0.5
+"""
+
+
+# --------------------------------------------------------------------- l06
+def l06_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 10
+    (the exactness baseline for ANN; fixed-point dot products)."""
+    emb = load_table(spark, sf, "embeddings")
+    return cosine_topk_bruteforce(
+        candidates=emb, queries=emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+_FIXED_DOT = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e12 + 0.5)"
+    " AS BIGINT))) AS DOUBLE) / 1e12"
+)
+
+L06_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+pairs AS (
+  SELECT query_id, neighbor_id,
+         ({_FIXED_DOT.format(a='cv', b='qv')})
+           / (sqrt({_FIXED_DOT.format(a='cv', b='cv')})
+              * sqrt({_FIXED_DOT.format(a='qv', b='qv')})) AS cos_sim
+  FROM c, q WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs)
+WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------- l07
+def l07_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic language ID (stopword-ratio thresholding)."""
+    return langid(load_table(spark, sf, "documents"))
+
+
+_STOPLIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+L07_SQL = f"""
+WITH toks AS ({_TOKS})
+SELECT doc_id,
+       CAST(len(list_filter(words, w -> w IN ({_STOPLIST}))) AS DOUBLE)
+         / len(words) AS en_ratio,
+       CASE WHEN CAST(len(list_filter(words, w -> w IN ({_STOPLIST})))
+                   AS DOUBLE) / len(words) >= 0.08
+            THEN 'en' ELSE 'other' END AS pred_lang
+FROM toks
+"""
+
+
+# --------------------------------------------------------------------- l08
+def l08_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Document quality features + linear score (pre-training filter
+    set: length / punctuation / stopword ratios)."""
+    return quality_scores(load_table(spark, sf, "documents"))
+
+
+L08_SQL = f"""
+WITH toks AS ({_TOKS}),
+m AS (
+  SELECT t.doc_id,
+         CAST(len(words) AS INTEGER) AS n_tokens,
+         CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+           / len(words) AS avg_token_len,
+         CAST(length(regexp_replace(d.text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+           / length(d.text) AS punct_ratio,
+         CAST(len(list_filter(words, w -> w IN ({_STOPLIST}))) AS DOUBLE)
+           / len(words) AS stopword_ratio
+  FROM toks t JOIN documents d ON t.doc_id = d.doc_id)
+SELECT doc_id, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+       0.25 * avg_token_len + 2.0 * stopword_ratio - 1.5 * punct_ratio
+         AS quality
+FROM m
+"""
+
+
+# --------------------------------------------------------------------- l09
+def l09_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting: whitespace + regex word-chunk tokens."""
+    return token_stats(load_table(spark, sf, "documents"))
+
+
+L09_SQL = f"""
+WITH toks AS ({_TOKS})
+SELECT t.doc_id,
+       CAST(len(words) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(d.text, '[a-z0-9]+')) AS INTEGER)
+         AS re_tokens,
+       CAST(length(d.text) AS DOUBLE) / len(words) AS chars_per_token
+FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+"""
+
+
+# --------------------------------------------------------------------- l10
+def l10_char_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprint: min-hash over character 5-grams."""
+    return char_fingerprints(load_table(spark, sf, "documents"), k=5)
+
+
+L10_SQL = f"""
+SELECT doc_id,
+       list_min(list_transform(range(1, length(text) - 3),
+         i -> {_sql_md5_long('substring(text, i, 5)')})) AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------- l11
+def l11_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal column plumbing: binary payload -> Arrow-batched
+    mapInPandas decode -> typed metadata (decoder stubbed, plumbing
+    real; SURVEY §2.7 M7 / S11)."""
+    docs = load_table(spark, sf, "documents")
+    return decode_metadata(with_binary_payload(docs))
+
+
+L11_SQL = """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+       CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS first_byte,
+       md5(text) AS payload_hash
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------- l12
+def l12_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate nearest neighbors via BucketedRandomProjectionLSH —
+    the 100 TB scale path for l06. Model-seeded, so no SQL oracle
+    (rows-only check); recall-vs-bruteforce is asserted in tests/."""
+    emb = load_table(spark, sf, "embeddings")
+    return lsh_topk(
+        candidates=emb, queries=emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+QUERIES = {
+    "l01_exact_dedup": l01_exact_dedup,
+    "l02_minhash_signatures": l02_minhash_signatures,
+    "l03_lsh_candidate_pairs": l03_lsh_candidate_pairs,
+    "l04_simhash": l04_simhash,
+    "l05_ngram_jaccard": l05_ngram_jaccard,
+    "l06_embedding_topk": l06_embedding_topk,
+    "l07_langid": l07_langid,
+    "l08_quality_scores": l08_quality_scores,
+    "l09_token_stats": l09_token_stats,
+    "l10_char_fingerprints": l10_char_fingerprints,
+    "l11_multimodal_decode": l11_multimodal_decode,
+    "l12_ann_lsh": l12_ann_lsh,
+}
+
+ORACLE = {
+    "l01_exact_dedup": L01_SQL,
+    "l02_minhash_signatures": L02_SQL,
+    "l03_lsh_candidate_pairs": L03_SQL,
+    "l04_simhash": L04_SQL,
+    "l05_ngram_jaccard": L05_SQL,
+    "l06_embedding_topk": L06_SQL,
+    "l07_langid": L07_SQL,
+    "l08_quality_scores": L08_SQL,
+    "l09_token_stats": L09_SQL,
+    "l10_char_fingerprints": L10_SQL,
+    "l11_multimodal_decode": L11_SQL,
+    # l12: intentionally no oracle (seeded LSH model)
+}

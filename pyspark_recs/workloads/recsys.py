@@ -1,2 +1,159 @@
-QUERIES = {}
-ORACLE = {}
+"""RecSys pipeline workloads: interaction assembly, popularity
+recommender, ALS retrieval (SURVEY §2.7/§3.3), over the testdata star
+schema (customer ≅ user, part ≅ item, lineitem⋈orders ≅ transactions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_recs.io import load_table
+from pyspark_recs.sql import top_k_per_group
+from pyspark_recs.workloads.common import dsum, sql_dsum
+
+
+def _interactions(spark: SparkSession, sf: str) -> DataFrame:
+    """user×item implicit-feedback matrix from the fact tables.
+
+    Scale: lineitem⋈orders co-shuffles on orderkey (bucket both at rest
+    to make it shuffle-free); aggregation is map-side-combined."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum("l_quantity").alias("total_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- rs01
+def rs01_interactions(spark: SparkSession, sf: str) -> DataFrame:
+    """The assembled interaction matrix (input contract of the retrieval
+    model — my_merlin_flow.py:154-185's 24-col query collapsed to the
+    id/strength core)."""
+    return _interactions(spark, sf)
+
+
+RS01_SQL = f"""
+SELECT o_custkey AS user_id, l_partkey AS item_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       {sql_dsum('l_quantity')} AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_custkey, l_partkey
+"""
+
+
+# --------------------------------------------------------------------- rs02
+def rs02_popular_items_per_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """Popularity recommender: top-5 items per customer segment (the
+    serving-table shape of M4/M5 with a non-ML scorer; deterministic
+    tiebreak)."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    )
+    counts = joined.groupBy("c_mktsegment", "l_partkey").agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )
+    return top_k_per_group(
+        counts,
+        partition_cols=["c_mktsegment"],
+        order_cols=[F.desc("n_purchases"), F.asc("l_partkey")],
+        k=5,
+        rank_alias="rank",
+    ).select("c_mktsegment", "l_partkey", "n_purchases", "rank")
+
+
+RS02_SQL = """
+SELECT c_mktsegment, l_partkey, n_purchases, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT c_mktsegment, l_partkey, n_purchases,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY n_purchases DESC, l_partkey) AS rank
+  FROM (
+    SELECT c_mktsegment, l_partkey, CAST(count(*) AS BIGINT) AS n_purchases
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, l_partkey))
+WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------- rs03
+def rs03_user_history_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user top-3 repurchased items (personal-history recommender —
+    M5's keyed predictions table shape, fully SQL-expressible)."""
+    inter = _interactions(spark, sf)
+    return top_k_per_group(
+        inter,
+        partition_cols=["user_id"],
+        order_cols=[
+            F.desc("n_purchases"),
+            F.desc("total_qty"),
+            F.asc("item_id"),
+        ],
+        k=3,
+        rank_alias="rank",
+    ).select("user_id", "item_id", "n_purchases", "rank")
+
+
+RS03_SQL = f"""
+WITH inter AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id,
+         CAST(count(*) AS BIGINT) AS n_purchases,
+         {sql_dsum('l_quantity')} AS total_qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_partkey)
+SELECT user_id, item_id, n_purchases, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT user_id, item_id, n_purchases,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n_purchases DESC, total_qty DESC,
+                                     item_id) AS rank
+  FROM inter)
+WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------- rs04
+def rs04_als_recommendations(spark: SparkSession, sf: str) -> DataFrame:
+    """ALS implicit-feedback retrieval, top-5 per user for a user subset
+    (M1/M4/M5: the Two-Tower analog — learn user/item vectors, retrieve
+    by inner product). Seeded but iterative float math → no SQL oracle
+    (rows-only check); ranking-metric floors asserted in tests/.
+
+    Scale: ALS is the one MLlib block whose shuffle pattern (block
+    matrices) is tuned via rank/blocks; recommendForUserSubset does the
+    blocked GEMM top-k without a crossJoin."""
+    from pyspark_recs.model.retrieval import train_als, recommend_topk
+
+    inter = _interactions(spark, sf)
+    model = train_als(inter, rank=16, max_iter=5, seed=42)
+    users = inter.select("user_id").distinct().filter(F.col("user_id") < 50)
+    return recommend_topk(model, users, k=5)
+
+
+QUERIES = {
+    "rs01_interactions": rs01_interactions,
+    "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
+    "rs03_user_history_topk": rs03_user_history_topk,
+    "rs04_als_recommendations": rs04_als_recommendations,
+}
+
+ORACLE = {
+    "rs01_interactions": RS01_SQL,
+    "rs02_popular_items_per_segment": RS02_SQL,
+    "rs03_user_history_topk": RS03_SQL,
+    # rs04: iterative ALS — rows-only check by design
+}

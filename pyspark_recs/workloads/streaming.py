@@ -1,2 +1,117 @@
-QUERIES = {}
-ORACLE = {}
+"""Streaming-shaped workloads (SURVEY §2.9) in their batch-equivalent
+form over ``events`` — the same logical operators the Structured
+Streaming twins in pyspark_recs.streaming run incrementally
+(tumbling-window agg, sessionization, keep-first dedup). Batch form is
+oracle-checkable; the streaming execution path is tested in tests/
+against these same results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_recs.io import load_table
+from pyspark_recs.sql import top_k_per_group
+from pyspark_recs.workloads.common import dsum, sql_dsum
+
+SESSION_GAP_US = 1800 * 1_000_000  # 30 min
+
+
+# --------------------------------------------------------------------- s01
+def s01_tumbling_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-day window aggregate (streaming groupBy(window(...))
+    twin; epoch-aligned windows == date_trunc for day granularity)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 day").start.alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+S01_SQL = f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------- s02
+def s02_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): per-user session
+    count + event count. The streaming twin is
+    ``applyInPandasWithState`` / session_window; batch form = lag +
+    cumulative-flag, one shuffle on user_id."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.lag("ts_us").over(w).isNull())
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+S02_SQL = f"""
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------- s03
+def s03_keep_first_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-first dedup per (user, event_type) with deterministic order
+    — streaming dropDuplicates-with-watermark twin; also M5's
+    first-prediction-wins semantics (my_merlin_flow.py:512-537)."""
+    ev = load_table(spark, sf, "events")
+    return top_k_per_group(
+        ev.select("user_id", "event_type", "event_id", "ts"),
+        partition_cols=["user_id", "event_type"],
+        order_cols=[F.asc("ts"), F.asc("event_id")],
+        k=1,
+    ).select("user_id", "event_type", "event_id", "ts")
+
+
+S03_SQL = """
+SELECT user_id, event_type, event_id, ts FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "s01_tumbling_daily": s01_tumbling_daily,
+    "s02_sessionize": s02_sessionize,
+    "s03_keep_first_dedup": s03_keep_first_dedup,
+}
+
+ORACLE = {
+    "s01_tumbling_daily": S01_SQL,
+    "s02_sessionize": S02_SQL,
+    "s03_keep_first_dedup": S03_SQL,
+}
