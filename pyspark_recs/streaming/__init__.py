@@ -1,0 +1,13 @@
+from pyspark_recs.streaming.ops import (
+    read_event_stream,
+    streaming_dedup,
+    streaming_tumbling_agg,
+    stream_to_kv_sink,
+)
+
+__all__ = [
+    "read_event_stream",
+    "stream_to_kv_sink",
+    "streaming_dedup",
+    "streaming_tumbling_agg",
+]

@@ -1,0 +1,86 @@
+"""Structured Streaming twins of the batch operators (SURVEY §2.9).
+
+The reference is explicitly batch-only ("offline training, cached
+predictions", README.md:12); these are the north-star streaming
+additions, 1:1 with the batch workloads in workloads/streaming.py so
+batch results serve as the streaming oracle in tests:
+
+- ingest twin of S2 (readStream over the raw envelope layout)
+- tumbling-window aggregation with watermarked late-data handling
+- streaming dedup (dropDuplicates within watermark) — streaming A2
+- foreachBatch KV sink — streaming S8
+
+Scale: state stores are keyed by (window, key) / dedup key; watermarks
+bound state size. Shuffle partitions size the state-store parallelism —
+set spark.sql.shuffle.partitions before the first trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """Streaming ingest twin of the batch envelope reader (S2 as
+    readStream): file-source stream over a directory of parquet drops."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def streaming_tumbling_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Watermarked tumbling-window count+sum — the incremental form of
+    workloads/streaming.s01_tumbling_daily."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).start.alias("day"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming keep-one dedup: dropDuplicates within the watermark
+    horizon (streaming A2; state bounded by watermark)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(
+        [*keys, ts_col]
+    )
+
+
+def stream_to_kv_sink(
+    stream: DataFrame,
+    put_batch,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """foreachBatch KV sink (streaming S8): each micro-batch is written
+    through the same pluggable putter as the batch kv_export."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows = [r.asDict() for r in batch_df.collect()]
+        if rows:
+            put_batch(rows)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

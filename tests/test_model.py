@@ -1,0 +1,97 @@
+"""ML sanity gates (SURVEY §5.4): seeded planted-structure dataset with
+a deterministic recall floor, hand-computed ranking metrics, grid-search
+argmax selection.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark_recs.model import (
+    grid_search,
+    ranking_metrics,
+    recommend_topk,
+    train_als,
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Two disjoint clusters: users 0-19 buy items 0-9, users 20-39 buy
+    items 10-19. Heldout = one in-cluster item per user."""
+    rows, truth = [], []
+    for u in range(40):
+        lo, hi = (0, 10) if u < 20 else (10, 20)
+        items = list(range(lo, hi))
+        held = items[u % 10]
+        for i in items:
+            if i != held:
+                rows.append((u, i, 3.0))
+        truth.append((u, held))
+    train = spark.createDataFrame(
+        rows, "user_id int, item_id int, n_purchases double"
+    )
+    heldout = spark.createDataFrame(truth, "user_id int, item_id int")
+    return train, heldout
+
+
+def test_als_learns_cluster_structure(spark, planted):
+    train, heldout = planted
+    model = train_als(train, rank=8, max_iter=10, seed=42)
+    users = heldout.select("user_id").distinct()
+    preds = recommend_topk(model, users, k=10)
+    m = ranking_metrics(preds, heldout, k=10)
+    # The held-out item is the only unseen in-cluster item; implicit ALS
+    # must place it in the top-10 for nearly all users.
+    assert m["recall_at_10"] > 0.8
+    assert m["ndcg_at_10"] > 0.3
+    assert m["n_users"] == 40
+
+
+def test_ranking_metrics_hand_computed(spark):
+    # user 1: truth {a}, predicted rank1=a -> recall 1, ndcg 1
+    # user 2: truth {a, b}, predicted rank1=x, rank2=a -> recall 1/2,
+    #   dcg = 1/log2(3), idcg = 1 + 1/log2(3) (2 ideal hits)
+    preds = spark.createDataFrame(
+        [(1, "a", 1), (1, "x", 2), (2, "x", 1), (2, "a", 2)],
+        "user_id int, item_id string, rank int",
+    )
+    truth = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (2, "b")], "user_id int, item_id string"
+    )
+    m = ranking_metrics(preds, truth, k=2)
+    import math
+
+    dcg2 = 1.0 / math.log2(3)
+    idcg2 = 1.0 + dcg2
+    assert m["recall_at_2"] == pytest.approx((1.0 + 0.5) / 2)
+    assert m["ndcg_at_2"] == pytest.approx((1.0 + dcg2 / idcg2) / 2)
+
+
+def test_ranking_metrics_user_without_hits(spark):
+    preds = spark.createDataFrame([(1, "x", 1)], "user_id int, item_id string, rank int")
+    truth = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "user_id int, item_id string"
+    )
+    m = ranking_metrics(preds, truth, k=5)
+    assert m["recall_at_5"] == 0.0
+    assert m["n_users"] == 2  # truth users with no preds still count
+
+
+def test_grid_search_selects_best(spark, planted):
+    train, heldout = planted
+    results = grid_search(
+        train,
+        heldout,
+        param_grid=[
+            {"rank": 8, "max_iter": 10},
+            {"rank": 2, "max_iter": 1},
+        ],
+        k=10,
+    )
+    assert len(results) == 2
+    # best-first ordering (A4 argmax)
+    assert (
+        results[0].metrics["recall_at_10"] >= results[1].metrics["recall_at_10"]
+    )
+    assert results[0].params["rank"] == 8

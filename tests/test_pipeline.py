@@ -1,0 +1,100 @@
+"""End-to-end flow test (SURVEY §3.3): ingest fixtures → relational
+chain → splits → Categorify → ALS grid → metrics → keyed export →
+point-lookup serving semantics.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark_recs.io.sinks import (
+    kv_export,
+    kv_export_parquet,
+    point_lookup,
+    predictions_table,
+)
+from pyspark_recs.pipeline import FlowConfig, run_flow, validate_config
+
+
+def test_validate_config_fail_fast():
+    with pytest.raises(ValueError):
+        validate_config(
+            FlowConfig(training_end_date="2020-09-15", validation_end_date="2020-09-08")
+        )
+    with pytest.raises(ValueError):
+        validate_config(FlowConfig(sample_fraction=1.5))
+
+
+def test_run_flow_end_to_end(
+    spark, raw_articles, raw_customers, raw_transactions, raw_images, tmp_path
+):
+    cfg = FlowConfig(
+        training_end_date="2020-09-08",
+        validation_end_date="2020-09-15",
+        min_purchases=4,  # c1's post-dedup training rows (see staging tests)
+        top_k=3,
+        param_grid=[{"rank": 4, "max_iter": 5}],
+    )
+    export = str(tmp_path / "kv")
+    result = run_flow(
+        spark,
+        raw_articles,
+        raw_customers,
+        raw_transactions,
+        raw_images,
+        cfg,
+        export_path=export,
+    )
+    assert result.best_params == {"rank": 4, "max_iter": 5}
+    assert "recall_at_3" in result.valid_metrics
+    assert "recall_at_3" in result.test_metrics
+    preds = result.predictions.collect()
+    assert len(preds) >= 1  # c1 has test-window truth
+    recs = json.loads(preds[0].recs)
+    assert 1 <= len(recs) <= 3
+
+    # S9 serving semantics: known user, unknown user -> sentinel default
+    kv_export_parquet(result.predictions, export)
+    known = point_lookup(spark, export, preds[0].userId)
+    assert known == recs
+    # no sentinel written by run_flow's parquet path -> empty default
+    assert point_lookup(spark, export, "missing-user") == []
+
+
+def test_predictions_table_shape_and_order(spark):
+    recs = spark.createDataFrame(
+        [(1, 30, 0.5, 2), (1, 10, 0.9, 1), (2, 20, 0.8, 1)],
+        "user_id int, item_id int, score double, rank int",
+    )
+    table = {r.userId: json.loads(r.recs) for r in predictions_table(recs, k=2).collect()}
+    assert table == {"1": ["10", "30"], "2": ["20"]}  # rank-ordered
+
+
+def test_kv_export_sentinel(spark, tmp_path):
+    preds = spark.createDataFrame(
+        [("1", json.dumps(["10"]))], "userId string, recs string"
+    )
+    # put_batch runs on executors (separate Python workers), so capture
+    # via the filesystem — exactly how a real KV client would be used.
+    out_dir = tmp_path / "kv_puts"
+    out_dir.mkdir()
+
+    def put_batch(items):
+        import os
+        import uuid
+
+        p = out_dir / f"{os.getpid()}-{uuid.uuid4().hex}.jsonl"
+        with open(p, "w") as f:
+            for item in items:
+                f.write(json.dumps(item) + "\n")
+
+    kv_export(preds, put_batch)
+    store = {}
+    for p in out_dir.glob("*.jsonl"):
+        for line in p.read_text().splitlines():
+            item = json.loads(line)
+            store[item["userId"]] = item["recs"]
+    assert json.loads(store["1"]) == ["10"]
+    assert json.loads(store["no_user"]) == []  # serving smoke sentinel

@@ -1,0 +1,118 @@
+"""Unit tests for the core relational operators (SURVEY §2.2-2.6),
+including the W1 frame-semantics trap with hand-computed expectations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_recs.sql import (
+    argmax_per_group,
+    bucketize_fixed_width,
+    categorify_dictionary,
+    dedup_last_value,
+    frequency_filter,
+    latest_batch,
+    left_enrich,
+    top_k_per_group,
+)
+
+
+def test_latest_batch_keeps_only_newest(spark):
+    df = spark.createDataFrame(
+        [(1, "b1", "x"), (1, "b1", "y"), (2, "b2", "z")],
+        "etl_timestamp long, etl_id string, v string",
+    )
+    out = latest_batch(df, "etl_id", "etl_timestamp")
+    assert {r.v for r in out.collect()} == {"z"}
+
+
+def test_dedup_last_value_whole_partition_frame(spark):
+    """The Snowflake last_value default frame is the ENTIRE partition.
+    A naive Spark port (default frame = cumulative) would return each
+    row's own value — this asserts every row gets the LAST value."""
+    df = spark.createDataFrame(
+        [("a", "c", 10.0, 1), ("a", "c", 12.0, 3), ("a", "c", 11.0, 2)],
+        "article string, customer string, price double, d int",
+    )
+    out = dedup_last_value(
+        df, group_keys=["article", "customer"], order_cols=["d"],
+        value_cols=["price"],
+    )
+    rows = out.collect()
+    assert len(rows) == 3  # W2 wart: residual rows preserved, no extra dedup
+    assert all(r.price == 12.0 for r in rows)  # all overwritten by last
+
+
+def test_dedup_last_value_dedups_exact_duplicates_first(spark):
+    df = spark.createDataFrame(
+        [("a", "c", 10.0, 1)] * 3, "article string, customer string, price double, d int"
+    )
+    out = dedup_last_value(df, ["article", "customer"], ["d"], ["price"])
+    assert out.count() == 1
+
+
+def test_frequency_filter_semi_join(spark):
+    df = spark.createDataFrame(
+        [("u1", i) for i in range(5)] + [("u2", 0)], "k string, v int"
+    )
+    kept = frequency_filter(df, key="k", min_count=5)
+    assert {r.k for r in kept.collect()} == {"u1"}
+    assert kept.columns == ["k", "v"]  # semi join keeps fact schema
+
+
+def test_frequency_filter_with_predicate(spark):
+    df = spark.createDataFrame(
+        [("u1", i) for i in range(5)] + [("u2", i) for i in range(5)],
+        "k string, v int",
+    )
+    kept = frequency_filter(df, key="k", min_count=3, pred=F.col("v") < 3)
+    assert {r.k for r in kept.collect()} == {"u1", "u2"}
+    kept2 = frequency_filter(df, key="k", min_count=4, pred=F.col("v") < 3)
+    assert kept2.count() == 0
+
+
+def test_left_enrich_defaults(spark):
+    facts = spark.createDataFrame([(1,), (2,)], "k int")
+    dim = spark.createDataFrame([(1, "seg")], "k int, seg string")
+    out = left_enrich(facts, dim, "k", defaults={"seg": "NO_GROUP"})
+    got = {r.k: r.seg for r in out.collect()}
+    assert got == {1: "seg", 2: "NO_GROUP"}
+
+
+def test_top_k_per_group_deterministic(spark):
+    df = spark.createDataFrame(
+        [("g", 5, 1), ("g", 5, 2), ("g", 3, 3)], "g string, score int, id int"
+    )
+    out = top_k_per_group(
+        df, ["g"], [F.desc("score"), F.asc("id")], k=2
+    ).orderBy("rn")
+    rows = out.collect()
+    assert [(r.id, r.rn) for r in rows] == [(1, 1), (2, 2)]
+
+
+def test_argmax_per_group_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("g", 5.0, 10), ("g", 5.0, 20), ("h", 1.0, 30)],
+        "g string, score double, id int",
+    )
+    out = argmax_per_group(df, ["g"], "id", "score", "id")
+    got = {r.g: r.id for r in out.collect()}
+    assert got == {"g": 20, "h": 30}  # max score, tie -> max id
+
+
+def test_categorify_dictionary_sorted_stable(spark):
+    df = spark.createDataFrame(
+        [("b",), ("a",), ("c",), ("a",), (None,)], "v string"
+    )
+    d1 = {r.v: r.code for r in categorify_dictionary(df, "v").collect()}
+    d2 = {r.v: r.code for r in categorify_dictionary(df, "v").collect()}
+    assert d1 == {"a": 1, "b": 2, "c": 3}  # sorted, codes from 1, no null
+    assert d1 == d2  # refit-stable
+
+
+def test_bucketize_fixed_width(spark):
+    df = spark.createDataFrame([(0.0,), (4.9,), (5.0,), (-0.1,)], "x double")
+    out = bucketize_fixed_width(df, "x", 5.0, alias="b")
+    got = sorted(r.b for r in out.collect())
+    assert got == [-1, 0, 0, 1]

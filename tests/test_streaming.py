@@ -1,0 +1,94 @@
+"""Structured Streaming twins (SURVEY §2.9): the streaming operators
+must reproduce their batch-workload results (the batch form is the
+oracle), exercised through real readStream/writeStream with
+availableNow triggers.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_recs.streaming import (
+    read_event_stream,
+    streaming_dedup,
+    streaming_tumbling_agg,
+    stream_to_kv_sink,
+)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events"))
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:05", "click", 1.0, 7),
+            (2, "2024-01-01 10:00:00", "click", 2.0, 7),
+            (3, "2024-01-01 11:00:00", "view", 3.0, 8),
+            (4, "2024-01-02 00:30:00", "click", 4.0, 7),
+            (5, "2024-01-02 00:30:00", "click", 4.0, 7),  # dup event
+        ],
+        "event_id long, ts_s string, event_type string, value double, user_id long",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    df.write.parquet(path, mode="overwrite")
+    return path, df.schema
+
+
+def _run_stream(stream, tmp_path, mode="complete"):
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_out")
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return stream.sparkSession.sql("SELECT * FROM t_out")
+
+
+def test_streaming_tumbling_agg_matches_batch(spark, event_dir, tmp_path):
+    path, schema = event_dir
+    stream = read_event_stream(spark, path, schema)
+    out = _run_stream(
+        streaming_tumbling_agg(stream, window="1 day", watermark="2 days"),
+        tmp_path,
+    )
+    got = {
+        (str(r.day), r.event_type): (r.n_events, r.total_value)
+        for r in out.collect()
+    }
+    assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01 00:00:00", "view")] == (1, 3.0)
+    assert got[("2024-01-02 00:00:00", "click")] == (2, 8.0)
+
+
+def test_streaming_dedup(spark, event_dir, tmp_path):
+    path, schema = event_dir
+    stream = read_event_stream(spark, path, schema)
+    out = _run_stream(
+        streaming_dedup(stream, keys=["user_id", "event_type", "value"]),
+        tmp_path,
+        mode="append",
+    )
+    # the two identical (user 7, click, 4.0, same ts) events collapse
+    assert out.count() == 4
+
+
+def test_stream_to_kv_sink(spark, event_dir, tmp_path):
+    path, schema = event_dir
+    stream = read_event_stream(spark, path, schema)
+    agg = streaming_tumbling_agg(stream, window="1 day", watermark="2 days")
+
+    captured = []
+    q = stream_to_kv_sink(
+        agg.select(
+            F.col("event_type").alias("userId"),
+            F.col("n_events").cast("string").alias("recs"),
+        ),
+        captured.extend,
+        checkpoint_dir=str(tmp_path / "kv_ckpt"),
+    )
+    q.awaitTermination(120)
+    assert len(captured) >= 2  # one row per (day, type) reaching the sink
+    assert {r["userId"] for r in captured} == {"click", "view"}
