@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ...}
+
+Each query is executed to completion (collect) after a warm-up of the
+Spark session; per-query wall-clock is reported.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family (scan-agg, joins, windows,
+# top-k, dedup sketches, similarity, text, streaming-twin, recsys).
+HEADLINE = [
+    "r01_pricing_summary",
+    "r10_three_way_join",
+    "r11_per_part_avg_price",
+    "r14_topk_per_customer",
+    "r22_zscore",
+    "rs01_interactions",
+    "rs02_popular_items_per_segment",
+    "l02_minhash_signatures",
+    "l04_simhash",
+    "l06_embedding_topk",
+    "l10_char_fingerprints",
+    "s01_tumbling_daily",
+    "s02_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from pyspark_recs.session import get_spark
+    from pyspark_recs.workloads import QUERIES
+
+    spark = get_spark("bench")
+    # Warm up the JVM, file listings and parquet footers so the first
+    # measured query doesn't pay one-time session costs.
+    from pyspark_recs.io import load_table
+    from pyspark_recs.io.loaders import TABLES
+
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -60,3 +60,36 @@ def decode_metadata(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         decode_batches, schema=DECODED_SCHEMA
     )
+
+
+FEATURES_SCHEMA = "doc_id bigint, features array<double>"
+
+
+def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature extraction over binary payloads (the CLIP-encode /
+    resize / frame-sample shape, my_merlin_flow.py:586-599): sample
+    ``dim`` evenly-spaced bytes and scale to [0,1].
+
+    The sampler is the deterministic stand-in for a real encoder — the
+    Arrow batch shape, schema contract and partition parallelism are
+    exactly what a model UDF uses (swap ``_sample_bytes`` for a model
+    forward pass; batch at ``spark.sql.execution.arrow.maxRecordsPerBatch``).
+    Rows shorter than ``dim`` bytes are dropped (a real decoder would
+    route them to a dead-letter output)."""
+
+    def _sample_bytes(payload: bytes) -> list[float] | None:
+        n = len(payload)
+        if n < dim:
+            return None
+        stride = n // dim
+        return [payload[j * stride] / 255.0 for j in range(dim)]
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_sample_bytes(p) for p in pdf["payload"]]
+            out = pd.DataFrame({"doc_id": pdf["doc_id"].values, "features": feats})
+            yield out[out["features"].notna()]
+
+    return df.select("doc_id", "payload").mapInPandas(
+        feature_batches, schema=FEATURES_SCHEMA
+    )

@@ -19,7 +19,11 @@ from pyspark_recs.llmops import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
-from pyspark_recs.llmops.multimodal import decode_metadata, with_binary_payload
+from pyspark_recs.llmops.multimodal import (
+    decode_metadata,
+    extract_features,
+    with_binary_payload,
+)
 from pyspark_recs.llmops.similarity import lsh_topk
 from pyspark_recs.llmops.textstats import (
     EN_STOPWORDS,
@@ -301,6 +305,25 @@ def l12_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------- l13
+def l13_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature extraction over binary payloads via Arrow mapInPandas
+    (the CLIP-encode shape with a deterministic byte-sampler stand-in —
+    SURVEY §2.7 M7). Oracle reproduces the sampler relationally."""
+    docs = load_table(spark, sf, "documents")
+    return extract_features(with_binary_payload(docs), dim=8)
+
+
+L13_SQL = """
+SELECT doc_id,
+       list_transform(range(0, 8),
+         j -> ascii(substring(text, 1 + j * (length(text) // 8), 1)) / 255.0)
+         AS features
+FROM documents
+WHERE length(text) >= 8
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -314,6 +337,7 @@ QUERIES = {
     "l10_char_fingerprints": l10_char_fingerprints,
     "l11_multimodal_decode": l11_multimodal_decode,
     "l12_ann_lsh": l12_ann_lsh,
+    "l13_multimodal_features": l13_multimodal_features,
 }
 
 ORACLE = {
@@ -329,4 +353,5 @@ ORACLE = {
     "l10_char_fingerprints": L10_SQL,
     "l11_multimodal_decode": L11_SQL,
     # l12: intentionally no oracle (seeded LSH model)
+    "l13_multimodal_features": L13_SQL,
 }

@@ -678,6 +678,58 @@ FROM filled, stats
 """
 
 
+# --------------------------------------------------------------------- r25
+def r25_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT(DISTINCT) per group (A5 exact form — the facet/cardinality
+    query; Spark plans expand+two-phase agg, no driver collection)."""
+    orders = load_table(spark, sf, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+R25_SQL = """
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------- r26
+def r26_ordered_export(spark: SparkSession, sf: str) -> DataFrame:
+    """Global ORDER BY + LIMIT export head (O1/O4,
+    my_merlin_flow.py:183-184's date-sorted export). Spark plans
+    TakeOrderedAndProject — top-k, never a full global sort. SURVEY §7:
+    unbounded global sorts are dropped as non-load-bearing at 100 TB;
+    the bounded head is the operator worth keeping."""
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    )
+
+
+R26_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------- r27
+def r27_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — the sketch the 100 TB path uses
+    instead of r25's exact expand. Engine sketches differ, so no SQL
+    oracle (rows-only); the relative-error bound vs r25 is asserted in
+    tests."""
+    orders = load_table(spark, sf, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    )
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -703,6 +755,9 @@ QUERIES = {
     "r22_zscore": r22_zscore,
     "r23_explode_tokens": r23_explode_tokens,
     "r24_fill_missing_normalize": r24_fill_missing_normalize,
+    "r25_count_distinct": r25_count_distinct,
+    "r26_ordered_export": r26_ordered_export,
+    "r27_approx_distinct": r27_approx_distinct,
 }
 
 ORACLE = {
@@ -730,4 +785,7 @@ ORACLE = {
     "r22_zscore": R22_SQL,
     "r23_explode_tokens": R23_SQL,
     "r24_fill_missing_normalize": R24_SQL,
+    "r25_count_distinct": R25_SQL,
+    "r26_ordered_export": R26_SQL,
+    # r27: HLL sketch — rows-only by design
 }

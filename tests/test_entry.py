@@ -20,10 +20,11 @@ def test_oracle_keys_subset_of_queries():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
-    assert len(qs) >= 40
+    assert len(qs) >= 45
     # non-oracle queries are the deliberately non-SQL-expressible ones
     assert {k for k in qs if k not in oracles} == {
         "l12_ann_lsh",
+        "r27_approx_distinct",
         "rs04_als_recommendations",
     }
 

@@ -127,6 +127,35 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     assert {q for q, _ in approx} == {0, 1, 2, 3, 4}
 
 
+def test_multimodal_extract_features(spark, near_dup_docs):
+    from pyspark_recs.llmops.multimodal import extract_features
+
+    out = {r.doc_id: r.features for r in extract_features(
+        with_binary_payload(near_dup_docs), dim=8
+    ).collect()}
+    src = {r.doc_id: r.text.encode() for r in near_dup_docs.collect()}
+    for doc_id, payload in src.items():
+        stride = len(payload) // 8
+        expect = [payload[j * stride] / 255.0 for j in range(8)]
+        assert out[doc_id] == expect
+    # short payloads are dropped, not errored
+    tiny = spark.createDataFrame([(9, "ab")], "doc_id long, text string")
+    assert extract_features(with_binary_payload(tiny), dim=8).count() == 0
+
+
+def test_approx_distinct_error_bound(spark):
+    from pyspark_recs.workloads.relational import (
+        r25_count_distinct,
+        r27_approx_distinct,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r.o_orderpriority: r.n_customers for r in r25_count_distinct(spark, sf).collect()}
+    approx = {r.o_orderpriority: r.approx_customers for r in r27_approx_distinct(spark, sf).collect()}
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / v < 0.1  # rsd=0.02 sketch, loose gate
+
+
 def test_multimodal_decode_metadata(spark, near_dup_docs):
     import hashlib
 
