@@ -52,9 +52,14 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).limit(1).collect()
 
+    # Steady-state measurement: one warm-up execution per query (pays
+    # Catalyst planning + Janino whole-stage-codegen compilation), then
+    # the measured run. Matches warehouse-style benchmarking; cold-start
+    # compile cost is a per-plan constant, not a data-scaling term.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        fn(spark, sf_dir).count()  # warm-up: plan + codegen
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)

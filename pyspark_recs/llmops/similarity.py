@@ -54,23 +54,27 @@ def cosine_topk_bruteforce(
     Output: query_id, neighbor_id, cos_sim, rank (1-based), excluding
     self-matches; ties broken by neighbor_id ascending.
     """
+    # Norms depend on one side only — compute once per vector BEFORE the
+    # pair expansion (at N candidates × Q queries this removes 2/3 of
+    # the array arithmetic from the quadratic term).
     cand = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cand_vec"),
+        F.sqrt(_fixed_dot(F.col(vec_col), F.col(vec_col))).alias("norm_c"),
     )
     qry = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.sqrt(_fixed_dot(F.col(vec_col), F.col(vec_col))).alias("norm_q"),
     )
     pairs = cand.crossJoin(F.broadcast(qry)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     dot = _fixed_dot(F.col("cand_vec"), F.col("query_vec"))
-    norm_c = F.sqrt(_fixed_dot(F.col("cand_vec"), F.col("cand_vec")))
-    norm_q = F.sqrt(_fixed_dot(F.col("query_vec"), F.col("query_vec")))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        (dot / (norm_c * norm_q)).alias("cos_sim"),
+        (dot / (F.col("norm_c") * F.col("norm_q"))).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
