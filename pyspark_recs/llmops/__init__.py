@@ -22,14 +22,20 @@ from pyspark_recs.llmops.textstats import (
     token_stats,
     tokens,
 )
-from pyspark_recs.llmops.similarity import cosine_topk_bruteforce
+from pyspark_recs.llmops.similarity import (
+    cosine_topk_bruteforce,
+    embedding_neardup_pairs,
+    ivf_topk,
+)
 
 __all__ = [
     "MINHASH_COEFFS",
     "MINHASH_PRIME",
     "char_fingerprints",
     "cosine_topk_bruteforce",
+    "embedding_neardup_pairs",
     "exact_dedup_groups",
+    "ivf_topk",
     "lsh_candidate_pairs",
     "md5_long",
     "minhash_signatures",

@@ -85,6 +85,151 @@ def cosine_topk_bruteforce(
     )
 
 
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    sign_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-bit blocking.
+
+    The dedup-family member for embedding columns (generalizes the
+    reference's CLIP-vector similarity, `src/app_utils.py:10-26` +
+    `src/app/pred_inspector.py:103-108`, into a near-dup detector).
+
+    Bucket key = the sign pattern of the first ``sign_bits`` dimensions
+    — an axis-aligned signed-projection LSH. Vectors with cosine near 1
+    agree on almost every coordinate sign, so true near-dups collide;
+    exact fixed-point cosine then confirms inside each bucket. The
+    self-join is keyed on the bucket (≤ 2^sign_bits cells), never
+    all-pairs: the pair expansion is Σ_b n_b² instead of N². At 100 TB
+    raise ``sign_bits`` (cells double per bit, buckets shrink) and add
+    multi-probe over low-|value| dimensions for recall. Fully
+    deterministic → DuckDB-oracle-checkable.
+
+    Output: id_a < id_b, cos_sim ≥ threshold (within-bucket pairs only).
+    """
+    bucket = F.aggregate(
+        F.zip_with(
+            F.slice(F.col(vec_col), 1, sign_bits),
+            F.sequence(F.lit(0), F.lit(sign_bits - 1)),
+            lambda x, i: F.when(
+                x >= 0, F.pow(F.lit(2.0), i).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    vecs = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        bucket.alias("bucket"),
+        F.sqrt(_fixed_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
+    )
+    a = vecs.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = vecs.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = _fixed_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return pairs.select(
+        "id_a", "id_b", cos.alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate nearest neighbors (the inverted-file scale
+    path, complementing ``lsh_topk``).
+
+    Coarse quantizer: each candidate is assigned to its single highest-
+    cosine centroid (the inverted file); each query probes its ``nprobe``
+    closest cells and scores exactly only within them — the scan touches
+    ~nprobe/n_cells of the corpus instead of all of it. At 100 TB:
+    partition/bucket the candidate table BY cell_id so a probe join
+    prunes partitions, and size n_cells ≈ √N with k-means centroids.
+
+    Centroids here are the ``n_cells`` lowest-id candidate vectors — a
+    deterministic stand-in for offline-fit k-means (swap in
+    ``pyspark.ml.clustering.KMeans().fit(...).clusterCenters()`` in
+    production); determinism keeps the whole operator
+    DuckDB-oracle-checkable, unlike the seeded-model LSH path.
+
+    Output: query_id, neighbor_id, cos_sim, rank — same contract as
+    ``cosine_topk_bruteforce`` (self-matches excluded).
+    """
+    cents = (
+        candidates.orderBy(F.asc(id_col))
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell_id"),
+            F.col(vec_col).alias("cvec"),
+            F.sqrt(_fixed_dot(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
+        )
+    )
+
+    def _nearest_cells(df: DataFrame, out_id: str, out_vec: str, keep: int):
+        side = df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            F.sqrt(_fixed_dot(F.col(vec_col), F.col(vec_col))).alias(
+                out_vec + "_norm"
+            ),
+        )
+        ccos = _fixed_dot(F.col(out_vec), F.col("cvec")) / (
+            F.col(out_vec + "_norm") * F.col("cnorm")
+        )
+        w = Window.partitionBy(out_id).orderBy(F.desc("ccos"), F.asc("cell_id"))
+        return (
+            side.crossJoin(F.broadcast(cents))
+            .select(
+                out_id, out_vec, out_vec + "_norm", "cell_id", ccos.alias("ccos")
+            )
+            .withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= keep)
+            .drop("ccos", "crank")
+        )
+
+    inv_file = _nearest_cells(candidates, "neighbor_id", "nv", keep=1)
+    probes = _nearest_cells(queries, "query_id", "qv", keep=nprobe)
+
+    scored = (
+        probes.join(inv_file, "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _fixed_dot(F.col("qv"), F.col("nv"))
+                / (F.col("qv_norm") * F.col("nv_norm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     candidates: DataFrame,
     queries: DataFrame,

@@ -24,7 +24,11 @@ from pyspark_recs.llmops.multimodal import (
     extract_features,
     with_binary_payload,
 )
-from pyspark_recs.llmops.similarity import lsh_topk
+from pyspark_recs.llmops.similarity import (
+    embedding_neardup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
 from pyspark_recs.llmops.textstats import (
     EN_STOPWORDS,
     char_fingerprints,
@@ -305,6 +309,95 @@ def l12_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------- l14
+def l14_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: sign-bit LSH blocking + exact
+    fixed-point cosine confirm within buckets (never all-pairs).
+    Threshold 0.3 fits the synthetic embeddings' similarity range (the
+    10-cluster testdata has no cosine>0.9 pairs; production near-dup
+    dedup would run the operator default 0.9)."""
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.3, sign_bits=8)
+
+
+_SIGN_BUCKET = (
+    "list_sum(list_transform(range(1, 9), "
+    "i -> CASE WHEN embedding[i] >= 0 "
+    "THEN CAST(2 ** (i - 1) AS BIGINT) ELSE CAST(0 AS BIGINT) END))"
+)
+
+L14_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding, {_SIGN_BUCKET} AS bucket,
+         sqrt({_FIXED_DOT.format(a='embedding', b='embedding')}) AS norm
+  FROM embeddings)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ({_FIXED_DOT.format(a='a.embedding', b='b.embedding')})
+           / (a.norm * b.norm) AS cos_sim
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+WHERE cos_sim >= 0.3
+"""
+
+
+# --------------------------------------------------------------------- l15
+def l15_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-Flat ANN: deterministic coarse centroids, single-cell
+    inverted file, nprobe=4 probe join — the partition-pruning scale
+    path for l06 (and the oracle-checkable ANN, unlike seeded l12)."""
+    emb = load_table(spark, sf, "embeddings")
+    return ivf_topk(
+        candidates=emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_cells=16,
+        nprobe=4,
+    )
+
+
+def _nearest_cells_sql(src: str, out_id: str, out_vec: str, keep: int) -> str:
+    cos = _FIXED_DOT.format(a=out_vec, b="cv")
+    return f"""
+  SELECT {out_id}, {out_vec}, vnorm, cell_id FROM (
+    SELECT {out_id}, {out_vec}, vnorm, cell_id,
+           row_number() OVER (PARTITION BY {out_id}
+                              ORDER BY ccos DESC, cell_id) AS crank
+    FROM (SELECT s.{out_id}, s.{out_vec}, s.vnorm, c.cell_id,
+                 ({cos}) / (s.vnorm * c.cnorm) AS ccos
+          FROM {src} s CROSS JOIN cents c))
+  WHERE crank <= {keep}"""
+
+
+L15_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cv,
+         sqrt({_FIXED_DOT.format(a='embedding', b='embedding')}) AS cnorm
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+cand AS (
+  SELECT vec_id AS neighbor_id, embedding AS nv,
+         sqrt({_FIXED_DOT.format(a='embedding', b='embedding')}) AS vnorm
+  FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         sqrt({_FIXED_DOT.format(a='embedding', b='embedding')}) AS vnorm
+  FROM embeddings WHERE vec_id < 10),
+inv_file AS ({_nearest_cells_sql('cand', 'neighbor_id', 'nv', 1)}),
+probes AS ({_nearest_cells_sql('q', 'query_id', 'qv', 4)}),
+scored AS (
+  SELECT p.query_id, f.neighbor_id,
+         ({_FIXED_DOT.format(a='p.qv', b='f.nv')})
+           / (p.vnorm * f.vnorm) AS cos_sim
+  FROM probes p JOIN inv_file f USING (cell_id)
+  WHERE f.neighbor_id <> p.query_id)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------------- l13
 def l13_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Feature extraction over binary payloads via Arrow mapInPandas
@@ -338,6 +431,8 @@ QUERIES = {
     "l11_multimodal_decode": l11_multimodal_decode,
     "l12_ann_lsh": l12_ann_lsh,
     "l13_multimodal_features": l13_multimodal_features,
+    "l14_embedding_neardup": l14_embedding_neardup,
+    "l15_ann_ivf": l15_ann_ivf,
 }
 
 ORACLE = {
@@ -354,4 +449,6 @@ ORACLE = {
     "l11_multimodal_decode": L11_SQL,
     # l12: intentionally no oracle (seeded LSH model)
     "l13_multimodal_features": L13_SQL,
+    "l14_embedding_neardup": L14_SQL,
+    "l15_ann_ivf": L15_SQL,
 }

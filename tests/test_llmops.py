@@ -17,7 +17,11 @@ from pyspark_recs.llmops import (
     simhash_fingerprints,
 )
 from pyspark_recs.llmops.multimodal import decode_metadata, with_binary_payload
-from pyspark_recs.llmops.similarity import lsh_topk
+from pyspark_recs.llmops.similarity import (
+    embedding_neardup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
 
 
 @pytest.fixture(scope="module")
@@ -125,6 +129,45 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     assert len(approx) == 25
     # sanity: every query answered
     assert {q for q, _ in approx} == {0, 1, 2, 3, 4}
+
+
+def test_embedding_neardup_finds_planted_pair(spark):
+    base = [1.0, 2.0, -1.0, 0.5, 3.0, -0.2, 0.8, 1.1]
+    neardup = [x + 0.01 for x in base]       # cosine ≈ 1 with base
+    opposite = [-x for x in base]            # cosine = -1, different bucket
+    orthogonalish = [2.0, -1.0, 1.0, 3.0, -0.5, 0.7, -2.0, 0.1]
+    vecs = spark.createDataFrame(
+        [(0, base), (1, neardup), (2, opposite), (3, orthogonalish)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = embedding_neardup_pairs(vecs, threshold=0.95, sign_bits=8).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(0, 1)]
+    assert pairs[0].cos_sim > 0.99
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    import random
+
+    # Clustered data so IVF cells align with true neighborhoods.
+    random.seed(7)
+    centers = [[random.gauss(0, 5) for _ in range(16)] for _ in range(4)]
+    data = [
+        (i, [c + random.gauss(0, 0.5) for c in centers[i % 4]])
+        for i in range(120)
+    ]
+    vecs = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    queries = vecs.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(vecs, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(vecs, queries, k=5, n_cells=8, nprobe=4).collect()
+    }
+    assert len(approx) == 25
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9  # nprobe=4 of 8 cells on well-separated clusters
 
 
 def test_multimodal_extract_features(spark, near_dup_docs):
