@@ -62,6 +62,83 @@ def decode_metadata(df: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = "doc_id bigint, resized binary, n_bytes int"
+
+
+def resize_payload(df: DataFrame, out_bytes: int = 16) -> DataFrame:
+    """Resize/thumbnail over binary payloads: fixed-size output byte
+    grid via evenly-strided sampling (the nearest-neighbor-downsample
+    stand-in for a real image resize — swap the sampler for
+    PIL ``Image.resize`` / ffmpeg scale; batch shape, binary-in/
+    binary-out schema and partition parallelism are the production
+    contract). Payloads shorter than ``out_bytes`` are dropped."""
+
+    def _resize_one(payload: bytes) -> bytes | None:
+        n = len(payload)
+        if n < out_bytes:
+            return None
+        stride = n // out_bytes
+        return bytes(payload[j * stride] for j in range(out_bytes))
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [_resize_one(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "resized": resized,
+                    "n_bytes": [
+                        len(r) if r is not None else 0 for r in resized
+                    ],
+                }
+            )
+            yield out[out["resized"].notna()]
+
+    return df.select("doc_id", "payload").mapInPandas(
+        resize_batches, schema=RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes int, frame_hash string"
+
+
+def frame_sample(
+    df: DataFrame, frame_size: int = 32, hop: int = 32
+) -> DataFrame:
+    """Frame sampling over binary payloads — the video/audio shape: one
+    input row fans out to one row per fixed-size frame (1→N expansion
+    inside Arrow batches; the UDTF-shaped multimodal op). A real
+    implementation decodes frames with ffmpeg at ``hop`` intervals; the
+    stand-in slices raw byte windows and fingerprints each, keeping the
+    fan-out, schema and batch contract identical. Payloads shorter than
+    one frame yield no rows (dead-letter-routed in production)."""
+    import hashlib
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, hashes = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"].values, pdf["payload"]):
+                n_frames = max(0, (len(payload) - frame_size) // hop + 1)
+                for j in range(n_frames):
+                    frame = payload[j * hop : j * hop + frame_size]
+                    ids.append(doc_id)
+                    idxs.append(j)
+                    sizes.append(len(frame))
+                    hashes.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_bytes": sizes,
+                    "frame_hash": hashes,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        frame_batches, schema=FRAMES_SCHEMA
+    )
+
+
 FEATURES_SCHEMA = "doc_id bigint, features array<double>"
 
 

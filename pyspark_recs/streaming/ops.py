@@ -62,6 +62,71 @@ def streaming_dedup(
     )
 
 
+def streaming_sessionize(
+    events: DataFrame,
+    gap_us: int = 1800 * 1_000_000,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    gap-based sessionization, the incremental twin of
+    workloads/streaming.s02_sessionize (30-min inactivity gap).
+
+    Per-user state = (last event time, session count, event count),
+    carried across micro-batches in the state store and emitted as a
+    running total after every batch (output mode ``update``). Events are
+    ordered within each micro-batch; cross-batch order relies on
+    in-order arrival (file drops appended in event-time order) — the
+    standard caveat for gap sessionization without a reorder buffer.
+
+    Scale: state is one fixed-width row per user, partitioned by the
+    groupBy key across spark.sql.shuffle.partitions state stores; Arrow
+    batches keep the Python boundary vectorized. Add a timeout
+    (GroupStateTimeout.EventTimeTimeout + watermark) to evict idle users
+    when the key space is unbounded.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n_sessions long, n_events long"
+    state_schema = "last_ts_us long, n_sessions long, n_events long"
+
+    with_us = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+    )
+
+    def update(key, pdfs, state):
+        last_ts, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        for pdf in pdfs:
+            for ts in pdf.sort_values(["ts_us", "event_id"])["ts_us"]:
+                ts = int(ts)
+                if last_ts is None or ts - last_ts > gap_us:
+                    n_sessions += 1
+                n_events += 1
+                last_ts = ts
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    return with_us.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_to_kv_sink(
     stream: DataFrame,
     put_batch,

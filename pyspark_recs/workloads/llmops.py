@@ -22,6 +22,8 @@ from pyspark_recs.llmops import (
 from pyspark_recs.llmops.multimodal import (
     decode_metadata,
     extract_features,
+    frame_sample,
+    resize_payload,
     with_binary_payload,
 )
 from pyspark_recs.llmops.similarity import (
@@ -398,6 +400,49 @@ WHERE rank <= 5
 """
 
 
+# --------------------------------------------------------------------- l16
+def l16_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame sampling (video/audio shape): 1→N row fan-out per payload
+    inside Arrow batches, one row per 32-byte frame."""
+    docs = load_table(spark, sf, "documents")
+    return frame_sample(with_binary_payload(docs), frame_size=32, hop=32)
+
+
+L16_SQL = """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, CASE WHEN length(text) >= 32
+                              THEN (length(text) - 32) // 32 + 1
+                              ELSE 0 END)) AS j
+  FROM documents)
+SELECT doc_id, CAST(j AS INTEGER) AS frame_idx,
+       CAST(32 AS INTEGER) AS frame_bytes,
+       md5(substring(text, 1 + j * 32, 32)) AS frame_hash
+FROM f
+"""
+
+
+# --------------------------------------------------------------------- l17
+def l17_resize_thumbnail(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize/thumbnail (image shape): binary→binary strided downsample;
+    projected as a hash because the oracle compare canonicalizes bytes
+    engine-specifically."""
+    docs = load_table(spark, sf, "documents")
+    return resize_payload(with_binary_payload(docs), out_bytes=16).select(
+        "doc_id", F.md5("resized").alias("thumb_hash"), "n_bytes"
+    )
+
+
+L17_SQL = """
+SELECT doc_id,
+       md5(list_aggregate(list_transform(range(0, 16),
+         j -> substring(text, 1 + j * (length(text) // 16), 1)),
+         'string_agg', '')) AS thumb_hash,
+       CAST(16 AS INTEGER) AS n_bytes
+FROM documents WHERE length(text) >= 16
+"""
+
+
 # --------------------------------------------------------------------- l13
 def l13_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Feature extraction over binary payloads via Arrow mapInPandas
@@ -433,6 +478,8 @@ QUERIES = {
     "l13_multimodal_features": l13_multimodal_features,
     "l14_embedding_neardup": l14_embedding_neardup,
     "l15_ann_ivf": l15_ann_ivf,
+    "l16_frame_sample": l16_frame_sample,
+    "l17_resize_thumbnail": l17_resize_thumbnail,
 }
 
 ORACLE = {
@@ -451,4 +498,6 @@ ORACLE = {
     "l13_multimodal_features": L13_SQL,
     "l14_embedding_neardup": L14_SQL,
     "l15_ann_ivf": L15_SQL,
+    "l16_frame_sample": L16_SQL,
+    "l17_resize_thumbnail": L17_SQL,
 }

@@ -170,6 +170,30 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.9  # nprobe=4 of 8 cells on well-separated clusters
 
 
+def test_multimodal_resize_and_frame_sample(spark, near_dup_docs):
+    from pyspark_recs.llmops.multimodal import (
+        frame_sample,
+        resize_payload,
+        with_binary_payload,
+    )
+
+    payloads = with_binary_payload(near_dup_docs)
+    resized = resize_payload(payloads, out_bytes=16).collect()
+    assert len(resized) == 4  # all docs >= 16 bytes
+    assert all(len(r.resized) == 16 and r.n_bytes == 16 for r in resized)
+    # identical payloads -> identical thumbnails (docs 1 and 2 are dups)
+    by_id = {r.doc_id: bytes(r.resized) for r in resized}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[4]
+
+    frames = frame_sample(payloads, frame_size=32, hop=32)
+    got = frames.filter(F.col("doc_id") == 1).orderBy("frame_idx").collect()
+    text_len = len(near_dup_docs.filter(F.col("doc_id") == 1).first().text)
+    assert len(got) == (text_len - 32) // 32 + 1
+    assert [r.frame_idx for r in got] == list(range(len(got)))
+    assert all(r.frame_bytes == 32 for r in got)
+
+
 def test_multimodal_extract_features(spark, near_dup_docs):
     from pyspark_recs.llmops.multimodal import extract_features
 

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark_recs.streaming import (
     read_event_stream,
     streaming_dedup,
+    streaming_sessionize,
     streaming_tumbling_agg,
     stream_to_kv_sink,
 )
@@ -92,3 +93,19 @@ def test_stream_to_kv_sink(spark, event_dir, tmp_path):
     q.awaitTermination(120)
     assert len(captured) >= 2  # one row per (day, type) reaching the sink
     assert {r["userId"] for r in captured} == {"click", "view"}
+
+
+def test_streaming_sessionize_stateful(spark, event_dir, tmp_path):
+    path, schema = event_dir
+    stream = read_event_stream(spark, path, schema)
+    out = _run_stream(streaming_sessionize(stream), tmp_path, mode="update")
+    # update mode may emit per micro-batch; the final running total per
+    # user is the row with the highest event count.
+    final = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in out.orderBy("n_events").collect()
+    }
+    # user 7: 00:00:05 / 10:00 / 00:30(+dup) -> 3 sessions, 4 events
+    # (matches the batch lag+cumulative-flag form, s02_sessionize)
+    assert final[7] == (3, 4)
+    assert final[8] == (1, 1)
