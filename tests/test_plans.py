@@ -1,0 +1,98 @@
+"""Physical-plan regression tests — the scale contract, enforced.
+
+A correct answer with the wrong plan does not survive a 100× scale-up,
+so the plan properties the engine depends on are asserted here the same
+way results are: scans must push filters and prune columns, dimension
+joins must broadcast, per-group top-k must pre-prune before the
+exchange (WindowGroupLimit), and aggregations must combine map-side so
+exactly one shuffle carries the grouped data.
+
+These assert against `.explain` output only — no jobs run.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from pyspark_recs.workloads import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_scan_prunes_columns_and_pushes_filters(spark):
+    # r02 filters orders by date: the predicate must reach the parquet
+    # reader, and untouched wide columns must not be read.
+    plan = plan_of(QUERIES["r02_frequent_customers"](spark, SF_DIR))
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(o_orderdate", plan)
+    assert "o_comment" not in plan  # wide column never materialized
+
+
+def test_dim_joins_broadcast(spark):
+    # r10 joins facts to the customer dim: dim side must be a broadcast
+    # hash join, not a shuffled sort-merge.
+    plan = plan_of(QUERIES["r10_three_way_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_prunes_before_exchange(spark):
+    # Per-group top-k must plan WindowGroupLimit (per-task pre-pruning
+    # to k rows per group before the shuffle), not a full sort.
+    plan = plan_of(QUERIES["r14_topk_per_customer"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+
+
+def test_aggregation_single_shuffle_with_partial(spark):
+    # rs01 (join + groupBy): map-side partial aggregation means two
+    # HashAggregate nodes and exactly one non-broadcast exchange.
+    plan = plan_of(QUERIES["rs01_interactions"](spark, SF_DIR))
+    # formatted mode lists each node once in the detail section as
+    # "(n) NodeName" — count those to avoid substring/tree duplicates.
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_latest_batch_filter_is_broadcast(spark):
+    # P2/J1: the 1-row latest-etl side must broadcast — at 100 TB the
+    # raw table never shuffles for what is semantically a filter.
+    plan = plan_of(QUERIES["r06_latest_batch"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_whole_stage_codegen_covers_relational_core(spark):
+    # The pricing summary must stay inside whole-stage codegen (JVM
+    # compiled loops), the scan → project → partial-agg prefix fused.
+    # AQE wraps the unexecuted plan and hides codegen stage markers, so
+    # plan this one query without it. Build the df FIRST: load_table
+    # re-applies RUNTIME_CONFS (which turn AQE back on).
+    df = QUERIES["r01_pricing_summary"](spark, SF_DIR)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(df, "simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert re.search(r"\*\(\d+\)", plan)  # codegen stage markers
+
+
+@pytest.mark.parametrize(
+    "query", ["l03_lsh_candidate_pairs", "l14_embedding_neardup"]
+)
+def test_neardup_joins_are_equi_joins(spark, query):
+    # LSH banding / sign-bucket blocking exist to turn near-dup search
+    # into an equi-join; a cartesian product in the plan would mean the
+    # blocking key was lost.
+    plan = plan_of(QUERIES[query](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
