@@ -90,6 +90,50 @@ def point_lookup(spark: SparkSession, path: str, user_id: str) -> list:
     return json.loads(rows[0].recs) if rows else []
 
 
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    date_col: str,
+    partition_col: str = "p_date",
+    mode: str = "overwrite",
+) -> None:
+    """Date-partition a fact table at rest (SURVEY §7.8): one
+    ``p_date=yyyy-MM-dd`` directory per day, so the time-range
+    predicates of the train/valid/test splits (P7) become partition
+    PRUNING — excluded dates are never opened, turning a full scan into
+    O(days-selected). At 100 TB this is the difference between reading
+    2 years and reading 2 weeks for the test split."""
+    (
+        df.withColumn(partition_col, F.to_date(F.col(date_col)))
+        .write.partitionBy(partition_col)
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Bucket a fact table on its join key (hash-partitioned files +
+    per-bucket sort). Two tables bucketed the same way co-locate their
+    join: Spark plans a sort-merge join with ZERO Exchange on either
+    side — the shuffle was paid once at write time and amortized over
+    every subsequent join. This is the 100 TB answer for the recurring
+    fact⋈fact joins (lineitem⋈orders on orderkey; SURVEY §2.3 J3)."""
+    (
+        df.write.bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", path)
+        .mode(mode)
+        .saveAsTable(table_name)
+    )
+
+
 def predictions_json_log(predictions: DataFrame, path: str) -> None:
     """Experiment-tracking asset (S10, my_merlin_flow.py:376-411): the
     predictions log as JSON lines."""

@@ -17,6 +17,7 @@ import io
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from pyspark_recs.workloads import QUERIES
 
@@ -84,6 +85,62 @@ def test_whole_stage_codegen_covers_relational_core(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert re.search(r"\*\(\d+\)", plan)  # codegen stage markers
+
+
+def test_date_partitioning_prunes_time_splits(spark, tmp_path):
+    # SURVEY §7.8: the fact table partitioned by date at rest turns the
+    # P7 time-split predicates into partition pruning — excluded dates
+    # are never opened.
+    from pyspark_recs.io import load_table
+    from pyspark_recs.io.sinks import write_date_partitioned
+
+    path = str(tmp_path / "orders_by_date")
+    orders = load_table(spark, SF_DIR, "orders")
+    write_date_partitioned(orders, path, date_col="o_orderdate")
+
+    part = spark.read.parquet(path)
+    cut = "1995-01-01"
+    pruned = part.filter(F.col("p_date") < F.lit(cut))
+    plan = plan_of(pruned)
+    assert re.search(r"PartitionFilters: \[[^\]]*p_date", plan)
+    expected = orders.filter(
+        F.col("o_orderdate") < F.lit(cut).cast("timestamp")
+    ).count()
+    assert pruned.count() == expected
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    # Fact⋈fact co-located via bucketing: both sides bucketed on the
+    # join key -> sort-merge join with zero Exchange (the shuffle was
+    # paid once at write time).
+    from pyspark_recs.io import load_table
+    from pyspark_recs.io.sinks import write_bucketed
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    write_bucketed(li, "t_li_b", str(tmp_path / "li"), "l_orderkey", 4)
+    write_bucketed(orders, "t_ord_b", str(tmp_path / "ord"), "o_orderkey", 4)
+    try:
+        # Force the join strategy decision away from broadcast so the
+        # bucketed sort-merge path is what gets planned (at real scale
+        # neither fact side fits the broadcast threshold anyway).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_li_b").join(
+            spark.table("t_ord_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = plan_of(joined)
+        assert re.search(r"^\(\d+\) SortMergeJoin", plan, re.M)
+        assert not re.findall(r"^\(\d+\) Exchange", plan, re.M)
+        assert joined.count() == li.count()  # FK join preserves fact rows
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_ord_b")
 
 
 @pytest.mark.parametrize(
