@@ -32,6 +32,8 @@ HEADLINE = [
     "l04_simhash",
     "l06_embedding_topk",
     "l10_char_fingerprints",
+    "l15_ann_ivf",
+    "l16_frame_sample",
     "s01_tumbling_daily",
     "s02_sessionize",
 ]

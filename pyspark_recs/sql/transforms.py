@@ -311,3 +311,44 @@ def time_split_label(
         .otherwise(F.lit("test"))
         .alias(alias)
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join for power-law keys (SURVEY §7.8; the H&M
+    data's hot customers are the motivating case).
+
+    A hot join key lands every matching row on one reducer; salting
+    splits it ``n_salts`` ways: the big (skewed) side gets a
+    deterministic per-row salt — a row-content hash, so retries and
+    re-runs salt identically — and the small side is replicated once
+    per salt via ``explode``. The join key becomes (key, salt), so the
+    hot key's rows spread over ``n_salts`` tasks. Cost: the right side
+    is materialized ``n_salts``× — use for dim-sized or pre-aggregated
+    right sides; result is row-identical to the unsalted join.
+
+    Prefer AQE's skew-join splitting (on by default in the session
+    factory) when it applies; explicit salting is the escape hatch for
+    broadcast-ineligible joins AQE cannot split (e.g. under
+    window/aggregate requirements that pin the partitioning).
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)
+    ).cast("int")
+    l = left.withColumn("__salt_l", salt)
+    r = right.withColumn(
+        "__salt_r", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = l.join(
+        r,
+        (F.col(left_key) == F.col(right_key))
+        & (F.col("__salt_l") == F.col("__salt_r")),
+        how,
+    )
+    return out.drop("__salt_l", "__salt_r")

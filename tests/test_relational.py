@@ -116,3 +116,23 @@ def test_bucketize_fixed_width(spark):
     out = bucketize_fixed_width(df, "x", 5.0, alias="b")
     got = sorted(r.b for r in out.collect())
     assert got == [-1, 0, 0, 1]
+
+
+def test_salted_join_row_identical_to_plain(spark):
+    from pyspark_recs.io import load_table
+    from pyspark_recs.sql import salted_join
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    salted = salted_join(li, orders, "l_orderkey", "o_orderkey", n_salts=4)
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # left rows with no match survive a salted LEFT join exactly once
+    left = salted_join(li, orders.limit(0), "l_orderkey", "o_orderkey",
+                       n_salts=4, how="left")
+    assert left.count() == li.count()
