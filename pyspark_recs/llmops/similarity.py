@@ -184,7 +184,7 @@ def ivf_topk(
         )
     )
 
-    def _nearest_cells(df: DataFrame, out_id: str, out_vec: str, keep: int):
+    def _scored_cells(df: DataFrame, out_id: str, out_vec: str):
         side = df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(out_vec),
@@ -195,19 +195,36 @@ def ivf_topk(
         ccos = _fixed_dot(F.col(out_vec), F.col("cvec")) / (
             F.col(out_vec + "_norm") * F.col("cnorm")
         )
-        w = Window.partitionBy(out_id).orderBy(F.desc("ccos"), F.asc("cell_id"))
-        return (
-            side.crossJoin(F.broadcast(cents))
-            .select(
-                out_id, out_vec, out_vec + "_norm", "cell_id", ccos.alias("ccos")
-            )
-            .withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= keep)
-            .drop("ccos", "crank")
+        return side.crossJoin(F.broadcast(cents)).select(
+            out_id, out_vec, out_vec + "_norm", "cell_id", ccos.alias("ccos")
         )
 
-    inv_file = _nearest_cells(candidates, "neighbor_id", "nv", keep=1)
-    probes = _nearest_cells(queries, "query_id", "qv", keep=nprobe)
+    # Candidate assignment is argmax over the broadcast centroids, so a
+    # partial-aggregating max(struct) (map-side combine, shuffle of N
+    # rows) replaces a window over the N×C pair expansion. Tie-break
+    # matches the window form: highest ccos, then lowest cell_id.
+    best = F.max(
+        F.struct(
+            F.col("ccos"), (-F.col("cell_id")).alias("neg_cell"), "cell_id"
+        )
+    ).alias("best")
+    inv_file = (
+        _scored_cells(candidates, "neighbor_id", "nv")
+        .groupBy("neighbor_id")
+        .agg(best, F.first("nv").alias("nv"), F.first("nv_norm").alias("nv_norm"))
+        .select(
+            "neighbor_id", "nv", "nv_norm", F.col("best.cell_id").alias("cell_id")
+        )
+    )
+    # Queries keep nprobe cells — a top-k, still via window (Q rows is
+    # the small side; WindowGroupLimit pre-prunes per task).
+    w = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
+    probes = (
+        _scored_cells(queries, "query_id", "qv")
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= nprobe)
+        .drop("ccos", "crank")
+    )
 
     scored = (
         probes.join(inv_file, "cell_id")
