@@ -113,3 +113,56 @@ def char_fingerprints(df: DataFrame, text_col: str = "text", k: int = 5) -> Data
     )
     fp = F.array_min(F.transform(grams, md5_long))
     return df.select("doc_id", fp.alias("fingerprint"))
+
+
+def tf_idf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """TF-IDF with smoothed idf, top-k terms per document (the
+    CountVectorizer/HashingTF-IDF surface of SURVEY §7.7, kept
+    relational so it is oracle-checkable; swap in MLlib HashingTF+IDF
+    when a fixed-width feature vector is the goal).
+
+    tfidf = tf · (ln((N+1)/(df+1)) + 1), rounded to 6 decimals so the
+    cross-engine compare is stable at the float boundary; ranking ties
+    break on the rounded score then token ascending.
+
+    Scale: one shuffle on (doc_id, token) for tf, one map-side-combined
+    shuffle on token for df (a tiny table — vocabulary-sized — joined
+    back broadcast), WindowGroupLimit for the per-doc top-k.
+    """
+    from pyspark.sql import Window
+
+    flat = df.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    tf = flat.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )  # tf is already distinct per (doc, token)
+    n_docs = df.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(doc_freq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -36,6 +36,7 @@ from pyspark_recs.llmops.textstats import (
     char_fingerprints,
     langid,
     quality_scores,
+    tf_idf_top_terms,
     token_stats,
 )
 
@@ -443,6 +444,34 @@ FROM documents WHERE length(text) >= 16
 """
 
 
+# --------------------------------------------------------------------- l18
+def l18_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF (smoothed idf), top-3 terms per document — the
+    CountVectorizer/IDF text-analysis surface, relationally."""
+    return tf_idf_top_terms(load_table(spark, sf, "documents"), k=3)
+
+
+L18_SQL = f"""
+WITH toks AS ({_TOKS}),
+flat AS (SELECT doc_id, unnest(words) AS token FROM toks),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       FROM flat GROUP BY doc_id, token),
+dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+          FROM tf GROUP BY token),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6)
+           AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+SELECT doc_id, token, tf, df, tfidf, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
 # --------------------------------------------------------------------- l13
 def l13_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Feature extraction over binary payloads via Arrow mapInPandas
@@ -480,6 +509,7 @@ QUERIES = {
     "l15_ann_ivf": l15_ann_ivf,
     "l16_frame_sample": l16_frame_sample,
     "l17_resize_thumbnail": l17_resize_thumbnail,
+    "l18_tfidf_top_terms": l18_tfidf_top_terms,
 }
 
 ORACLE = {
@@ -500,4 +530,5 @@ ORACLE = {
     "l15_ann_ivf": L15_SQL,
     "l16_frame_sample": L16_SQL,
     "l17_resize_thumbnail": L17_SQL,
+    "l18_tfidf_top_terms": L18_SQL,
 }

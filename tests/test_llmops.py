@@ -233,3 +233,24 @@ def test_multimodal_decode_metadata(spark, near_dup_docs):
         assert r.n_bytes == len(text.encode())
         assert r.first_byte == text.encode()[0]
         assert r.payload_hash == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    from pyspark_recs.llmops.textstats import tf_idf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry durian cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    top1 = {
+        r.doc_id: r.token
+        for r in tf_idf_top_terms(docs, k=1).collect()
+    }
+    # idf: apple/durian ln(4/2)+1, banana/cherry ln(4/3)+1
+    # doc1: apple 2*1.6931 beats banana; doc3: durian beats cherry
+    # doc2: banana == cherry (exact tie) -> token ascending
+    assert top1 == {1: "apple", 2: "banana", 3: "durian"}
