@@ -166,3 +166,35 @@ def tf_idf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 512,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy in-order sequence packing for LLM training batches:
+    assign each document to a fixed-token-budget bin via an EXCLUSIVE
+    prefix sum of token counts — bin = floor(prev_cum / capacity) —
+    within each ``group_col`` partition, documents in doc_id order.
+    A doc that crosses a bin boundary belongs to the bin where it
+    starts (the downstream tokenizer splits it); packing is therefore a
+    pure window computation, deterministic and oracle-checkable.
+
+    Scale: the window partitions by ``group_col`` (shard/source), never
+    globally — each group's prefix sum is independent, so packing 100 TB
+    is one shuffle on the group key. Choose group granularity so a
+    group's docs fit one task (re-shard upstream if a source is huge).
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens(F.col(text_col)))
+    w = Window.partitionBy(group_col).orderBy("doc_id")
+    staged = df.select(
+        "doc_id", F.col(group_col), n_tok.alias("n_tokens")
+    )
+    cum_excl = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return staged.withColumn(
+        "bin_idx", F.floor(cum_excl / F.lit(capacity)).cast("int")
+    )

@@ -35,9 +35,11 @@ from pyspark_recs.llmops.textstats import (
     EN_STOPWORDS,
     char_fingerprints,
     langid,
+    pack_sequences,
     quality_scores,
     tf_idf_top_terms,
     token_stats,
+    tokens,
 )
 
 # ---------------------------------------------------------------- SQL
@@ -472,6 +474,78 @@ WHERE rank <= 3
 """
 
 
+# --------------------------------------------------------------------- l19
+def l19_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing: fixed-token-budget bin assignment per source
+    shard (exclusive prefix sum, capacity 512)."""
+    return pack_sequences(
+        load_table(spark, sf, "documents"), capacity=512, group_col="source"
+    )
+
+
+L19_SQL = f"""
+WITH toks AS ({_TOKS}),
+c AS (
+  SELECT doc_id, source, CAST(len(words) AS INTEGER) AS n_tokens,
+         sum(len(words)) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+  FROM toks)
+SELECT doc_id, source, n_tokens,
+       CAST(floor((cum - n_tokens) / 512) AS INTEGER) AS bin_idx
+FROM c
+"""
+
+
+# --------------------------------------------------------------------- l20
+def l20_corpus_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus profiling: doc count, token-count min/max and
+    the deterministic lower median (rank-selected element, not an
+    interpolated percentile — both engines pick the same row)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    counted = docs.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    stats = counted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    ranked = counted.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(stats), "source")
+        .filter(F.col("rn") == F.floor((F.col("n_docs") + 1) / 2))
+        .select(
+            "source",
+            "n_docs",
+            "min_tokens",
+            "max_tokens",
+            F.col("n_tokens").alias("median_tokens"),
+        )
+    )
+
+
+L20_SQL = f"""
+WITH toks AS ({_TOKS}),
+c AS (SELECT doc_id, source, CAST(len(words) AS INTEGER) AS n_tokens
+      FROM toks),
+stats AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+  FROM c GROUP BY source),
+r AS (
+  SELECT source, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_tokens, doc_id) AS rn
+  FROM c)
+SELECT s.source, s.n_docs, s.min_tokens, s.max_tokens,
+       r.n_tokens AS median_tokens
+FROM r JOIN stats s USING (source)
+WHERE rn = floor((n_docs + 1) / 2)
+"""
+
+
 # --------------------------------------------------------------------- l13
 def l13_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Feature extraction over binary payloads via Arrow mapInPandas
@@ -510,6 +584,8 @@ QUERIES = {
     "l16_frame_sample": l16_frame_sample,
     "l17_resize_thumbnail": l17_resize_thumbnail,
     "l18_tfidf_top_terms": l18_tfidf_top_terms,
+    "l19_pack_sequences": l19_pack_sequences,
+    "l20_corpus_profile": l20_corpus_profile,
 }
 
 ORACLE = {
@@ -531,4 +607,6 @@ ORACLE = {
     "l16_frame_sample": L16_SQL,
     "l17_resize_thumbnail": L17_SQL,
     "l18_tfidf_top_terms": L18_SQL,
+    "l19_pack_sequences": L19_SQL,
+    "l20_corpus_profile": L20_SQL,
 }

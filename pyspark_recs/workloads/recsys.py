@@ -144,11 +144,87 @@ def rs04_als_recommendations(spark: SparkSession, sf: str) -> DataFrame:
     return recommend_topk(model, users, k=5)
 
 
+# --------------------------------------------------------------------- rs05
+def rs05_item_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    """Item-item co-occurrence (item-based CF): top-5 co-purchased
+    neighbors per item, counted over users' top-20 interaction
+    histories.
+
+    Scale: the quadratic pair expansion is the hazard — a user with a
+    10^5-item history alone yields 10^10 pairs. The per-user history cap
+    (top-20 by strength, deterministic tiebreak) bounds fan-out to
+    M²/2 = 190 pairs per user BEFORE the self-join; the co-count then
+    aggregates map-side. This cap-then-expand shape is the standard
+    production guard for co-occurrence at scale.
+    """
+    inter = _interactions(spark, sf)
+    hist = top_k_per_group(
+        inter,
+        partition_cols=["user_id"],
+        order_cols=[F.desc("n_purchases"), F.asc("item_id")],
+        k=20,
+        rank_alias="hr",
+    ).select("user_id", "item_id")
+    a = hist.select("user_id", F.col("item_id").alias("item_a"))
+    b = hist.select("user_id", F.col("item_id").alias("item_b"))
+    pairs = a.join(b, "user_id").filter(F.col("item_a") < F.col("item_b"))
+    co = pairs.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    sym = co.unionByName(
+        co.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "n_users",
+        )
+    )
+    return top_k_per_group(
+        sym,
+        partition_cols=["item_a"],
+        order_cols=[F.desc("n_users"), F.asc("item_b")],
+        k=5,
+        rank_alias="rank",
+    ).select("item_a", "item_b", "n_users", "rank")
+
+
+RS05_SQL = f"""
+WITH inter AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id,
+         CAST(count(*) AS BIGINT) AS n_purchases
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_partkey),
+hist AS (
+  SELECT user_id, item_id FROM (
+    SELECT user_id, item_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY n_purchases DESC, item_id) AS hr
+    FROM inter)
+  WHERE hr <= 20),
+co AS (
+  SELECT a.item_id AS item_a, b.item_id AS item_b,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM hist a JOIN hist b
+    ON a.user_id = b.user_id AND a.item_id < b.item_id
+  GROUP BY a.item_id, b.item_id),
+sym AS (
+  SELECT item_a, item_b, n_users FROM co
+  UNION ALL
+  SELECT item_b AS item_a, item_a AS item_b, n_users FROM co)
+SELECT item_a, item_b, n_users, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT item_a, item_b, n_users,
+         row_number() OVER (PARTITION BY item_a
+                            ORDER BY n_users DESC, item_b) AS rank
+  FROM sym)
+WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
     "rs03_user_history_topk": rs03_user_history_topk,
     "rs04_als_recommendations": rs04_als_recommendations,
+    "rs05_item_cooccurrence": rs05_item_cooccurrence,
 }
 
 ORACLE = {
@@ -156,4 +232,5 @@ ORACLE = {
     "rs02_popular_items_per_segment": RS02_SQL,
     "rs03_user_history_topk": RS03_SQL,
     # rs04: iterative ALS — rows-only check by design
+    "rs05_item_cooccurrence": RS05_SQL,
 }

@@ -254,3 +254,22 @@ def test_tfidf_top_terms_hand_computed(spark):
     # doc1: apple 2*1.6931 beats banana; doc3: durian beats cherry
     # doc2: banana == cherry (exact tie) -> token ascending
     assert top1 == {1: "apple", 2: "banana", 3: "durian"}
+
+
+def test_pack_sequences_bins_hand_computed(spark):
+    from pyspark_recs.llmops.textstats import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "a " * 300),   # 300 tokens -> starts at 0, bin 0
+            (2, "s", "b " * 300),   # starts at 300, bin 0 (crosses into 1)
+            (3, "s", "c " * 300),   # starts at 600, bin 1
+            (4, "t", "d " * 100),   # other group restarts at 0
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.bin_idx)
+        for r in pack_sequences(docs, capacity=512, group_col="source").collect()
+    }
+    assert out == {1: (300, 0), 2: (300, 0), 3: (300, 1), 4: (100, 0)}
