@@ -1,6 +1,7 @@
 from pyspark_recs.streaming.ops import (
     read_event_stream,
     streaming_dedup,
+    streaming_enrich,
     streaming_sessionize,
     streaming_tumbling_agg,
     stream_to_kv_sink,
@@ -10,6 +11,7 @@ __all__ = [
     "read_event_stream",
     "stream_to_kv_sink",
     "streaming_dedup",
+    "streaming_enrich",
     "streaming_sessionize",
     "streaming_tumbling_agg",
 ]

@@ -127,6 +127,27 @@ def streaming_sessionize(
     )
 
 
+def streaming_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    defaults: dict | None = None,
+) -> DataFrame:
+    """Stream-static enrichment join (streaming J2/J6): each micro-batch
+    left-joins the static dimension, unmatched keys get defaults — the
+    incremental form of sql.transforms.left_enrich.
+
+    Scale: Spark re-plans the static side per micro-batch, so a
+    broadcast-sized dim costs one broadcast per trigger; for big dims
+    pre-bucket the static table on the key so the per-batch join
+    co-locates without a full shuffle of the dim.
+    """
+    out = stream.join(F.broadcast(dim), key, "left")
+    for col, default in (defaults or {}).items():
+        out = out.withColumn(col, F.coalesce(F.col(col), F.lit(default)))
+    return out
+
+
 def stream_to_kv_sink(
     stream: DataFrame,
     put_batch,

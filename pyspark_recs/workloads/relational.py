@@ -23,6 +23,7 @@ from pyspark_recs.sql import (
     time_split_label,
     top_k_per_group,
 )
+from pyspark_recs.llmops.hashing import sql_md5_long
 from pyspark_recs.workloads.common import davg, dsum, sql_davg, sql_dsum
 
 TRAIN_END = "2000-01-01"
@@ -730,6 +731,38 @@ def r27_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------- r28
+def r28_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash sampling (the reproducible twin of S5's
+    Bernoulli SAMPLE(n)): keep rows whose key-hash lands in the first
+    10% of the hash space, then aggregate the sample.
+
+    df.sample is seed+partitioning dependent — fine for dev sampling,
+    unusable for a reproducible 100 TB pipeline where a sample must be
+    stable across engines, re-runs and cluster sizes. Hashing the
+    business key (md5-derived, engine-portable) gives the same sample
+    everywhere, and composes with incremental loads (new rows join the
+    sample iff their key hashes in)."""
+    from pyspark_recs.llmops.hashing import md5_long
+
+    li = load_table(spark, sf, "lineitem")
+    key = F.concat_ws("_", F.col("l_orderkey"), F.col("l_linenumber"))
+    sampled = li.filter(F.pmod(md5_long(key), F.lit(100)) < 10)
+    return sampled.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+R28_SQL = f"""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+WHERE ({sql_md5_long("CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)")}) % 100 < 10
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -758,6 +791,7 @@ QUERIES = {
     "r25_count_distinct": r25_count_distinct,
     "r26_ordered_export": r26_ordered_export,
     "r27_approx_distinct": r27_approx_distinct,
+    "r28_hash_sample": r28_hash_sample,
 }
 
 ORACLE = {
@@ -787,5 +821,6 @@ ORACLE = {
     "r24_fill_missing_normalize": R24_SQL,
     "r25_count_distinct": R25_SQL,
     "r26_ordered_export": R26_SQL,
+    "r28_hash_sample": R28_SQL,
     # r27: HLL sketch — rows-only by design
 }

@@ -109,3 +109,20 @@ def test_streaming_sessionize_stateful(spark, event_dir, tmp_path):
     # (matches the batch lag+cumulative-flag form, s02_sessionize)
     assert final[7] == (3, 4)
     assert final[8] == (1, 1)
+
+
+def test_streaming_enrich_stream_static_join(spark, event_dir, tmp_path):
+    from pyspark_recs.streaming import streaming_enrich
+
+    path, schema = event_dir
+    dim = spark.createDataFrame(
+        [(7, "gold")], "user_id long, segment string"
+    )
+    stream = read_event_stream(spark, path, schema)
+    out = _run_stream(
+        streaming_enrich(stream, dim, "user_id", defaults={"segment": "none"}),
+        tmp_path,
+        mode="append",
+    )
+    seg = {r.user_id: r.segment for r in out.collect()}
+    assert seg == {7: "gold", 8: "none"}  # unmatched user defaulted
