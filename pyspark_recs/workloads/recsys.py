@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from pyspark_recs.io import load_table
 from pyspark_recs.sql import top_k_per_group
+from pyspark_recs.llmops.hashing import sql_md5_long
 from pyspark_recs.workloads.common import dsum, sql_dsum
 
 
@@ -219,12 +220,78 @@ WHERE rank <= 5
 """
 
 
+# --------------------------------------------------------------------- rs06
+def rs06_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training
+    (the offline form of the reference's in-batch negatives,
+    my_merlin_flow.py:307-323): per user, 5 hash-generated candidate
+    items, minus any that are true positives (rejection, no retry — the
+    occasional short user is standard and documented).
+
+    Hash-generated negatives are reproducible across engines, runs and
+    cluster sizes — a shuffled `rand()` sample is not, and a training
+    set that cannot be regenerated bit-identically cannot be debugged.
+    Scale: candidates = |users|·k rows via explode (no item-table
+    join); the positive rejection is one shuffle on (user, item)."""
+    from pyspark_recs.llmops.hashing import md5_long
+
+    inter = _interactions(spark, sf)
+    n_items = load_table(spark, sf, "part").agg(
+        F.max("p_partkey").alias("n_items")
+    )
+    cand = (
+        inter.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(n_items))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("sample_idx"),
+            "n_items",
+        )
+        .select(
+            "user_id",
+            "sample_idx",
+            (
+                F.pmod(
+                    md5_long(
+                        F.concat_ws("_", F.col("user_id"), F.col("sample_idx"))
+                    ),
+                    F.col("n_items"),
+                )
+                + 1
+            ).alias("item_id"),
+        )
+    )
+    return cand.join(
+        inter.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti"
+    ).select("user_id", "sample_idx", "item_id")
+
+
+RS06_SQL = f"""
+WITH inter AS (
+  SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+n AS (SELECT max(p_partkey) AS n_items FROM part),
+cand AS (
+  SELECT u.user_id, s.sample_idx,
+         ({sql_md5_long("CAST(u.user_id AS VARCHAR) || '_' || CAST(s.sample_idx AS VARCHAR)")})
+           % n.n_items + 1 AS item_id
+  FROM (SELECT DISTINCT user_id FROM inter) u
+  CROSS JOIN (SELECT unnest(range(0, 5)) AS sample_idx) s
+  CROSS JOIN n)
+SELECT c.user_id, CAST(c.sample_idx AS INTEGER) AS sample_idx, c.item_id
+FROM cand c ANTI JOIN inter i
+  ON c.user_id = i.user_id AND c.item_id = i.item_id
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
     "rs03_user_history_topk": rs03_user_history_topk,
     "rs04_als_recommendations": rs04_als_recommendations,
     "rs05_item_cooccurrence": rs05_item_cooccurrence,
+    "rs06_negative_samples": rs06_negative_samples,
 }
 
 ORACLE = {
@@ -233,4 +300,5 @@ ORACLE = {
     "rs03_user_history_topk": RS03_SQL,
     # rs04: iterative ALS — rows-only check by design
     "rs05_item_cooccurrence": RS05_SQL,
+    "rs06_negative_samples": RS06_SQL,
 }

@@ -25,10 +25,11 @@ from pyspark_recs.sql.staging import (
 
 
 def assert_unique_not_null(df, col):
-    """dbt schema tests (unique + not_null) as engine asserts."""
-    total = df.count()
-    assert df.filter(F.col(col).isNull()).count() == 0
-    assert df.select(col).distinct().count() == total
+    """dbt schema tests (unique + not_null) via the engine's one-pass
+    quality checker (pyspark_recs.quality)."""
+    from pyspark_recs.quality import assert_schema
+
+    assert_schema(df, unique=[col], not_null=[col])
 
 
 def test_articles_staging_latest_batch_and_types(spark, raw_articles):
@@ -124,3 +125,36 @@ def test_filtered_dataframe_frequency_semantics(
     assert post_window.count() == 4  # a3 x2 + a4 x2 moved past boundary
     strict = filtered_dataframe(joined, "2020-09-08", min_purchases=5)
     assert strict.count() == 0  # nobody reaches 5 post-dedup
+
+
+def test_quality_checks_report_violations(spark):
+    from pyspark_recs.quality import (
+        DataQualityError,
+        assert_schema,
+        check_references,
+        schema_report,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (None, "c"), (3, "zz")],
+        "id int, status string",
+    )
+    report = schema_report(
+        df,
+        unique=["id"],
+        not_null=["id"],
+        accepted_values={"status": ["a", "b", "c"]},
+    )
+    assert report == {
+        "unique_id": 1,        # id=1 twice (NULL not counted, dbt semantics)
+        "not_null_id": 1,      # one NULL
+        "accepted_values_status": 1,  # 'zz'
+    }
+    with _pytest.raises(DataQualityError):
+        assert_schema(df, unique=["id"])
+    assert_schema(df.filter(F.col("id") == 3), unique=["id"], not_null=["id"])
+
+    parent = spark.createDataFrame([(3,)], "pk int")
+    # the two id=1 rows are orphans; the NULL row is not counted
+    assert check_references(df, parent, "id", "pk") == 2
