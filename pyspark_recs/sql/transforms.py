@@ -352,3 +352,113 @@ def salted_join(
         how,
     )
     return out.drop("__salt_l", "__salt_r")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """Backward as-of join: each left row picks the right row with the
+    same key and the greatest right_ts <= left_ts (the operator SURVEY
+    §2.3 notes Spark lacks; DuckDB spells it ASOF JOIN).
+
+    Implementation is the union-sort pattern, NOT a per-key theta join:
+    tag right rows side=0 and left rows side=1, union, and take
+    last(value, ignorenulls) over (key ORDER BY ts, side) — one shuffle
+    on the key, O(n log n_partition) sort, no pair expansion. At 100 TB
+    this is the only as-of shape that survives: a theta join explodes,
+    and per-key collect does not distribute. Right rows tied with a left
+    row's timestamp are visible to it (inclusive backward as-of).
+
+    ``right`` must be unique per (key, right_ts) — pre-aggregate
+    otherwise; ``how='left'`` keeps left rows with no prior right row
+    (value columns null), 'inner' drops them.
+    """
+    lcols = left.columns
+    l = left.select(
+        F.col(key), F.col(left_ts).alias("__ts"), F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols if c not in (key,)],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
+            for c in value_cols
+        ],
+    )
+    r = right.select(
+        F.col(key), F.col(right_ts).alias("__ts"), F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c not in (key,)],
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l.unionByName(r).select(
+        "*",
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in value_cols
+        ],
+    )
+    out = filled.filter(F.col("__side") == 1).select(
+        key,
+        *[c for c in lcols if c != key],
+        *[F.col(f"__f_{c}").alias(c) for c in value_cols],
+    )
+    if how == "inner":
+        cond = None
+        for c in value_cols:
+            n = F.col(c).isNotNull()
+            cond = n if cond is None else (cond | n)
+        out = out.filter(cond)
+    return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Range join point ∈ [lo, hi) as an EQUI-join via binning (the
+    second custom-join operator SURVEY §2.3 flags as absent in Spark —
+    a naive theta join plans BroadcastNestedLoopJoin and dies at scale).
+
+    Each interval explodes to the fixed-width bins it covers; each
+    point hashes to its bin; the join is then bin-equality plus a cheap
+    residual range filter. Shuffle is keyed on the bin — size
+    ``bin_width`` to the typical interval length so intervals explode
+    to O(1) bins. Catalyst plans a hash join; the plan test asserts no
+    nested-loop appears.
+    """
+    w = float(bin_width)
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor(
+                    (F.col(hi_col) - F.lit(1e-9)) / w
+                ).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        "__bin", F.floor(F.col(point_col) / w).cast("long")
+    )
+    return (
+        pt.join(iv, "__bin")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) < F.col(hi_col))
+        )
+        .drop("__bin")
+    )

@@ -763,6 +763,80 @@ GROUP BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------- r29
+def r29_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Backward as-of join (the custom join SURVEY §2.3 notes Spark
+    lacks): each order picks the user's most recent event value at or
+    before the order date, via the one-shuffle union-sort composition
+    (sql.transforms.asof_join), never a theta join."""
+    from pyspark_recs.sql import asof_join
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    ev = (
+        load_table(spark, sf, "events")
+        .groupBy("user_id", "ts")
+        .agg(dsum("value").alias("last_event_value"))
+    )
+    return asof_join(
+        orders, ev, key="user_id", left_ts="o_orderdate", right_ts="ts",
+        value_cols=["last_event_value"],
+    ).select("o_orderkey", "user_id", "o_orderdate", "last_event_value")
+
+
+R29_SQL = f"""
+WITH ev AS (
+  SELECT user_id, ts, {sql_dsum('value')} AS last_event_value
+  FROM events GROUP BY user_id, ts)
+SELECT o.o_orderkey, o.o_custkey AS user_id, o.o_orderdate,
+       e.last_event_value
+FROM orders o ASOF LEFT JOIN ev e
+  ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+"""
+
+
+# --------------------------------------------------------------------- r30
+def r30_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Range join point ∈ [lo, hi) rewritten as a binned equi-join
+    (sql.transforms.interval_join) — Catalyst would otherwise plan a
+    BroadcastNestedLoopJoin for the theta form; the plan test asserts
+    no nested loop survives."""
+    from pyspark_recs.sql import interval_join
+
+    tiers = spark.createDataFrame(
+        [
+            ("t0", 0.0, 15000.0),
+            ("t1", 15000.0, 30000.0),
+            ("t2", 30000.0, 45000.0),
+            ("t3", 45000.0, 60000.0),
+            ("t4", 60000.0, 80000.0),
+        ],
+        "tier string, lo double, hi double",
+    )
+    li = load_table(spark, sf, "lineitem").select("l_extendedprice")
+    joined = interval_join(
+        li, tiers, "l_extendedprice", "lo", "hi", bin_width=15000.0
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_extendedprice").alias("total_price"),
+    )
+
+
+R30_SQL = f"""
+WITH tiers(tier, lo, hi) AS (VALUES
+  ('t0', 0.0, 15000.0), ('t1', 15000.0, 30000.0),
+  ('t2', 30000.0, 45000.0), ('t3', 45000.0, 60000.0),
+  ('t4', 60000.0, 80000.0))
+SELECT tier, CAST(count(*) AS BIGINT) AS n_items,
+       {sql_dsum('l_extendedprice')} AS total_price
+FROM lineitem JOIN tiers
+  ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY tier
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -792,6 +866,8 @@ QUERIES = {
     "r26_ordered_export": r26_ordered_export,
     "r27_approx_distinct": r27_approx_distinct,
     "r28_hash_sample": r28_hash_sample,
+    "r29_asof_join": r29_asof_join,
+    "r30_interval_join": r30_interval_join,
 }
 
 ORACLE = {
@@ -822,5 +898,7 @@ ORACLE = {
     "r25_count_distinct": R25_SQL,
     "r26_ordered_export": R26_SQL,
     "r28_hash_sample": R28_SQL,
+    "r29_asof_join": R29_SQL,
+    "r30_interval_join": R30_SQL,
     # r27: HLL sketch — rows-only by design
 }

@@ -153,3 +153,12 @@ def test_neardup_joins_are_equi_joins(spark, query):
     plan = plan_of(QUERIES[query](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_is_equi_join(spark):
+    # The binned rewrite must plan a hash join on the bin key — a theta
+    # range join would appear as BroadcastNestedLoopJoin.
+    plan = plan_of(QUERIES["r30_interval_join"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan

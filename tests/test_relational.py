@@ -136,3 +136,41 @@ def test_salted_join_row_identical_to_plain(spark):
     left = salted_join(li, orders.limit(0), "l_orderkey", "o_orderkey",
                        n_salts=4, how="left")
     assert left.count() == li.count()
+
+
+def test_asof_join_backward_inclusive(spark):
+    from pyspark_recs.sql import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 25, "b"), (2, 5, "c")], "k int, ts int, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 20, 200.0), (1, 25, 250.0), (2, 9, 900.0)],
+        "k int, rts int, val double",
+    )
+    out = sorted(
+        (r.k, r.ts, r.tag, r.val)
+        for r in asof_join(left, right, "k", "ts", "rts", ["val"]).collect()
+    )
+    # (1,25) takes the tied right row (inclusive); (2,5) has no prior row
+    assert out == [(1, 10, "a", 100.0), (1, 25, "b", 250.0), (2, 5, "c", None)]
+    inner = asof_join(left, right, "k", "ts", "rts", ["val"], how="inner")
+    assert inner.count() == 2
+
+
+def test_interval_join_half_open_bins(spark):
+    from pyspark_recs.sql import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, 3.0), (2, 10.0), (3, 25.0)], "id int, x double"
+    )
+    ivs = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 20.0)],
+        "tier string, lo double, hi double",
+    )
+    out = {
+        r.id: r.tier
+        for r in interval_join(pts, ivs, "x", "lo", "hi", 7.0).collect()
+    }
+    # x=10.0 is excluded from [0,10) but included in [10,20); 25 matches none
+    assert out == {1: "low", 2: "mid"}
