@@ -44,6 +44,7 @@ class FlowConfig:
     min_purchases: int = 5
     top_k: int = 10
     sample_fraction: float = 0.0  # S5: dev-mode row sampling; 0 = off
+    data_checks: bool = True  # dbt schema.yml contracts as a flow gate
     param_grid: list = field(
         default_factory=lambda: [
             {"rank": 32, "max_iter": 5, "reg_param": 0.1},
@@ -82,6 +83,15 @@ def build_dataset(
     customers = customers_staging(raw_customers)
     transactions = transactions_staging(raw_transactions)
     images = images_staging(raw_images)
+    if cfg.data_checks:
+        # The reference's only formal tests (dbt schema.yml:4-18) as a
+        # fail-fast gate: one aggregation pass per staged dim.
+        from pyspark_recs.quality import assert_schema
+
+        assert_schema(articles, unique=["article_id"], not_null=["article_id"])
+        assert_schema(
+            customers, unique=["customer_id"], not_null=["customer_id"]
+        )
     meta = articles_metadata(articles, images)
     dedup = dedup_transactions(transactions)
     joined = joined_dataframe(dedup, meta, customers)

@@ -104,14 +104,80 @@ WHERE rn = 1
 """
 
 
+# --------------------------------------------------------------------- s04
+def s04_user_gap_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user inter-event gap statistics via ``applyInPandas`` — the
+    grouped-map Pandas UDF surface (SURVEY §2.8), completing the
+    mapInPandas (multimodal) and applyInPandasWithState (sessionizer)
+    trio. Outputs are integers (microsecond gaps, lower-median by rank)
+    so the Arrow round-trip stays oracle-checkable.
+
+    Scale: one shuffle on user_id; each group's pandas frame is one
+    user's events — bounded by the busiest user, the usual grouped-map
+    caveat (pre-aggregate or window instead if a key can exceed
+    executor memory; the relational twin is the oracle SQL)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+
+    def gap_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = sorted(int(t) for t in pdf["ts_us"])
+        gaps = sorted(b - a for a, b in zip(ts, ts[1:]))
+        n = len(gaps)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(ts)],
+                "max_gap_us": [gaps[-1] if n else None],
+                "med_gap_us": [gaps[(n + 1) // 2 - 1] if n else None],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        gap_stats,
+        schema="user_id long, n_events long, max_gap_us long, med_gap_us long",
+    )
+
+
+S04_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY epoch_us(ts)) AS gap
+  FROM events),
+gaps AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+agg AS (
+  SELECT user_id, max(gap) AS max_gap_us, count(*) AS n_gaps
+  FROM gaps GROUP BY user_id),
+med AS (
+  SELECT user_id, gap AS med_gap_us FROM (
+    SELECT user_id, gap,
+           row_number() OVER (PARTITION BY user_id ORDER BY gap) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM gaps)
+  WHERE rn = floor((n + 1) / 2)),
+ucount AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id)
+SELECT u.user_id, u.n_events, a.max_gap_us, m.med_gap_us
+FROM ucount u
+LEFT JOIN agg a USING (user_id)
+LEFT JOIN med m USING (user_id)
+"""
+
+
 QUERIES = {
     "s01_tumbling_daily": s01_tumbling_daily,
     "s02_sessionize": s02_sessionize,
     "s03_keep_first_dedup": s03_keep_first_dedup,
+    "s04_user_gap_stats": s04_user_gap_stats,
 }
 
 ORACLE = {
     "s01_tumbling_daily": S01_SQL,
     "s02_sessionize": S02_SQL,
     "s03_keep_first_dedup": S03_SQL,
+    "s04_user_gap_stats": S04_SQL,
 }
