@@ -837,6 +837,71 @@ GROUP BY tier
 """
 
 
+# --------------------------------------------------------------------- r31
+def r31_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: return-flag rows × line-status columns (explicit column
+    list, so the plan needs no extra distinct-values job). Pivot is
+    conditional aggregation — one shuffle, same as the plain groupBy."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+    )
+
+
+R31_SQL = f"""
+SELECT l_returnflag,
+       {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_open,
+       {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------- r32
+def r32_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Rollup (grouping sets): per (flag, status), per flag subtotal,
+    and grand total in ONE pass — Spark expands the sets inside the
+    aggregate, still a single shuffle (vs 3 separate jobs)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+R32_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------- r33
+def r33_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot/melt: wide measure columns to (measure, value) rows via
+    the native unpivot (UNION-free, no data blow-up beyond the melt)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice"],
+        "measure",
+        "value",
+    )
+
+
+R33_SQL = """
+SELECT l_orderkey, l_linenumber, measure, value
+FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem)
+UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice))
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -868,6 +933,9 @@ QUERIES = {
     "r28_hash_sample": r28_hash_sample,
     "r29_asof_join": r29_asof_join,
     "r30_interval_join": r30_interval_join,
+    "r31_pivot": r31_pivot,
+    "r32_rollup": r32_rollup,
+    "r33_unpivot": r33_unpivot,
 }
 
 ORACLE = {
@@ -900,5 +968,8 @@ ORACLE = {
     "r28_hash_sample": R28_SQL,
     "r29_asof_join": R29_SQL,
     "r30_interval_join": R30_SQL,
+    "r31_pivot": R31_SQL,
+    "r32_rollup": R32_SQL,
+    "r33_unpivot": R33_SQL,
     # r27: HLL sketch — rows-only by design
 }
