@@ -462,3 +462,43 @@ def interval_join(
         )
         .drop("__bin")
     )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """SCD2 upsert without MERGE INTO (the Delta-less CDC pattern:
+    anti-join/union + window re-chaining).
+
+    ``dim`` is SCD2 history — attribute columns plus [valid_from,
+    valid_to), open rows have valid_to NULL. ``updates`` carries the
+    same attribute columns plus ``ts_col``. Closed history is immutable
+    and passes through untouched; each key's open row and its updates
+    are re-chained by time: valid_to = lead(valid_from), newest row
+    stays open.
+
+    Scale: closed rows never shuffle (filter pass-through); only open
+    rows + the update batch shuffle once on the key for the lead
+    window. Deterministic given unique (key, ts) per batch.
+    """
+    attrs = [
+        c for c in dim.columns if c not in (key, valid_from, valid_to)
+    ]
+    closed = dim.filter(F.col(valid_to).isNotNull())
+    open_rows = dim.filter(F.col(valid_to).isNull()).select(
+        key, *attrs, F.col(valid_from)
+    )
+    new_rows = updates.select(
+        key, *attrs, F.col(ts_col).alias(valid_from)
+    )
+    w = Window.partitionBy(key).orderBy(valid_from)
+    rechained = (
+        open_rows.unionByName(new_rows)
+        .withColumn(valid_to, F.lead(valid_from).over(w))
+    )
+    return closed.unionByName(rechained.select(*dim.columns))

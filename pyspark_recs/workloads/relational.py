@@ -902,6 +902,35 @@ UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice))
 """
 
 
+# --------------------------------------------------------------------- r34
+def r34_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 history reconstruction from a change log: each event opens a
+    validity interval closed by the key's next event (lead window —
+    the CDC read-side of sql.transforms.scd2_apply; newest row stays
+    open with valid_to NULL)."""
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "event_id", "value", F.col("ts")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+
+
+R34_SQL = """
+SELECT user_id, event_type, event_id, value,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id, event_type
+                      ORDER BY ts, event_id) AS valid_to
+FROM events
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -936,6 +965,7 @@ QUERIES = {
     "r31_pivot": r31_pivot,
     "r32_rollup": r32_rollup,
     "r33_unpivot": r33_unpivot,
+    "r34_scd2_history": r34_scd2_history,
 }
 
 ORACLE = {
@@ -971,5 +1001,6 @@ ORACLE = {
     "r31_pivot": R31_SQL,
     "r32_rollup": R32_SQL,
     "r33_unpivot": R33_SQL,
+    "r34_scd2_history": R34_SQL,
     # r27: HLL sketch — rows-only by design
 }
