@@ -26,8 +26,10 @@ HEADLINE = [
     "r11_per_part_avg_price",
     "r14_topk_per_customer",
     "r22_zscore",
+    "r29_asof_join",
     "rs01_interactions",
     "rs02_popular_items_per_segment",
+    "rs05_item_cooccurrence",
     "l02_minhash_signatures",
     "l04_simhash",
     "l06_embedding_topk",

@@ -159,16 +159,42 @@ def rs05_item_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
     production guard for co-occurrence at scale.
     """
     inter = _interactions(spark, sf)
-    hist = top_k_per_group(
-        inter,
-        partition_cols=["user_id"],
-        order_cols=[F.desc("n_purchases"), F.asc("item_id")],
-        k=20,
-        rank_alias="hr",
-    ).select("user_id", "item_id")
-    a = hist.select("user_id", F.col("item_id").alias("item_a"))
-    b = hist.select("user_id", F.col("item_id").alias("item_b"))
-    pairs = a.join(b, "user_id").filter(F.col("item_a") < F.col("item_b"))
+    # Top-20 history per user WITHOUT a window: collect (−count, item)
+    # structs, sort, slice — the cap happens inside the aggregation.
+    # Pairs are then generated JVM-side from each bounded array
+    # (array_sort + indexed transform), so the quadratic expansion never
+    # goes through a self-join shuffle: co-occurrence costs two
+    # aggregations total.
+    top_items = F.array_sort(
+        F.transform(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("n_purchases")).alias("neg"),
+                            F.col("item_id").alias("item"),
+                        )
+                    )
+                ),
+                1,
+                20,
+            ),
+            lambda t: t["item"],
+        )
+    )
+    lists = inter.groupBy("user_id").agg(top_items.alias("items"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    pairs = lists.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.item_a"), F.col("p.item_b")
+    )
     co = pairs.groupBy("item_a", "item_b").agg(
         F.count(F.lit(1)).alias("n_users")
     )
