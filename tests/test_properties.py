@@ -1,0 +1,124 @@
+"""Property-based tests (SURVEY §5.5): operators cross-checked against
+independent implementations (pandas merge_asof, plain join) and their
+own invariants on hypothesis-generated data.
+
+Each example spins Spark jobs, so examples are few and small —
+the value is the generator's adversarial corner cases (ties, empties,
+single-element groups), not volume.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# (key, ts) event streams with deliberate tie pressure: few keys, few
+# distinct timestamps.
+events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # key
+        st.integers(min_value=0, max_value=9),   # ts
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(left=events, right=events)
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    from pyspark_recs.sql import asof_join
+
+    # merge_asof requires unique right (key, ts): dedupe and attach a
+    # value derived from (key, ts) so correctness is value-checkable.
+    r_unique = sorted({(k, t) for k, t in right})
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k int, ts int, lid int"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, k * 100 + t) for k, t in r_unique], "k int, rts int, val int"
+    )
+    got = {
+        (r.k, r.ts, r.lid): r.val
+        for r in asof_join(ldf, rdf, "k", "ts", "rts", ["val"]).collect()
+    }
+
+    lpd = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)],
+        columns=["k", "ts", "lid"],
+    ).sort_values("ts", kind="stable")
+    rpd = pd.DataFrame(
+        [(k, t, k * 100 + t) for k, t in r_unique], columns=["k", "rts", "val"]
+    ).sort_values("rts", kind="stable")
+    ref = pd.merge_asof(
+        lpd, rpd, left_on="ts", right_on="rts", by="k", direction="backward"
+    )
+    expected = {
+        (int(r.k), int(r.ts), int(r.lid)): (None if pd.isna(r.val) else int(r.val))
+        for r in ref.itertuples()
+    }
+    assert got == expected
+
+
+@given(rows=events)
+@settings(**SETTINGS)
+def test_salted_join_matches_plain_join(spark, rows):
+    from pyspark_recs.sql import salted_join
+
+    left = spark.createDataFrame(
+        [(k, t) for k, t in rows], "k int, payload int"
+    )
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in {k for k, _ in rows} if k != 1], "rk int, attr int"
+    )
+    plain = sorted(
+        map(tuple, left.join(right, left.k == right.rk).collect())
+    )
+    salted = sorted(
+        map(tuple, salted_join(left, right, "k", "rk", n_salts=3).collect())
+    )
+    assert salted == plain
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s", "t"]),
+            st.integers(min_value=1, max_value=40),  # token count
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**SETTINGS)
+def test_pack_sequences_invariants(spark, docs):
+    from pyspark_recs.llmops.textstats import pack_sequences
+
+    capacity = 16
+    df = spark.createDataFrame(
+        [(i, grp, "w " * n) for i, (grp, n) in enumerate(docs)],
+        "doc_id long, source string, text string",
+    )
+    out = sorted(
+        (r.source, r.doc_id, r.n_tokens, r.bin_idx)
+        for r in pack_sequences(df, capacity=capacity, group_col="source").collect()
+    )
+    for src in {s for s, _ in docs}:
+        group = [r for r in out if r[0] == src]
+        bins = [b for _, _, _, b in group]
+        # bins are non-decreasing in doc_id order and start at 0
+        assert bins == sorted(bins) and bins[0] == 0
+        # each doc's bin equals its exclusive prefix sum // capacity
+        cum = 0
+        for _, _, n, b in group:
+            assert b == cum // capacity
+            cum += n
