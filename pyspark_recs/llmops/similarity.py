@@ -154,6 +154,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate nearest neighbors (the inverted-file scale
     path, complementing ``lsh_topk``).
@@ -165,23 +166,27 @@ def ivf_topk(
     partition/bucket the candidate table BY cell_id so a probe join
     prunes partitions, and size n_cells ≈ √N with k-means centroids.
 
-    Centroids here are the ``n_cells`` lowest-id candidate vectors — a
-    deterministic stand-in for offline-fit k-means (swap in
-    ``pyspark.ml.clustering.KMeans().fit(...).clusterCenters()`` in
-    production); determinism keeps the whole operator
+    Pass ``centroids`` — a (cell_id, cvec) DataFrame, e.g. from
+    ``kmeans_centroids`` — for quality-fit cells in production. The
+    default (the ``n_cells`` lowest-id candidate vectors) is a
+    deterministic stand-in that keeps the whole operator
     DuckDB-oracle-checkable, unlike the seeded-model LSH path.
 
     Output: query_id, neighbor_id, cos_sim, rank — same contract as
     ``cosine_topk_bruteforce`` (self-matches excluded).
     """
-    cents = (
-        candidates.orderBy(F.asc(id_col))
-        .limit(n_cells)
-        .select(
-            F.col(id_col).alias("cell_id"),
-            F.col(vec_col).alias("cvec"),
-            F.sqrt(_fixed_dot(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
+    if centroids is None:
+        centroids = (
+            candidates.orderBy(F.asc(id_col))
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec")
+            )
         )
+    cents = centroids.select(
+        "cell_id",
+        "cvec",
+        F.sqrt(_fixed_dot(F.col("cvec"), F.col("cvec"))).alias("cnorm"),
     )
 
     def _scored_cells(df: DataFrame, out_id: str, out_vec: str):
@@ -294,4 +299,27 @@ def lsh_topk(
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Fit k-means coarse centroids for ``ivf_topk`` (the production
+    quantizer; SURVEY §2.7 M4's LSH escape hatch generalized to IVF).
+    Returns (cell_id, cvec). Seeded but iterative float math, so
+    pipelines using it take the rows-only correctness path."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vectors.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feats)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return vectors.sparkSession.createDataFrame(
+        centers, "cell_id long, cvec array<double>"
     )

@@ -273,3 +273,32 @@ def test_pack_sequences_bins_hand_computed(spark):
         for r in pack_sequences(docs, capacity=512, group_col="source").collect()
     }
     assert out == {1: (300, 0), 2: (300, 0), 3: (300, 1), 4: (100, 0)}
+
+
+def test_ivf_with_kmeans_centroids(spark):
+    import random
+
+    from pyspark_recs.llmops.similarity import kmeans_centroids
+
+    random.seed(11)
+    centers = [[random.gauss(0, 5) for _ in range(8)] for _ in range(3)]
+    data = [
+        (i, [c + random.gauss(0, 0.3) for c in centers[i % 3]])
+        for i in range(90)
+    ]
+    vecs = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    queries = vecs.filter(F.col("vec_id") < 4)
+    cents = kmeans_centroids(vecs, n_cells=3)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(vecs, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            vecs, queries, k=5, nprobe=1, centroids=cents
+        ).collect()
+    }
+    # fitted cells align with the true clusters: nprobe=1 suffices
+    assert len(approx) == 20
+    assert len(exact & approx) / len(exact) >= 0.9
