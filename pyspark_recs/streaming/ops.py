@@ -62,6 +62,36 @@ def streaming_dedup(
     )
 
 
+def streaming_session_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Native session-window aggregation (incremental twin of
+    workloads/streaming.s05_session_windows): watermarked merging
+    session state per key, built into the state store — prefer this
+    over the custom applyInPandasWithState sessionizer when the needed
+    output is per-session aggregates (it handles out-of-order events
+    within the watermark, which the custom operator does not)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(ts_col, gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def streaming_sessionize(
     events: DataFrame,
     gap_us: int = 1800 * 1_000_000,

@@ -168,11 +168,57 @@ LEFT JOIN med m USING (user_id)
 """
 
 
+# --------------------------------------------------------------------- s05
+def s05_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Native session_window sessionization (the built-in alternative to
+    s02's lag+cumsum and the applyInPandasWithState custom operator):
+    per-user merged sessions with start/end/count/sum. Spark merges an
+    event into a session iff its ts < previous ts + gap; the oracle's
+    island form uses >= gap for a new session — same boundary rule."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+S05_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+islands AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM islands GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "s01_tumbling_daily": s01_tumbling_daily,
     "s02_sessionize": s02_sessionize,
     "s03_keep_first_dedup": s03_keep_first_dedup,
     "s04_user_gap_stats": s04_user_gap_stats,
+    "s05_session_windows": s05_session_windows,
 }
 
 ORACLE = {
@@ -180,4 +226,5 @@ ORACLE = {
     "s02_sessionize": S02_SQL,
     "s03_keep_first_dedup": S03_SQL,
     "s04_user_gap_stats": S04_SQL,
+    "s05_session_windows": S05_SQL,
 }

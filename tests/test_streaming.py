@@ -126,3 +126,23 @@ def test_streaming_enrich_stream_static_join(spark, event_dir, tmp_path):
     )
     seg = {r.user_id: r.segment for r in out.collect()}
     assert seg == {7: "gold", 8: "none"}  # unmatched user defaulted
+
+
+def test_streaming_session_window_agg(spark, event_dir, tmp_path):
+    from pyspark_recs.streaming import streaming_session_agg
+
+    path, schema = event_dir
+    stream = read_event_stream(spark, path, schema)
+    out = _run_stream(
+        streaming_session_agg(stream, gap="30 minutes"), tmp_path,
+        mode="complete",
+    )
+    got = {
+        (r.user_id, str(r.session_start)): (r.n_events, r.total_value)
+        for r in out.collect()
+    }
+    # user 7: three sessions (00:00:05; 10:00; 00:30 next day with dup)
+    assert got[(7, "2024-01-01 00:00:05")] == (1, 1.0)
+    assert got[(7, "2024-01-01 10:00:00")] == (1, 2.0)
+    assert got[(7, "2024-01-02 00:30:00")] == (2, 8.0)
+    assert got[(8, "2024-01-01 11:00:00")] == (1, 3.0)
