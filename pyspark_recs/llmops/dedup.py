@@ -182,3 +182,84 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def verified_neardup_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate generation + verification halves of the near-dup
+    pipeline: LSH banding proposes pairs, exact shingle-set Jaccard
+    confirms them. Only candidate pairs are ever scored — the all-pairs
+    quadratic never materializes."""
+    cand = lsh_candidate_pairs(minhash_signatures(df, text_col, shingle_n),
+                               rows_per_band)
+    sets = df.select(
+        "doc_id", word_shingles(F.col(text_col), shingle_n).alias("grams")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    jac = (
+        F.size(F.array_intersect(F.col("ga"), F.col("gb"))).cast("double")
+        / F.size(F.array_union(F.col("ga"), F.col("gb")))
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    canonicalization step of dedup (every member of a near-dup cluster
+    maps to the cluster's smallest id). The fixpoint is unique, so the
+    result is deterministic regardless of iteration count or
+    partitioning (DataFrame-native; same shape GraphFrames uses).
+
+    Scale: each round is one join + one min-aggregate, shuffles keyed
+    by node id; rounds ≈ component diameter (near-dup clusters are
+    shallow). Each round is materialized (cache + count) to truncate
+    lineage — at 100 TB swap cache for localCheckpoint.
+
+    Output: (node, label) for every node in ``nodes``; singletons label
+    themselves.
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    )
+    for _ in range(max_iter):
+        neighbor_labels = sym.join(
+            labels, sym["b"] == labels["node"]
+        ).select(F.col("a").alias("node"), F.col("label"))
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "node"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

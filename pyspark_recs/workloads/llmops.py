@@ -546,6 +546,65 @@ WHERE rn = floor((n_docs + 1) / 2)
 """
 
 
+# --------------------------------------------------------------------- l21
+def l21_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """The full near-dup dedup pipeline: MinHash → LSH candidates →
+    exact-Jaccard verify → connected components → canonical (min) doc
+    per cluster. Iterative min-label propagation Spark-side; the oracle
+    computes the same fixpoint with a recursive CTE."""
+    from pyspark_recs.llmops.dedup import (
+        connected_components,
+        verified_neardup_edges,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    edges = verified_neardup_edges(docs, threshold=0.5)
+    labels = connected_components(edges, docs.select("doc_id"))
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("canonical_doc_id"),
+    )
+
+
+L21_SQL = f"""
+WITH RECURSIVE
+{_SHINGLES.strip().lstrip()},
+hs AS (
+  SELECT doc_id, list_transform(shingles,
+      s -> {_sql_md5_long('s')} % {MINHASH_PRIME}) AS hs
+  FROM sh),
+sigs AS (SELECT doc_id, {_SIG_SELECTS} FROM hs),
+buckets AS (
+  SELECT doc_id, unnest([{_BAND_KEYS}]) AS band_key FROM sigs),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM buckets x JOIN buckets y
+    ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+edges AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.shingles, y.shingles)))
+             AS jaccard
+    FROM cand c
+    JOIN sh x ON c.doc_a = x.doc_id
+    JOIN sh y ON c.doc_b = y.doc_id)
+  WHERE jaccard >= 0.5),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION ALL SELECT doc_b, doc_a FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a),
+comp AS (SELECT a AS doc_id, min(b) AS mr FROM reach GROUP BY a)
+SELECT d.doc_id,
+       CAST(least(d.doc_id, coalesce(c.mr, d.doc_id)) AS BIGINT)
+         AS canonical_doc_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
+
 # --------------------------------------------------------------------- l13
 def l13_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Feature extraction over binary payloads via Arrow mapInPandas
@@ -586,6 +645,7 @@ QUERIES = {
     "l18_tfidf_top_terms": l18_tfidf_top_terms,
     "l19_pack_sequences": l19_pack_sequences,
     "l20_corpus_profile": l20_corpus_profile,
+    "l21_dedup_components": l21_dedup_components,
 }
 
 ORACLE = {
@@ -609,4 +669,5 @@ ORACLE = {
     "l18_tfidf_top_terms": L18_SQL,
     "l19_pack_sequences": L19_SQL,
     "l20_corpus_profile": L20_SQL,
+    "l21_dedup_components": L21_SQL,
 }

@@ -302,3 +302,17 @@ def test_ivf_with_kmeans_centroids(spark):
     # fitted cells align with the true clusters: nprobe=1 suffices
     assert len(approx) == 20
     assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_dedup_components_planted_clusters(spark, near_dup_docs):
+    from pyspark_recs.llmops.dedup import (
+        connected_components,
+        verified_neardup_edges,
+    )
+
+    edges = verified_neardup_edges(near_dup_docs, threshold=0.5)
+    labels = connected_components(edges, near_dup_docs.select("doc_id"))
+    got = {r.node: r.label for r in labels.collect()}
+    # docs 1,2 (exact dups) and 3 (near dup) form one cluster -> min id 1
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == 4  # distinct doc is its own canonical
