@@ -200,3 +200,4 @@ def stream_to_kv_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+

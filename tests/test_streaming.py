@@ -146,3 +146,4 @@ def test_streaming_session_window_agg(spark, event_dir, tmp_path):
     assert got[(7, "2024-01-01 10:00:00")] == (1, 2.0)
     assert got[(7, "2024-01-02 00:30:00")] == (2, 8.0)
     assert got[(8, "2024-01-01 11:00:00")] == (1, 3.0)
+
