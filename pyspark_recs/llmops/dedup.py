@@ -236,9 +236,15 @@ def connected_components(
     Output: (node, label) for every node in ``nodes``; singletons label
     themselves.
     """
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # Materialize the edge list once — it is consumed every iteration
+    # (join + convergence check), and recomputing its upstream (LSH +
+    # Jaccard verification) per round would dominate the runtime.
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .cache()
+    )
+    sym.count()
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     )
