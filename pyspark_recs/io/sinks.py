@@ -134,6 +134,49 @@ def write_bucketed(
     )
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    out_path: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    roughly ``target_file_bytes`` each. Streaming sinks and incremental
+    batch appends accumulate tiny files; at 100 TB a scan's task count
+    (and the NameNode/list cost) is driven by file count, so periodic
+    compaction is part of the table's lifecycle, not an afterthought.
+
+    File count is sized from the dataset's actual on-disk bytes; the
+    rewrite is one round-robin repartition (no key skew). Returns the
+    number of files written. Writes to ``out_path`` if given (swap-in
+    pattern), else rewrites in place via an overwrite (the in-place
+    form is NOT atomic on plain parquet — use the out_path + rename
+    pattern, or a table format, when readers are live).
+    """
+    import glob as _glob
+
+    current = _glob.glob(os.path.join(path, "*.parquet")) + _glob.glob(
+        os.path.join(path, "**", "*.parquet"), recursive=True
+    )
+    total_bytes = sum(os.path.getsize(f) for f in set(current))
+    n_files = max(1, round(total_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    if out_path:
+        df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    else:
+        # Plain parquet cannot overwrite its own input in one job, and
+        # caching the input is not safe (an evicted partition would
+        # recompute from the already-overwritten path). Write to a
+        # sibling temp dir and swap.
+        import shutil
+
+        tmp = path.rstrip("/") + ".compact-tmp"
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+    return n_files
+
+
 def predictions_json_log(predictions: DataFrame, path: str) -> None:
     """Experiment-tracking asset (S10, my_merlin_flow.py:376-411): the
     predictions log as JSON lines."""

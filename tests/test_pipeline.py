@@ -98,3 +98,26 @@ def test_kv_export_sentinel(spark, tmp_path):
             store[item["userId"]] = item["recs"]
     assert json.loads(store["1"]) == ["10"]
     assert json.loads(store["no_user"]) == []  # serving smoke sentinel
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from pyspark_recs.io import load_table
+    from pyspark_recs.io.sinks import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    orders.repartition(40).write.parquet(src)  # simulate tiny-file append
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) == 40
+    before = sorted(map(tuple, spark.read.parquet(src).collect()))
+
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, target_file_bytes=10**9, out_path=out)
+    assert n == 1 and len(glob.glob(out + "/*.parquet")) == 1
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
+
+    # in-place form round-trips the data too
+    compact_parquet(spark, src, target_file_bytes=10**9)
+    assert len(glob.glob(src + "/*.parquet")) == 1
+    assert sorted(map(tuple, spark.read.parquet(src).collect())) == before
