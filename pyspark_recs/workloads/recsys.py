@@ -183,27 +183,29 @@ def rs05_item_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     lists = inter.groupBy("user_id").agg(top_items.alias("items"))
+    # Emit BOTH directions of each unordered pair at generation time —
+    # a post-hoc union of the aggregated table with its swap would
+    # duplicate the whole upstream subplan (Spark has no DataFrame-level
+    # CSE), doubling the shuffles.
     pair_structs = F.flatten(
-        F.transform(
-            F.col("items"),
-            lambda x, i: F.transform(
-                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
-                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
-            ),
+        F.flatten(
+            F.transform(
+                F.col("items"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                    lambda y: F.array(
+                        F.struct(x.alias("item_a"), y.alias("item_b")),
+                        F.struct(y.alias("item_a"), x.alias("item_b")),
+                    ),
+                ),
+            )
         )
     )
-    pairs = lists.select(F.explode(pair_structs).alias("p")).select(
-        F.col("p.item_a"), F.col("p.item_b")
-    )
-    co = pairs.groupBy("item_a", "item_b").agg(
-        F.count(F.lit(1)).alias("n_users")
-    )
-    sym = co.unionByName(
-        co.select(
-            F.col("item_b").alias("item_a"),
-            F.col("item_a").alias("item_b"),
-            "n_users",
-        )
+    sym = (
+        lists.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.item_a"), F.col("p.item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
     return top_k_per_group(
         sym,
