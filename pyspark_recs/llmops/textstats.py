@@ -168,6 +168,87 @@ def tf_idf_top_terms(
     )
 
 
+def bigram_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition statistics: for each document, the
+    fraction of all bigram occurrences taken by the single most frequent
+    bigram, and the distinct-bigram fraction. High top-bigram fraction /
+    low distinct fraction flags boilerplate and degenerate repetition —
+    the standard pre-training repetition filter (Rae et al. 2021 §A1.1).
+
+    Scale: bigrams are generated JVM-side from the token array (two
+    slices zipped — no self-join), then one (doc_id, bigram) hash
+    aggregation with map-side combine; the per-doc rollup aggregates
+    counts, never token text. Both shuffles are bounded by token volume,
+    linear in corpus size.
+    """
+    words = tokens(F.col(text_col))
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.size(words) - 1),
+        F.slice(words, 2, F.size(words) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    flat = (
+        df.select("doc_id", bigrams.alias("bigrams"))
+        .filter(F.size(F.col("bigrams")) >= 1)
+        .select("doc_id", F.explode("bigrams").alias("bigram"))
+    )
+    counts = flat.groupBy("doc_id", "bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.max("cnt").alias("top_bigram_count"),
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_bigram_frac"),
+        (F.count(F.lit(1)).cast("double") / F.sum("cnt")).alias(
+            "distinct_bigram_frac"
+        ),
+    )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 30,
+    max_tokens: int = 100,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 8.0,
+    min_stop_frac: float = 0.05,
+) -> DataFrame:
+    """Rule-based document filter in the Gopher/C4 style: hard
+    accept/reject flags (token-count bounds, mean token length bounds,
+    minimum stopword fraction) plus the combined pass verdict. The
+    thresholds are the knobs a pre-training pipeline sweeps; every flag
+    is emitted so downstream can audit *why* a document was dropped.
+
+    Scale: pure projection over the token array — one pass, no shuffle,
+    stays inside whole-stage codegen. Ratios are exact integer divisions
+    so the verdicts are engine- and partitioning-independent.
+    """
+    words = tokens(F.col(text_col))
+    n_tokens = F.size(words)
+    mean_len = (
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)).cast(
+            "double"
+        )
+        / n_tokens
+    )
+    stop_frac = en_stopword_ratio(words)
+    tokens_ok = (n_tokens >= min_tokens) & (n_tokens <= max_tokens)
+    mean_len_ok = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    stop_ok = stop_frac >= min_stop_frac
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        stop_frac.alias("stopword_frac"),
+        tokens_ok.alias("tokens_ok"),
+        mean_len_ok.alias("mean_len_ok"),
+        stop_ok.alias("stop_ok"),
+        (tokens_ok & mean_len_ok & stop_ok).alias("passes"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     capacity: int = 512,

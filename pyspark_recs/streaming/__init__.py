@@ -4,6 +4,7 @@ from pyspark_recs.streaming.ops import (
     streaming_enrich,
     streaming_session_agg,
     streaming_sessionize,
+    streaming_stream_join,
     streaming_tumbling_agg,
     stream_to_kv_sink,
 )
@@ -15,5 +16,6 @@ __all__ = [
     "streaming_enrich",
     "streaming_session_agg",
     "streaming_sessionize",
+    "streaming_stream_join",
     "streaming_tumbling_agg",
 ]

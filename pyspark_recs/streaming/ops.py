@@ -178,6 +178,41 @@ def streaming_enrich(
     return out
 
 
+def streaming_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join with an event-time bound —
+    the attribution join (impression ⋈ click within the window
+    ``[left_ts, left_ts + within]``). Column names other than ``key``
+    must be disjoint between the two streams; the right key column is
+    dropped from the output.
+
+    Scale: Spark keeps both sides in the state store keyed by ``key``;
+    the time-bound condition plus the watermarks let it evict state
+    older than ``watermark + within`` instead of buffering the streams
+    forever — unbounded state is the failure mode of an unconstrained
+    stream-stream join, so the time bound is mandatory here, not an
+    optimization.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return l.join(r, cond, "inner").drop(F.col(f"r.{key}"))
+
+
 def stream_to_kv_sink(
     stream: DataFrame,
     put_batch,

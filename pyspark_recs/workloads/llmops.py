@@ -33,7 +33,9 @@ from pyspark_recs.llmops.similarity import (
 )
 from pyspark_recs.llmops.textstats import (
     EN_STOPWORDS,
+    bigram_repetition,
     char_fingerprints,
+    gopher_rules,
     langid,
     pack_sequences,
     quality_scores,
@@ -624,6 +626,108 @@ WHERE length(text) >= 8
 """
 
 
+# --------------------------------------------------------------------- l22
+def l22_bigram_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition stats (top-bigram fraction,
+    distinct-bigram fraction) — the boilerplate/degenerate-repetition
+    filter signal for pre-training corpora."""
+    return bigram_repetition(load_table(spark, sf, "documents"))
+
+
+L22_SQL = f"""
+WITH toks AS ({_TOKS}),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i + 1]))
+           AS bigram
+  FROM toks WHERE len(words) >= 2),
+c AS (
+  SELECT doc_id, bigram, count(*) AS cnt FROM b GROUP BY doc_id, bigram)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+       CAST(max(cnt) AS BIGINT) AS top_bigram_count,
+       CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_bigram_frac,
+       CAST(count(*) AS DOUBLE) / sum(cnt) AS distinct_bigram_frac
+FROM c GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------- l23
+def l23_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Rule-based quality filter (Gopher/C4 style): per-document
+    accept/reject flags + combined verdict, all exact arithmetic."""
+    return gopher_rules(load_table(spark, sf, "documents"))
+
+
+_L23_STOPLIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+L23_SQL = f"""
+WITH toks AS ({_TOKS}),
+m AS (
+  SELECT doc_id,
+         CAST(len(words) AS INTEGER) AS n_tokens,
+         CAST(list_aggregate(list_transform(words, w -> length(w)), 'sum')
+              AS DOUBLE) / len(words) AS mean_token_len,
+         CAST(len(list_filter(words,
+                  w -> list_contains([{_L23_STOPLIST}], w))) AS DOUBLE)
+           / len(words) AS stopword_frac
+  FROM toks)
+SELECT doc_id, n_tokens, mean_token_len, stopword_frac,
+       (n_tokens >= 30 AND n_tokens <= 100) AS tokens_ok,
+       (mean_token_len >= 3.0 AND mean_token_len <= 8.0) AS mean_len_ok,
+       (stopword_frac >= 0.05) AS stop_ok,
+       ((n_tokens >= 30 AND n_tokens <= 100)
+        AND (mean_token_len >= 3.0 AND mean_token_len <= 8.0)
+        AND (stopword_frac >= 0.05)) AS passes
+FROM m
+"""
+
+
+# --------------------------------------------------------------------- l24
+def l24_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language sampling rates
+    (boost the under-represented strata, downsample the dominant one)
+    with an md5-keyed hash filter, so the sample is reproducible across
+    engines, re-runs and cluster sizes — the corpus-mixing primitive for
+    training-data pipelines (r28 is the global-rate twin).
+
+    Scale: pure projection+filter (no shuffle); the per-stratum rate is
+    a broadcast-sized CASE. At 100 TB the same expression is also the
+    resumable incremental-load sampler: new documents join the sample
+    iff their key hashes in, independent of arrival batch."""
+    from pyspark_recs.llmops.hashing import md5_long
+
+    docs = load_table(spark, sf, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(10))
+        .when(F.col("lang") == "zh", F.lit(40))
+        .otherwise(F.lit(25))
+    )
+    bucket = F.pmod(md5_long(F.concat_ws("_", F.col("lang"), F.col("doc_id"))), F.lit(100))
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )
+
+
+L24_SQL = f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+FROM documents
+WHERE ({_sql_md5_long("lang || '_' || CAST(doc_id AS VARCHAR)")}) % 100
+      < (CASE WHEN lang = 'en' THEN 10
+              WHEN lang = 'zh' THEN 40
+              ELSE 25 END)
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -646,6 +750,9 @@ QUERIES = {
     "l19_pack_sequences": l19_pack_sequences,
     "l20_corpus_profile": l20_corpus_profile,
     "l21_dedup_components": l21_dedup_components,
+    "l22_bigram_repetition": l22_bigram_repetition,
+    "l23_gopher_rules": l23_gopher_rules,
+    "l24_stratified_sample": l24_stratified_sample,
 }
 
 ORACLE = {
@@ -670,4 +777,7 @@ ORACLE = {
     "l19_pack_sequences": L19_SQL,
     "l20_corpus_profile": L20_SQL,
     "l21_dedup_components": L21_SQL,
+    "l22_bigram_repetition": L22_SQL,
+    "l23_gopher_rules": L23_SQL,
+    "l24_stratified_sample": L24_SQL,
 }

@@ -931,6 +931,105 @@ FROM events
 """
 
 
+# --------------------------------------------------------------------- r35
+def r35_trailing_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 30-day per-customer spend via a RANGE window frame —
+    the time-decayed feature-generation shape (trailing counts/sums per
+    entity) that training pipelines compute per event. The frame is
+    RANGE (value-based, includes same-day peers), not ROWS, so results
+    are deterministic under any intra-day row order.
+
+    Scale: one shuffle on the customer key; within each partition the
+    running frame is computed in a single sorted pass (Spark's window
+    operator keeps a sliding frame buffer, bounded by the 30-day span).
+    The fixed-point sum makes the trailing feature bit-reproducible
+    across partitionings — golden-file-testable at any cluster size.
+    """
+    orders = load_table(spark, sf, "orders")
+    day = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lit("1970-01-01"))
+    )
+    staged = orders.select(
+        "o_orderkey", "o_custkey", day.alias("day"), "o_totalprice"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-29, 0)
+    )
+    q = F.floor(F.col("o_totalprice") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return staged.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        (F.sum(q).over(w).cast("double") / F.lit(1e6)).alias(
+            "trailing_spend_30d"
+        ),
+        F.count(F.lit(1)).over(w).alias("trailing_orders_30d"),
+    )
+
+
+R35_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+            AS INTEGER) AS day,
+       CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+            OVER w AS DOUBLE) / 1000000.0 AS trailing_spend_30d,
+       CAST(count(*) OVER w AS BIGINT) AS trailing_orders_30d
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey
+  ORDER BY CAST(date_diff('day', DATE '1970-01-01',
+                          CAST(o_orderdate AS DATE)) AS INTEGER)
+  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------- r36
+def r36_spend_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution ranking: per-customer total spend bucketed into
+    deciles (ntile) with percent_rank and cume_dist — the
+    population-position features (user spend percentile, item
+    popularity percentile) of a feature store. Ordering is made total
+    by the (spend, custkey) tiebreak so every rank is deterministic.
+
+    Scale: the customer rollup is a map-side-combined hash aggregate;
+    the global window then ranks one row per customer — fine to ~10^9
+    customers on a single reducer chain only because the input is the
+    *aggregate*, not the facts. Beyond that, replace ntile with bucket
+    assignment against broadcast approx-quantile boundaries (same
+    output contract, no global sort).
+    """
+    orders = load_table(spark, sf, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        dsum("o_totalprice").alias("spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("spend", "o_custkey")
+    return spend.select(
+        "o_custkey",
+        "spend",
+        "n_orders",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+R36_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey, {sql_dsum('o_totalprice')} AS spend,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey, spend, n_orders,
+       CAST(ntile(10) OVER w AS INTEGER) AS decile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM spend
+WINDOW w AS (ORDER BY spend, o_custkey)
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -966,6 +1065,8 @@ QUERIES = {
     "r32_rollup": r32_rollup,
     "r33_unpivot": r33_unpivot,
     "r34_scd2_history": r34_scd2_history,
+    "r35_trailing_window": r35_trailing_window,
+    "r36_spend_deciles": r36_spend_deciles,
 }
 
 ORACLE = {
@@ -1002,5 +1103,7 @@ ORACLE = {
     "r32_rollup": R32_SQL,
     "r33_unpivot": R33_SQL,
     "r34_scd2_history": R34_SQL,
+    "r35_trailing_window": R35_SQL,
+    "r36_spend_deciles": R36_SQL,
     # r27: HLL sketch — rows-only by design
 }

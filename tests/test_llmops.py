@@ -316,3 +316,44 @@ def test_dedup_components_planted_clusters(spark, near_dup_docs):
     # docs 1,2 (exact dups) and 3 (near dup) form one cluster -> min id 1
     assert got[1] == got[2] == got[3] == 1
     assert got[4] == 4  # distinct doc is its own canonical
+
+
+def test_bigram_repetition_hand_computed(spark):
+    from pyspark_recs.llmops.textstats import bigram_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # bigrams: ab ba ab ba -> top 2/4
+            (2, "x y z w"),     # bigrams: xy yz zw    -> all distinct
+            (3, "solo"),        # no bigrams -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_repetition(docs).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_bigrams == 4
+    assert got[1].n_distinct_bigrams == 2
+    assert got[1].top_bigram_count == 2
+    assert got[1].top_bigram_frac == 0.5
+    assert got[2].top_bigram_frac == pytest.approx(1 / 3)
+    assert got[2].distinct_bigram_frac == 1.0
+
+
+def test_gopher_rules_each_flag(spark):
+    from pyspark_recs.llmops.textstats import gopher_rules
+
+    passing = "the quick brown fox is happy to see a dog in the park " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, passing.strip()),                  # all rules pass
+            (2, "too short to pass"),              # tokens_ok fails
+            (3, ("antidisestablishmentarianism " * 40).strip()),  # mean len
+            (4, ("fox dog cat bat rat hen cow pig owl elk " * 4).strip()),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert got[1].passes
+    assert not got[2].tokens_ok and not got[2].passes
+    assert not got[3].mean_len_ok and not got[3].passes
+    assert not got[4].stop_ok and not got[4].passes  # no stopwords at all

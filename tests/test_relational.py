@@ -201,3 +201,66 @@ def test_scd2_apply_rechains_open_rows(spark):
         (1, "v4", 40, None),   # newest stays open
         (2, "w1", 5, None),    # unaffected key stays open
     ]
+
+
+def test_trailing_window_range_frame(spark, tmp_path):
+    """r35: RANGE frame includes same-day peers and exactly 30 days."""
+    import datetime as dt
+
+    from pyspark_recs.workloads.relational import r35_trailing_window
+
+    base = dt.datetime(2000, 1, 1)
+    rows = [
+        # (orderkey, custkey, day offset, price)
+        (1, 1, 0, 10.0),
+        (2, 1, 10, 20.0),
+        (3, 1, 40, 40.0),   # day 10 is 30d earlier -> OUTSIDE 29-day frame
+        (4, 2, 5, 1.0),     # same-day peers: both see both
+        (5, 2, 5, 2.0),
+    ]
+    df = spark.createDataFrame(
+        [
+            (k, c, base + dt.timedelta(days=d), p, "O", "1-URGENT")
+            for (k, c, d, p) in rows
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double, o_orderstatus string, o_orderpriority string",
+    )
+    df.write.parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r.o_orderkey: r
+        for r in r35_trailing_window(spark, str(tmp_path)).collect()
+    }
+    assert got[1].trailing_spend_30d == 10.0
+    assert got[2].trailing_spend_30d == 30.0   # day 0 within 29 days of 10
+    assert got[3].trailing_spend_30d == 40.0   # day 10 fell out
+    assert got[4].trailing_spend_30d == 3.0    # RANGE includes the peer
+    assert got[5].trailing_spend_30d == 3.0
+    assert got[4].trailing_orders_30d == 2
+
+
+def test_spend_deciles_deterministic_ranks(spark, tmp_path):
+    """r36: ntile/percent_rank/cume_dist with a total tiebreak order."""
+    import datetime as dt
+
+    from pyspark_recs.workloads.relational import r36_spend_deciles
+
+    df = spark.createDataFrame(
+        [
+            (k, k % 5, dt.datetime(2000, 1, 1), 100.0 * (k % 5 + 1),
+             "O", "1-URGENT")
+            for k in range(10)
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double, o_orderstatus string, o_orderpriority string",
+    )
+    df.write.parquet(str(tmp_path / "orders.parquet"))
+    got = sorted(
+        r36_spend_deciles(spark, str(tmp_path)).collect(),
+        key=lambda r: r.o_custkey,
+    )
+    # 5 customers, 2 orders each, spends 200/400/600/800/1000
+    assert [r.spend for r in got] == [200.0, 400.0, 600.0, 800.0, 1000.0]
+    assert [r.pct_rank for r in got] == [0.0, 0.25, 0.5, 0.75, 1.0]
+    assert [r.cume for r in got] == [0.2, 0.4, 0.6, 0.8, 1.0]
+    assert all(r.n_orders == 2 for r in got)

@@ -147,3 +147,51 @@ def test_streaming_session_window_agg(spark, event_dir, tmp_path):
     assert got[(7, "2024-01-02 00:30:00")] == (2, 8.0)
     assert got[(8, "2024-01-01 11:00:00")] == (1, 3.0)
 
+
+def test_streaming_stream_stream_join(spark, event_dir, tmp_path_factory, tmp_path):
+    """Attribution join: each action matches impressions of the same
+    user within the following hour — the streaming twin of the batch
+    interval join (r30)."""
+    from pyspark_recs.streaming import streaming_stream_join
+
+    path, schema = event_dir
+    action_dir = str(tmp_path_factory.mktemp("actions"))
+    actions = spark.createDataFrame(
+        [
+            (101, "2024-01-01 00:20:00", 7),   # within 1h of event 1
+            (102, "2024-01-01 10:30:00", 7),   # within 1h of event 2
+            (103, "2024-01-01 12:30:00", 8),   # 11:00 + 1h < 12:30 -> no match
+        ],
+        "action_id long, ats_s string, user_id long",
+    ).withColumn("action_ts", F.to_timestamp("ats_s")).drop("ats_s")
+    actions.write.parquet(action_dir, mode="overwrite")
+
+    impressions = read_event_stream(spark, path, schema).select(
+        "event_id", "ts", "user_id"
+    )
+    action_stream = read_event_stream(spark, action_dir, actions.schema)
+    out = _run_stream(
+        streaming_stream_join(
+            impressions, action_stream,
+            key="user_id", left_ts="ts", right_ts="action_ts",
+            within="1 hour",
+        ),
+        tmp_path,
+        mode="append",
+    )
+    pairs = {(r.event_id, r.action_id) for r in out.collect()}
+    assert pairs == {(1, 101), (2, 102)}
+    # batch oracle: the same join condition over the static frames
+    imp_b = spark.read.schema(schema).parquet(path).select("event_id", "ts", "user_id")
+    exp = {
+        (r.event_id, r.action_id)
+        for r in imp_b.alias("l")
+        .join(
+            actions.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.action_ts") >= F.col("l.ts"))
+            & (F.col("r.action_ts") <= F.col("l.ts") + F.expr("INTERVAL 1 hour")),
+        )
+        .collect()
+    }
+    assert pairs == exp
