@@ -26,6 +26,7 @@ from pyspark_recs.llmops.similarity import (
     cosine_topk_bruteforce,
     embedding_neardup_pairs,
     ivf_topk,
+    scalar_quantize,
 )
 
 __all__ = [
@@ -41,6 +42,7 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "quality_scores",
+    "scalar_quantize",
     "simhash_fingerprints",
     "token_stats",
     "tokens",

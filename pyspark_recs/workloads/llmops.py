@@ -685,6 +685,35 @@ FROM m
 """
 
 
+# --------------------------------------------------------------------- l25
+def l25_scalar_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — 4x less
+    vector I/O for every downstream ANN/dedup pass; exact double
+    arithmetic so the codes are engine- and partitioning-identical."""
+    from pyspark_recs.llmops.similarity import scalar_quantize
+
+    return scalar_quantize(load_table(spark, sf, "embeddings"))
+
+
+L25_SQL = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings),
+m AS (
+  SELECT vec_id, vec,
+         list_min(vec) AS vmin, list_max(vec) AS vmax
+  FROM v)
+SELECT vec_id, vmin, vmax,
+       CASE WHEN vmax = vmin THEN list_transform(vec, x -> 0)
+            ELSE list_transform(vec,
+                 x -> CAST(floor((x - vmin) / ((vmax - vmin) / 255.0) + 0.5)
+                           AS INTEGER))
+       END AS codes
+FROM m
+"""
+
+
 # --------------------------------------------------------------------- l24
 def l24_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Stratified deterministic sampling: per-language sampling rates
@@ -753,6 +782,7 @@ QUERIES = {
     "l22_bigram_repetition": l22_bigram_repetition,
     "l23_gopher_rules": l23_gopher_rules,
     "l24_stratified_sample": l24_stratified_sample,
+    "l25_scalar_quantize": l25_scalar_quantize,
 }
 
 ORACLE = {
@@ -780,4 +810,5 @@ ORACLE = {
     "l22_bigram_repetition": L22_SQL,
     "l23_gopher_rules": L23_SQL,
     "l24_stratified_sample": L24_SQL,
+    "l25_scalar_quantize": L25_SQL,
 }

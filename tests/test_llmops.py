@@ -357,3 +357,26 @@ def test_gopher_rules_each_flag(spark):
     assert not got[2].tokens_ok and not got[2].passes
     assert not got[3].mean_len_ok and not got[3].passes
     assert not got[4].stop_ok and not got[4].passes  # no stopwords at all
+
+
+def test_scalar_quantize_roundtrip_error_bound(spark):
+    from pyspark_recs.llmops.similarity import scalar_quantize
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.0, 0.5, 1.0, -1.0]),
+            (2, [3.25, 3.25, 3.25]),        # constant vector: scale = 0
+            (3, [1e-3, 2e-3, -5e-4]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in scalar_quantize(vecs).collect()}
+    for vid, emb in [(1, [0.0, 0.5, 1.0, -1.0]), (3, [1e-3, 2e-3, -5e-4])]:
+        r = rows[vid]
+        scale = (r.vmax - r.vmin) / 255
+        assert all(0 <= c <= 255 for c in r.codes)
+        for x, c in zip(emb, r.codes):
+            assert abs((r.vmin + c * scale) - x) <= scale / 2 + 1e-9
+    # constant vector: all codes 0, dequantizes exactly to vmin
+    assert rows[2].codes == [0, 0, 0]
+    assert rows[2].vmin == rows[2].vmax
