@@ -757,6 +757,53 @@ GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------- l26
+def l26_source_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based corpus mixing weights per source:
+    w_s ∝ sqrt(n_s) (temperature alpha = 0.5) — the standard reweighting
+    that upsamples small sources and damps dominant ones when composing
+    a training mix. sqrt is IEEE-correctly-rounded in both engines, and
+    the normalizing denominator is an exact integer sum of fixed-point
+    terms, so the weights are bit-identical everywhere (alpha ≠ 0.5
+    would go through pow(), whose libm results differ across engines —
+    pick the quantized-sum route for those).
+
+    Scale: per-source counts are a map-side-combined aggregate; the
+    denominator is a 1-row broadcast. Output is vocabulary-sized (one
+    row per source), consumed by l24-style per-stratum samplers.
+    """
+    docs = load_table(spark, sf, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    wq = F.floor(
+        F.sqrt(F.col("n_docs").cast("double")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    weighted = counts.select("source", "n_docs", wq.alias("wq"))
+    denom = weighted.agg(F.sum("wq").alias("denom"))
+    return weighted.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_docs",
+        (F.col("wq").cast("double") / F.col("denom").cast("double")).alias(
+            "weight"
+        ),
+    )
+
+
+L26_SQL = """
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5)
+              AS BIGINT) AS wq
+  FROM c)
+SELECT source, n_docs,
+       CAST(wq AS DOUBLE)
+         / CAST((SELECT sum(wq) FROM w) AS DOUBLE) AS weight
+FROM w
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -783,6 +830,7 @@ QUERIES = {
     "l23_gopher_rules": l23_gopher_rules,
     "l24_stratified_sample": l24_stratified_sample,
     "l25_scalar_quantize": l25_scalar_quantize,
+    "l26_source_mixture": l26_source_mixture,
 }
 
 ORACLE = {
@@ -811,4 +859,5 @@ ORACLE = {
     "l23_gopher_rules": L23_SQL,
     "l24_stratified_sample": L24_SQL,
     "l25_scalar_quantize": L25_SQL,
+    "l26_source_mixture": L26_SQL,
 }

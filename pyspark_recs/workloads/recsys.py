@@ -313,6 +313,50 @@ FROM cand c ANTI JOIN inter i
 """
 
 
+# --------------------------------------------------------------------- rs07
+def rs07_leave_one_out(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-last-one-out evaluation split: each user's most recent
+    order becomes the test example, everything earlier is train — the
+    per-user complement of the global time split (r12/P7), and the
+    standard recsys offline-eval protocol when user activity spans
+    differ too much for one global cutoff date.
+
+    Scale: one shuffle on the user key; the row_number window scans each
+    user's orders once. Ties on the date break by orderkey so the split
+    is total and reproducible — a split that moves between runs poisons
+    every downstream metric comparison.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    recency = F.row_number().over(w)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        recency.alias("recency_rank"),
+        F.when(recency == 1, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+RS07_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(recency_rank AS INTEGER) AS recency_rank,
+       CASE WHEN recency_rank = 1 THEN 'test' ELSE 'train' END AS split
+FROM (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC)
+           AS recency_rank
+  FROM orders)
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -320,6 +364,7 @@ QUERIES = {
     "rs04_als_recommendations": rs04_als_recommendations,
     "rs05_item_cooccurrence": rs05_item_cooccurrence,
     "rs06_negative_samples": rs06_negative_samples,
+    "rs07_leave_one_out": rs07_leave_one_out,
 }
 
 ORACLE = {
@@ -329,4 +374,5 @@ ORACLE = {
     # rs04: iterative ALS — rows-only check by design
     "rs05_item_cooccurrence": RS05_SQL,
     "rs06_negative_samples": RS06_SQL,
+    "rs07_leave_one_out": RS07_SQL,
 }

@@ -380,3 +380,46 @@ def test_scalar_quantize_roundtrip_error_bound(spark):
     # constant vector: all codes 0, dequantizes exactly to vmin
     assert rows[2].codes == [0, 0, 0]
     assert rows[2].vmin == rows[2].vmax
+
+
+def test_quantized_vectors_preserve_neighbors(spark):
+    """Dequantized int8 vectors recover the exact top-k of the originals
+    on separated clusters — the quantize->search integration check."""
+    from pyspark_recs.llmops.similarity import scalar_quantize
+
+    data = [
+        (i, [float(i % 4 == 0), float(i % 4 == 1),
+             float(i % 4 == 2), float(i % 4 == 3),
+             0.1 * (i % 7), 0.05 * (i % 5)])
+        for i in range(24)
+    ]
+    vecs = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    deq = scalar_quantize(vecs).select(
+        "vec_id",
+        F.transform(
+            "codes",
+            lambda c: F.col("vmin")
+            + c.cast("double") * (F.col("vmax") - F.col("vmin")) / F.lit(255.0),
+        ).alias("embedding"),
+    )
+    queries = vecs.filter(F.col("vec_id") < 4)
+    deq_queries = deq.filter(F.col("vec_id") < 4)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(vecs, queries, k=3).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(deq, deq_queries, k=3).collect()
+    }
+    assert len(exact & quant) / len(exact) >= 0.9
+
+
+def test_source_mixture_weights_sum_to_one(spark):
+    from pyspark_recs.workloads.llmops import l26_source_mixture
+
+    got = l26_source_mixture(spark, "/root/testdata/sf0.001").collect()
+    assert abs(sum(r.weight for r in got) - 1.0) < 1e-9
+    # equal-count strata -> equal weights
+    if len({r.n_docs for r in got}) == 1:
+        assert len({round(r.weight, 12) for r in got}) == 1

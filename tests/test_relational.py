@@ -264,3 +264,28 @@ def test_spend_deciles_deterministic_ranks(spark, tmp_path):
     assert [r.pct_rank for r in got] == [0.0, 0.25, 0.5, 0.75, 1.0]
     assert [r.cume for r in got] == [0.2, 0.4, 0.6, 0.8, 1.0]
     assert all(r.n_orders == 2 for r in got)
+
+
+def test_leave_one_out_split(spark, tmp_path):
+    """rs07: exactly one test row per user, and it is the newest order."""
+    import datetime as dt
+
+    from pyspark_recs.workloads.recsys import rs07_leave_one_out
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, dt.datetime(2000, 1, 5), 1.0, "O", "x"),
+            (2, 1, dt.datetime(2000, 1, 9), 1.0, "O", "x"),
+            (3, 2, dt.datetime(2000, 1, 1), 1.0, "O", "x"),
+            # user 3: two orders same date -> higher orderkey wins
+            (4, 3, dt.datetime(2000, 1, 2), 1.0, "O", "x"),
+            (5, 3, dt.datetime(2000, 1, 2), 1.0, "O", "x"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double, o_orderstatus string, o_orderpriority string",
+    )
+    df.write.parquet(str(tmp_path / "orders.parquet"))
+    got = rs07_leave_one_out(spark, str(tmp_path)).collect()
+    test_keys = {r.o_orderkey for r in got if r.split == "test"}
+    assert test_keys == {2, 3, 5}
+    assert sum(r.split == "train" for r in got) == 2
