@@ -183,30 +183,39 @@ def rs05_item_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     lists = inter.groupBy("user_id").agg(top_items.alias("items"))
-    # Emit BOTH directions of each unordered pair at generation time —
-    # a post-hoc union of the aggregated table with its swap would
-    # duplicate the whole upstream subplan (Spark has no DataFrame-level
-    # CSE), doubling the shuffles.
+    # Count only the canonical a<b direction (the sorted items array
+    # makes x<y structural), then mirror each AGGREGATED pair into both
+    # directions with a 1→2 explode. This halves the rows through the
+    # expensive pair aggregation; a post-hoc union of the table with its
+    # swap would instead duplicate the whole upstream subplan (Spark has
+    # no DataFrame-level CSE), doubling the shuffles.
     pair_structs = F.flatten(
-        F.flatten(
-            F.transform(
-                F.col("items"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
-                    lambda y: F.array(
-                        F.struct(x.alias("item_a"), y.alias("item_b")),
-                        F.struct(y.alias("item_a"), x.alias("item_b")),
-                    ),
-                ),
-            )
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
         )
     )
-    sym = (
+    canon = (
         lists.select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.item_a"), F.col("p.item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+    sym = canon.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("item_a"), F.col("item_b"), F.col("n_users")),
+                F.struct(
+                    F.col("item_b").alias("item_a"),
+                    F.col("item_a").alias("item_b"),
+                    F.col("n_users"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.item_a", "p.item_b", "p.n_users")
     return top_k_per_group(
         sym,
         partition_cols=["item_a"],
