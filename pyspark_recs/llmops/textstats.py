@@ -249,6 +249,45 @@ def gopher_rules(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking (chunk size / stride in
+    tokens) — the retrieval/embedding-pipeline primitive that turns one
+    document into the N overlapping passages an encoder actually
+    embeds. Emits (doc_id, chunk_idx, chunk_text, chunk_tokens); the
+    final chunk is the partial tail, matching standard chunkers.
+
+    Scale: the start offsets are generated JVM-side per document
+    (``sequence`` + ``posexplode``) and each chunk is a slice of the
+    token array — one projection + one explode, no shuffle, no Python.
+    Output volume is ~len/stride rows per doc; downstream embedding
+    cost, not this operator, is the bottleneck at 100 TB.
+    """
+    starts = F.sequence(
+        F.lit(0), F.size(F.col("words")) - 1, F.lit(stride)
+    )
+    flat = (
+        df.select("doc_id", tokens(F.col(text_col)).alias("words"))
+        .filter(F.size("words") >= 1)
+        .select(
+            "doc_id",
+            "words",
+            F.posexplode(starts).alias("chunk_idx", "start"),
+        )
+    )
+    piece = F.slice(F.col("words"), F.col("start") + 1, chunk)
+    return flat.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("chunk_tokens"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     capacity: int = 512,

@@ -757,6 +757,29 @@ GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------- l27
+def l27_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks, stride 24) —
+    one row per passage an embedding encoder would process."""
+    from pyspark_recs.llmops.textstats import chunk_documents
+
+    return chunk_documents(load_table(spark, sf, "documents"))
+
+
+L27_SQL = f"""
+WITH toks AS ({_TOKS}),
+s AS (
+  SELECT doc_id, words, unnest(range(0, len(words), 24)) AS start
+  FROM toks WHERE len(words) >= 1)
+SELECT doc_id,
+       CAST(start // 24 AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(words, start + 1, start + 32), ' ')
+         AS chunk_text,
+       CAST(least(32, len(words) - start) AS INTEGER) AS chunk_tokens
+FROM s
+"""
+
+
 # --------------------------------------------------------------------- l26
 def l26_source_mixture(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature-based corpus mixing weights per source:
@@ -831,6 +854,7 @@ QUERIES = {
     "l24_stratified_sample": l24_stratified_sample,
     "l25_scalar_quantize": l25_scalar_quantize,
     "l26_source_mixture": l26_source_mixture,
+    "l27_chunk_documents": l27_chunk_documents,
 }
 
 ORACLE = {
@@ -860,4 +884,5 @@ ORACLE = {
     "l24_stratified_sample": L24_SQL,
     "l25_scalar_quantize": L25_SQL,
     "l26_source_mixture": L26_SQL,
+    "l27_chunk_documents": L27_SQL,
 }

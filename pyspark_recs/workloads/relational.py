@@ -1030,6 +1030,49 @@ WINDOW w AS (ORDER BY spend, o_custkey)
 """
 
 
+# --------------------------------------------------------------------- r37
+def r37_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a stored rollup and a
+    new-batch delta are kept as PARTIAL aggregates (fixed-point sums +
+    counts), merged by re-aggregating the partials — never by
+    recomputing over the facts. Here the split is simulated by hashing
+    lineitem into a 90% "stored" and 10% "delta" slice; the oracle is
+    the full recompute, so the query *proves* the merge is lossless.
+
+    Scale: this is THE pattern that keeps a 100 TB daily rollup cheap —
+    the merge shuffles |groups x batches| partial rows, independent of
+    fact volume. It works because the partial states (long sums,
+    counts) are associative and the fixed-point encoding makes double
+    sums mergeable without reordering error; avg/stddev merge the same
+    way from (sum, sum_sq, n).
+    """
+    from pyspark_recs.llmops.hashing import md5_long
+
+    li = load_table(spark, sf, "lineitem")
+    key = F.concat_ws("_", F.col("l_orderkey"), F.col("l_linenumber"))
+    batch = F.when(
+        F.pmod(md5_long(key), F.lit(10)) < 9, F.lit("stored")
+    ).otherwise(F.lit("delta"))
+    q = F.floor(F.col("l_quantity") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    partials = (
+        li.withColumn("batch", batch)
+        .groupBy("l_returnflag", "batch")
+        .agg(F.sum(q).alias("sq"), F.count(F.lit(1)).alias("n"))
+    )
+    return partials.groupBy("l_returnflag").agg(
+        (F.sum("sq").cast("double") / F.lit(1e6)).alias("sum_qty"),
+        F.sum("n").alias("n_rows"),
+    )
+
+
+R37_SQL = f"""
+SELECT l_returnflag, {sql_dsum('l_quantity')} AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -1067,6 +1110,7 @@ QUERIES = {
     "r34_scd2_history": r34_scd2_history,
     "r35_trailing_window": r35_trailing_window,
     "r36_spend_deciles": r36_spend_deciles,
+    "r37_incremental_rollup": r37_incremental_rollup,
 }
 
 ORACLE = {
@@ -1105,5 +1149,6 @@ ORACLE = {
     "r34_scd2_history": R34_SQL,
     "r35_trailing_window": R35_SQL,
     "r36_spend_deciles": R36_SQL,
+    "r37_incremental_rollup": R37_SQL,
     # r27: HLL sketch — rows-only by design
 }

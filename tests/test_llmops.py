@@ -423,3 +423,28 @@ def test_source_mixture_weights_sum_to_one(spark):
     # equal-count strata -> equal weights
     if len({r.n_docs for r in got}) == 1:
         assert len({round(r.weight, 12) for r in got}) == 1
+
+
+def test_chunk_documents_hand_computed(spark):
+    from pyspark_recs.llmops.textstats import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        chunk_documents(docs, chunk=4, stride=3).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 0,3,6,9 -> windows of 4 tokens, last is partial
+    assert [r.chunk_text for r in by_doc[1]] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9",
+    ]
+    assert [r.chunk_tokens for r in by_doc[1]] == [4, 4, 4, 1]
+    assert [r.chunk_idx for r in by_doc[1]] == [0, 1, 2, 3]
+    # doc 2 fits one chunk; empty doc 3 yields nothing
+    assert [r.chunk_text for r in by_doc[2]] == ["a b"]
+    assert 3 not in by_doc

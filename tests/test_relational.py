@@ -289,3 +289,28 @@ def test_leave_one_out_split(spark, tmp_path):
     test_keys = {r.o_orderkey for r in got if r.split == "test"}
     assert test_keys == {2, 3, 5}
     assert sum(r.split == "train" for r in got) == 2
+
+
+def test_incremental_rollup_matches_full_recompute(spark):
+    """r37: merging stored+delta partial aggregates is lossless."""
+    from pyspark_recs.workloads.relational import (
+        r37_incremental_rollup,
+        r01_pricing_summary,  # noqa: F401  (same table, sanity anchor)
+    )
+    from pyspark_recs.io import load_table
+    from pyspark_recs.workloads.common import dsum
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.l_returnflag: (r.sum_qty, r.n_rows)
+        for r in r37_incremental_rollup(spark, sf).collect()
+    }
+    full = {
+        r.l_returnflag: (r.sum_qty, r.n_rows)
+        for r in load_table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(dsum("l_quantity").alias("sum_qty"),
+             F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    assert got == full

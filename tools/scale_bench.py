@@ -1,0 +1,173 @@
+"""Spark-vs-DuckDB head-to-head at ~sf1 (10x-replicated facts).
+
+Builds a scratch dataset by replicating ``lineitem``/``orders`` from
+sf0.1 ten times with shifted order keys (join integrity preserved;
+per-key densities rise 10x, which is *harder* than a true sf1), copies
+the other tables unscaled, then times each headline query warm in BOTH
+engines on the same parquet files:
+
+- Spark runs the ``queries()`` DataFrame program (local[N], AQE on).
+- DuckDB runs the ``oracle_sql()`` twin (same machine, all threads).
+
+This is the single-node throughput comparison BASELINE.md asks for —
+the reference's relational layer is a warehouse engine, and DuckDB is
+the strongest local stand-in for one. Prints one JSON line; optionally
+writes the markdown table for SCALING.md.
+
+Usage: python tools/scale_bench.py [--rebuild] [--markdown]
+Scratch dir: $SPARK_GRAFT_SCALE_DIR (default /tmp/spark_graft_scale10).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC_SF = "/root/testdata/sf0.1"
+REPLICAS = 10
+# Headline queries with an oracle twin (rs04/l12/r27 are rows-only and
+# l16's binary payloads don't time-compare meaningfully across engines).
+HEADLINE = [
+    "r01_pricing_summary",
+    "r10_three_way_join",
+    "r11_per_part_avg_price",
+    "r14_topk_per_customer",
+    "r22_zscore",
+    "r29_asof_join",
+    "r35_trailing_window",
+    "rs01_interactions",
+    "rs02_popular_items_per_segment",
+    "rs05_item_cooccurrence",
+    "l02_minhash_signatures",
+    "l04_simhash",
+    "l06_embedding_topk",
+    "l10_char_fingerprints",
+    "s01_tumbling_daily",
+    "s02_sessionize",
+]
+KEY_SHIFT = 10_000_000  # > max o_orderkey at sf0.1 (600k)
+
+
+def build_scratch(scale_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from pyspark_recs.io import load_table
+    from pyspark_recs.io.loaders import TABLES
+    from pyspark_recs.session import get_spark
+
+    spark = get_spark("scale-build")
+    os.makedirs(scale_dir, exist_ok=True)
+    for name in ("lineitem", "orders"):
+        df = load_table(spark, SRC_SF, name)
+        key = "l_orderkey" if name == "lineitem" else "o_orderkey"
+        replicas = df.crossJoin(
+            spark.range(REPLICAS).select(F.col("id").alias("_rep"))
+        ).withColumn(key, F.col(key) + F.col("_rep") * F.lit(KEY_SHIFT))
+        replicas.drop("_rep").write.mode("overwrite").parquet(
+            os.path.join(scale_dir, f"{name}.parquet")
+        )
+    for name in TABLES:
+        if name in ("lineitem", "orders"):
+            continue
+        src = os.path.join(SRC_SF, f"{name}.parquet")
+        dst = os.path.join(scale_dir, f"{name}.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(src, dst)
+    spark.stop()
+
+
+def time_warm(fn, reps: int = 2) -> float:
+    fn()  # warm-up: plan + codegen / duckdb prepare
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    scale_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale10"
+    )
+    rebuild = "--rebuild" in sys.argv
+    if rebuild or not os.path.exists(
+        os.path.join(scale_dir, "lineitem.parquet")
+    ):
+        build_scratch(scale_dir)
+
+    import duckdb
+
+    from pyspark_recs.session import get_spark
+    from pyspark_recs.workloads import ORACLE, QUERIES
+
+    spark = get_spark("scale-bench")
+    con = duckdb.connect()
+    from tools.oracle_check import TABLES as ALL_TABLES
+
+    for t in ALL_TABLES:
+        path = os.path.join(scale_dir, f"{t}.parquet")
+        glob = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')"
+        )
+
+    # Both engines compute a full-row checksum: forces every output
+    # column (count() would let Catalyst prune projections/windows) and
+    # returns one row (fetchall() on raw results would time transfer,
+    # not compute).
+    from pyspark.sql import functions as F
+
+    def spark_run(q):
+        q(spark, scale_dir).select(
+            F.expr("bit_xor(xxhash64(struct(*)))").alias("checksum")
+        ).collect()
+
+    def duck_run(sql):
+        con.execute(f"SELECT bit_xor(hash(t)) FROM ({sql}) t").fetchall()
+
+    results = {}
+    for name in HEADLINE:
+        spark_s = time_warm(lambda: spark_run(QUERIES[name]))
+        duck_s = time_warm(lambda: duck_run(ORACLE[name]))
+        results[name] = {"spark": spark_s, "duckdb": duck_s}
+
+    total_spark = round(sum(r["spark"] for r in results.values()), 3)
+    total_duck = round(sum(r["duckdb"] for r in results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "scale10_headline_sec",
+                "spark_total": total_spark,
+                "duckdb_total": total_duck,
+                "queries": results,
+                "replicas": REPLICAS,
+            }
+        )
+    )
+    if "--markdown" in sys.argv:
+        lines = [
+            "| query | Spark (s) | DuckDB (s) | ratio S/D |",
+            "|---|---|---|---|",
+        ]
+        for name, r in results.items():
+            ratio = r["spark"] / r["duckdb"] if r["duckdb"] else float("inf")
+            lines.append(
+                f"| {name} | {r['spark']} | {r['duckdb']} | {ratio:.1f}x |"
+            )
+        lines.append(
+            f"| **total** | **{total_spark}** | **{total_duck}** | "
+            f"**{total_spark / total_duck:.1f}x** |"
+        )
+        sys.stderr.write("\n".join(lines) + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
