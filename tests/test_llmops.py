@@ -26,15 +26,20 @@ from pyspark_recs.llmops.similarity import (
 
 @pytest.fixture(scope="module")
 def near_dup_docs(spark):
-    base = "the quick brown fox jumps over the lazy dog again and again " * 5
-    variant = base.replace("lazy", "sleepy")  # near-dup of doc 1
-    distinct = "completely different words about spark catalyst optimizer " * 6
+    # Unique tokens so the shingle sets are large, and the near-dup pair
+    # differs in ONE word of 60 (Jaccard ~0.90) — high enough that the
+    # minhash/LSH assertions hold for any correct hash family, not just
+    # a lucky one (a repeated-phrase fixture dedups to ~15 shingles and
+    # J~0.65, where 2-row LSH bands legitimately miss ~17% of pairs).
+    base = " ".join(f"tok{i}" for i in range(60))
+    variant = base.replace("tok30", "changed")  # near-dup of doc 1
+    distinct = " ".join(f"other{i}" for i in range(40))
     return spark.createDataFrame(
         [
-            (1, base.strip()),
-            (2, base.strip()),        # exact dup of 1
-            (3, variant.strip()),     # near dup of 1
-            (4, distinct.strip()),
+            (1, base),
+            (2, base),       # exact dup of 1
+            (3, variant),    # near dup of 1
+            (4, distinct),
         ],
         "doc_id long, text string",
     )
@@ -448,3 +453,21 @@ def test_chunk_documents_hand_computed(spark):
     # doc 2 fits one chunk; empty doc 3 yields nothing
     assert [r.chunk_text for r in by_doc[2]] == ["a b"]
     assert 3 not in by_doc
+
+
+def test_chunk_udtf_parity_with_relational(spark):
+    """The Python-UDTF chunker and the relational chunker agree row
+    for row (the §2.8 extension surface keeps the engine contract)."""
+    from pyspark_recs.llmops.textstats import (
+        chunk_documents,
+        chunk_documents_udtf,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    rel = chunk_documents(docs, chunk=4, stride=3)
+    ext = chunk_documents_udtf(docs, chunk=4, stride=3)
+    assert rel.exceptAll(ext).count() == 0
+    assert ext.exceptAll(rel).count() == 0
