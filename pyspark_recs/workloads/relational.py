@@ -1073,6 +1073,37 @@ GROUP BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------- r38
+def r38_props_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-on-read over a real semi-structured column: extract a
+    typed field from the events ``props`` JSON at scan time and
+    aggregate it (P1's VARIANT-extraction semantics on a native table,
+    not the synthetic envelope). The cast happens before the shuffle, so
+    the exchange carries ints, never JSON text.
+    """
+    ev = load_table(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+R38_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS INTEGER) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS INTEGER) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -1111,6 +1142,7 @@ QUERIES = {
     "r35_trailing_window": r35_trailing_window,
     "r36_spend_deciles": r36_spend_deciles,
     "r37_incremental_rollup": r37_incremental_rollup,
+    "r38_props_extract": r38_props_extract,
 }
 
 ORACLE = {
@@ -1150,5 +1182,6 @@ ORACLE = {
     "r35_trailing_window": R35_SQL,
     "r36_spend_deciles": R36_SQL,
     "r37_incremental_rollup": R37_SQL,
+    "r38_props_extract": R38_SQL,
     # r27: HLL sketch — rows-only by design
 }
