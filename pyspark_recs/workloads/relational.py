@@ -1104,6 +1104,99 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------- r39
+def r39_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """Six-way snowflake join (TPC-H Q5 shape): revenue per nation where
+    the supplier and the customer sit in the same nation, for one
+    region. The deepest join tree in the suite — the query that
+    exercises Catalyst's join ordering and broadcast selection.
+
+    Scale: region/nation/customer/supplier are broadcast (dims);
+    lineitem⋈orders is the only fact⋈fact edge (bucket both on orderkey
+    to pre-pay it); the same-nation predicate rides the supplier
+    broadcast join, so no extra shuffle. The agg output is
+    nation-sized.
+    """
+    region = load_table(spark, sf, "region")
+    nation = load_table(spark, sf, "nation")
+    customer = load_table(spark, sf, "customer")
+    supplier = load_table(spark, sf, "supplier")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return joined.groupBy("n_name").agg(
+        dsum(revenue).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+R39_SQL = f"""
+SELECT n_name,
+       {sql_dsum('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------- r40
+def r40_small_order_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): revenue from
+    lineitems whose quantity is below 20% of their part's average —
+    written as SQL with the correlation so CATALYST does the
+    decorrelation (rewrites the subquery to an aggregate + join; the
+    reference delegates this class of rewrite to Snowflake, SURVEY §4).
+
+    Scale: the decorrelated form is a per-part aggregate (tiny, keyed
+    by partkey) broadcast back onto the fact scan — exactly the plan a
+    hand-written window/join would produce, with zero hand-writing.
+    """
+    for name in ("lineitem",):
+        load_table(spark, sf, name).createOrReplaceTempView(f"_r40_{name}")
+    return spark.sql(
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n_small,
+               CAST(sum(CAST(floor(l_extendedprice * 1000000.0 + 0.5)
+                        AS BIGINT)) AS DOUBLE) / 1000000.0 AS small_revenue
+        FROM _r40_lineitem l1
+        WHERE l_quantity < (
+            SELECT 0.2 * avg(l_quantity)
+            FROM _r40_lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey)
+        """
+    )
+
+
+R40_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_small,
+       CAST(sum(CAST(floor(l_extendedprice * 1000000.0 + 0.5)
+                AS BIGINT)) AS DOUBLE) / 1000000.0 AS small_revenue
+FROM lineitem l1
+WHERE l_quantity < (
+    SELECT 0.2 * avg(l_quantity)
+    FROM lineitem l2
+    WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -1143,6 +1236,8 @@ QUERIES = {
     "r36_spend_deciles": r36_spend_deciles,
     "r37_incremental_rollup": r37_incremental_rollup,
     "r38_props_extract": r38_props_extract,
+    "r39_local_supplier_volume": r39_local_supplier_volume,
+    "r40_small_order_parts": r40_small_order_parts,
 }
 
 ORACLE = {
@@ -1183,5 +1278,7 @@ ORACLE = {
     "r36_spend_deciles": R36_SQL,
     "r37_incremental_rollup": R37_SQL,
     "r38_props_extract": R38_SQL,
+    "r39_local_supplier_volume": R39_SQL,
+    "r40_small_order_parts": R40_SQL,
     # r27: HLL sketch — rows-only by design
 }

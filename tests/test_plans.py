@@ -162,3 +162,23 @@ def test_interval_join_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_deep_snowflake_join_broadcasts_all_dims(spark):
+    # r39 (TPC-H Q5 shape): all four dimension joins must broadcast (at
+    # sf0.001 the fact side also fits the threshold, so >= 4); nothing
+    # may plan as a cartesian product or shuffled dim join.
+    plan = plan_of(QUERIES["r39_local_supplier_volume"](spark, SF_DIR))
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) >= 4
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_correlated_subquery_decorrelates(spark):
+    # r40 (TPC-H Q17 shape): Catalyst must rewrite the correlated scalar
+    # subquery into an aggregate joined back — the plan contains a join
+    # and an aggregate, never a per-row subquery.
+    plan = plan_of(QUERIES["r40_small_order_parts"](spark, SF_DIR))
+    assert "Subquery" not in plan  # no per-row scalar subquery remains
+    assert re.search(r"^\(\d+\) (SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan, re.M)
+    assert "HashAggregate" in plan
