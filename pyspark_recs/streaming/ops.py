@@ -186,20 +186,30 @@ def streaming_stream_join(
     right_ts: str,
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join with an event-time bound —
-    the attribution join (impression ⋈ click within the window
+    """Watermarked stream-stream join with an event-time bound — the
+    attribution join (impression ⋈ click within the window
     ``[left_ts, left_ts + within]``). Column names other than ``key``
     must be disjoint between the two streams; the right key column is
     dropped from the output.
+
+    ``how='left_outer'`` additionally emits each unmatched left row
+    (right columns NULL) once the watermark passes its join window —
+    the "impression with no click" record a training pipeline labels as
+    a negative. Outer results are inherently late by ``watermark``:
+    they exist only because the engine can prove no future match can
+    arrive.
 
     Scale: Spark keeps both sides in the state store keyed by ``key``;
     the time-bound condition plus the watermarks let it evict state
     older than ``watermark + within`` instead of buffering the streams
     forever — unbounded state is the failure mode of an unconstrained
-    stream-stream join, so the time bound is mandatory here, not an
-    optimization.
+    stream-stream join, so the time bound is mandatory here (and a hard
+    requirement of the outer variant), not an optimization.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported stream-stream join type: {how}")
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     cond = (
@@ -210,7 +220,7 @@ def streaming_stream_join(
             <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
         )
     )
-    return l.join(r, cond, "inner").drop(F.col(f"r.{key}"))
+    return l.join(r, cond, how).drop(F.col(f"r.{key}"))
 
 
 def stream_to_kv_sink(

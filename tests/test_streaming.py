@@ -195,3 +195,57 @@ def test_streaming_stream_stream_join(spark, event_dir, tmp_path_factory, tmp_pa
         .collect()
     }
     assert pairs == exp
+
+
+def test_streaming_stream_join_left_outer(spark, tmp_path_factory, tmp_path):
+    """Left-outer attribution: impressions with no action within the
+    window emit with NULL action columns once the watermark passes —
+    the negative-label record. Flush rows in BOTH streams advance the
+    min-watermark; the join's outer emissions need it."""
+    from pyspark_recs.streaming import streaming_stream_join
+
+    imp_dir = str(tmp_path_factory.mktemp("imp_lo"))
+    act_dir = str(tmp_path_factory.mktemp("act_lo"))
+    imp = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7), (2, "2024-01-01 05:00:00", 8)],
+        "event_id long, ts_s string, user_id long",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    imp_flush = spark.createDataFrame(
+        [(99, "2024-03-01 00:00:00", 99)],
+        "event_id long, ts_s string, user_id long",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    act = spark.createDataFrame(
+        [(101, "2024-01-01 00:30:00", 7)],   # matches impression 1
+        "action_id long, ats_s string, user_id long",
+    ).withColumn("action_ts", F.to_timestamp("ats_s")).drop("ats_s")
+    act_flush = spark.createDataFrame(
+        [(198, "2024-03-01 00:00:00", 98)],
+        "action_id long, ats_s string, user_id long",
+    ).withColumn("action_ts", F.to_timestamp("ats_s")).drop("ats_s")
+    imp.write.parquet(imp_dir + "/b0")
+    imp_flush.write.parquet(imp_dir + "/b1")
+    act.write.parquet(act_dir + "/b0")
+    act_flush.write.parquet(act_dir + "/b1")
+
+    imp_stream = (
+        spark.readStream.schema(imp.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(imp_dir + "/b*")
+    )
+    act_stream = (
+        spark.readStream.schema(act.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(act_dir + "/b*")
+    )
+    out = _run_stream(
+        streaming_stream_join(
+            imp_stream, act_stream,
+            key="user_id", left_ts="ts", right_ts="action_ts",
+            within="1 hour", watermark="1 hour", how="left_outer",
+        ),
+        tmp_path,
+        mode="append",
+    )
+    got = {r.event_id: r.action_id for r in out.collect() if r.event_id != 99}
+    assert got[1] == 101     # matched within the window
+    assert got[2] is None    # no action -> outer row with NULL action
