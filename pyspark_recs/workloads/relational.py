@@ -1197,6 +1197,58 @@ WHERE l_quantity < (
 """
 
 
+# --------------------------------------------------------------------- r41
+def r41_sole_late_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): per
+    supplier, the number of orders where THEY shipped late (> 60 days
+    after the order date) and no other supplier on the same order did.
+    The classic EXISTS + NOT-EXISTS pair, expressed as ONE window pass:
+    a per-order count of late suppliers replaces both correlated
+    subqueries — at 100 TB that's one shuffle on the order key instead
+    of two additional self-joins of the fact table.
+    """
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    supplier = load_table(spark, sf, "supplier")
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("long")
+    per_supp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("supp_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    sole = per_supp.withColumn(
+        "n_late_supps", F.sum("supp_late").over(w)
+    ).filter((F.col("supp_late") == 1) & (F.col("n_late_supps") == 1))
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_sole_late_orders"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select("l_suppkey", "s_name", "n_sole_late_orders")
+    )
+
+
+R41_SQL = """
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS supp_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, l_suppkey),
+flagged AS (
+  SELECT l_orderkey, l_suppkey, supp_late,
+         sum(supp_late) OVER (PARTITION BY l_orderkey) AS n_late_supps
+  FROM per_supp)
+SELECT l_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_sole_late_orders
+FROM flagged JOIN supplier ON l_suppkey = s_suppkey
+WHERE supp_late = 1 AND n_late_supps = 1
+GROUP BY l_suppkey, s_name
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -1238,6 +1290,7 @@ QUERIES = {
     "r38_props_extract": r38_props_extract,
     "r39_local_supplier_volume": r39_local_supplier_volume,
     "r40_small_order_parts": r40_small_order_parts,
+    "r41_sole_late_supplier": r41_sole_late_supplier,
 }
 
 ORACLE = {
@@ -1280,5 +1333,6 @@ ORACLE = {
     "r38_props_extract": R38_SQL,
     "r39_local_supplier_volume": R39_SQL,
     "r40_small_order_parts": R40_SQL,
+    "r41_sole_late_supplier": R41_SQL,
     # r27: HLL sketch — rows-only by design
 }
