@@ -1249,6 +1249,56 @@ GROUP BY l_suppkey, s_name
 """
 
 
+# --------------------------------------------------------------------- r42
+def r42_json_quarantine(spark: SparkSession, sf: str) -> DataFrame:
+    """Malformed-input quarantine: rows whose JSON fails to parse are
+    counted into a quarantine bucket instead of poisoning the batch —
+    the ingestion-robustness pattern every schema-on-read pipeline
+    needs (a bad producer must not fail the load; SURVEY §1.3's
+    "missing keys become NULL" generalized to unparseable payloads).
+    Corruption is planted deterministically (every 7th event loses its
+    closing brace) so the oracle sees identical inputs.
+
+    Scale: pure projection + one aggregate; the quarantine verdict is
+    computed at scan time, so bad rows are countable without a second
+    pass, and routing them to a side table is the same expression in a
+    foreachBatch sink.
+    """
+    ev = load_table(spark, sf, "events")
+    mangled = F.when(
+        F.col("event_id") % 7 == 0,
+        F.substring(F.col("props"), 1, F.length("props") - 2),
+    ).otherwise(F.col("props"))
+    k = F.get_json_object(mangled, "$.k").cast("int")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("k").isNull().cast("long")).alias("n_quarantined"),
+        F.sum(F.coalesce(F.col("k"), F.lit(0))).alias("sum_k_good"),
+    )
+
+
+R42_SQL = """
+WITH m AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0
+              THEN substring(props, 1, length(props) - 2)
+              ELSE props END AS props
+  FROM events),
+p AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+              ELSE NULL END AS k
+  FROM m)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quarantined,
+       CAST(sum(coalesce(k, 0)) AS BIGINT) AS sum_k_good
+FROM p
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -1291,6 +1341,7 @@ QUERIES = {
     "r39_local_supplier_volume": r39_local_supplier_volume,
     "r40_small_order_parts": r40_small_order_parts,
     "r41_sole_late_supplier": r41_sole_late_supplier,
+    "r42_json_quarantine": r42_json_quarantine,
 }
 
 ORACLE = {
@@ -1334,5 +1385,6 @@ ORACLE = {
     "r39_local_supplier_volume": R39_SQL,
     "r40_small_order_parts": R40_SQL,
     "r41_sole_late_supplier": R41_SQL,
+    "r42_json_quarantine": R42_SQL,
     # r27: HLL sketch — rows-only by design
 }
