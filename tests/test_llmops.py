@@ -471,3 +471,34 @@ def test_chunk_udtf_parity_with_relational(spark):
     ext = chunk_documents_udtf(docs, chunk=4, stride=3)
     assert rel.exceptAll(ext).count() == 0
     assert ext.exceptAll(rel).count() == 0
+
+
+def test_prepare_corpus_end_to_end(spark):
+    """The corpus-prep flow: junk filtered by rules, near-dups
+    collapsed to one representative, survivors chunked and packed."""
+    from pyspark_recs.llmops.pipeline import prepare_corpus
+
+    good = "the quick brown fox is happy to see a dog in the park " * 3
+    near = good.replace("happy", "glad")
+    docs = spark.createDataFrame(
+        [
+            (1, good.strip(), "s1"),
+            (2, good.strip(), "s1"),   # exact dup -> collapses into 1
+            (3, near.strip(), "s2"),   # near dup  -> collapses into 1
+            (4, "too short", "s2"),    # fails the quality rules
+            (5, ("the fox and the dog and the owl and the elk are here "
+                 * 3).strip(), "s2"),  # distinct survivor
+        ],
+        "doc_id long, text string, source string",
+    )
+    res = prepare_corpus(docs, neardup_threshold=0.5)
+    assert {r.doc_id for r in res.kept.select("doc_id").collect()} == {1, 2, 3, 5}
+    assert {r.doc_id for r in res.canonical.select("doc_id").collect()} == {1, 5}
+    funnel = {r.stage: r.n_docs for r in res.funnel.collect()}
+    assert funnel["input"] == 5
+    assert funnel["quality_kept"] == 4
+    assert funnel["canonical"] == 2
+    assert funnel["chunks"] >= 2
+    # packing covers every canonical doc exactly once
+    assert res.packed.count() == 2
+    assert res.chunks.filter(F.col("doc_id") == 4).count() == 0
