@@ -122,3 +122,45 @@ def test_pack_sequences_invariants(spark, docs):
         for _, _, n, b in group:
             assert b == cum // capacity
             cum += n
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=9), min_size=0, max_size=30
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    chunk=st.integers(min_value=2, max_value=8),
+)
+@settings(**SETTINGS)
+def test_chunk_documents_invariants(spark, docs, chunk):
+    """Chunking covers every token in order: concatenating each doc's
+    chunks with the stride overlap removed reconstructs the document
+    exactly, chunk sizes never exceed the budget, and indexes are
+    dense from 0."""
+    from pyspark_recs.llmops.textstats import chunk_documents
+
+    stride = max(1, chunk - 2)
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, chunk=chunk, stride=stride).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, toks in enumerate(docs):
+        words = [f"w{t}" for t in toks]
+        got = sorted(by_doc.get(i, []), key=lambda r: r.chunk_idx)
+        if not words:
+            assert got == []
+            continue
+        assert [r.chunk_idx for r in got] == list(range(len(got)))
+        rebuilt = []
+        for r in got:
+            piece = r.chunk_text.split(" ")
+            assert len(piece) == r.chunk_tokens <= chunk
+            rebuilt.extend(piece[len(rebuilt) - r.chunk_idx * stride:])
+        assert rebuilt == words
