@@ -1299,6 +1299,99 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------- r43
+def r43_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional-aggregate market share (TPC-H Q8 shape): one
+    nation's share of total revenue per order year, computed as a
+    CASE-gated fixed-point sum over the SAME aggregation pass — one
+    scan, one shuffle, no self-join of the fact table. The share is a
+    division of two exact integer sums, so it is bit-identical across
+    engines and partitionings.
+    """
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    supplier = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    rev_q = F.floor(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+    )
+    gated = F.when(F.col("n_name") == "NATION_3", rev_q).otherwise(F.lit(0))
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            (F.sum(rev_q).cast("double") / F.lit(1e6)).alias("total_revenue"),
+            (F.sum(gated).cast("double") / F.lit(1e6)).alias("nation_revenue"),
+            (
+                F.sum(gated).cast("double") / F.sum(rev_q).cast("double")
+            ).alias("mkt_share"),
+        )
+    )
+
+
+R43_SQL = """
+WITH q AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+         CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0 + 0.5)
+              AS BIGINT) AS rev_q,
+         n_name
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey)
+SELECT order_year,
+       CAST(sum(rev_q) AS DOUBLE) / 1000000.0 AS total_revenue,
+       CAST(sum(CASE WHEN n_name = 'NATION_3' THEN rev_q ELSE 0 END)
+            AS DOUBLE) / 1000000.0 AS nation_revenue,
+       CAST(sum(CASE WHEN n_name = 'NATION_3' THEN rev_q ELSE 0 END)
+            AS DOUBLE) / CAST(sum(rev_q) AS DOUBLE) AS mkt_share
+FROM q GROUP BY order_year
+"""
+
+
+# --------------------------------------------------------------------- r44
+def r44_custdist(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-count distribution (TPC-H Q13 shape): how many customers
+    placed exactly N orders, INCLUDING the zero-order customers the
+    inner-join queries never see (the left join is the point). Two
+    chained aggregations: per-customer count, then the histogram.
+
+    Scale: the left join shuffles on the customer key; the histogram
+    input is one row per customer, so the second shuffle is tiny. The
+    zero bucket is the classic silent-loss site — dropping it
+    understates the cold-start population every recsys metric needs.
+    """
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    per_cust = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+R44_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS n_customers
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -1342,6 +1435,8 @@ QUERIES = {
     "r40_small_order_parts": r40_small_order_parts,
     "r41_sole_late_supplier": r41_sole_late_supplier,
     "r42_json_quarantine": r42_json_quarantine,
+    "r43_market_share": r43_market_share,
+    "r44_custdist": r44_custdist,
 }
 
 ORACLE = {
@@ -1386,5 +1481,7 @@ ORACLE = {
     "r40_small_order_parts": R40_SQL,
     "r41_sole_late_supplier": R41_SQL,
     "r42_json_quarantine": R42_SQL,
+    "r43_market_share": R43_SQL,
+    "r44_custdist": R44_SQL,
     # r27: HLL sketch — rows-only by design
 }
