@@ -1392,6 +1392,54 @@ GROUP BY c_count
 """
 
 
+# --------------------------------------------------------------------- r45
+def r45_dominant_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-join chain (TPC-H Q20 shape): suppliers who shipped more
+    than half of some part's total volume, listed with how many parts
+    they dominate. The per-part share comes from one window over the
+    (part, supplier) rollup — the fact table aggregates once and never
+    self-joins.
+
+    Scale: fact → (part, supplier) rollup is one map-side-combined
+    shuffle; the window partitions by part over rollup rows (items x
+    suppliers-per-item, far smaller than the facts); the supplier join
+    broadcasts.
+    """
+    li = load_table(spark, sf, "lineitem")
+    supplier = load_table(spark, sf, "supplier")
+    q = F.floor(F.col("l_quantity") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(q).alias("supp_qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = per_ps.withColumn(
+        "part_qty", F.sum("supp_qty").over(w)
+    ).filter(F.col("supp_qty") * 2 > F.col("part_qty"))
+    return (
+        dominant.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select("l_suppkey", "s_name", "n_dominated_parts")
+    )
+
+
+R45_SQL = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT))
+           AS supp_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+flagged AS (
+  SELECT l_partkey, l_suppkey, supp_qty,
+         sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+  FROM per_ps)
+SELECT l_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_dominated_parts
+FROM flagged JOIN supplier ON l_suppkey = s_suppkey
+WHERE supp_qty * 2 > part_qty
+GROUP BY l_suppkey, s_name
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -1437,6 +1485,7 @@ QUERIES = {
     "r42_json_quarantine": r42_json_quarantine,
     "r43_market_share": r43_market_share,
     "r44_custdist": r44_custdist,
+    "r45_dominant_suppliers": r45_dominant_suppliers,
 }
 
 ORACLE = {
@@ -1483,5 +1532,6 @@ ORACLE = {
     "r42_json_quarantine": R42_SQL,
     "r43_market_share": R43_SQL,
     "r44_custdist": R44_SQL,
+    "r45_dominant_suppliers": R45_SQL,
     # r27: HLL sketch — rows-only by design
 }
