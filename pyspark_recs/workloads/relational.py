@@ -1440,6 +1440,60 @@ GROUP BY l_suppkey, s_name
 """
 
 
+# --------------------------------------------------------------------- r46
+def r46_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Global-scalar threshold + anti-join (TPC-H Q22 shape): per
+    nation, the customers whose account balance beats the positive-
+    balance average but who never placed an order — the lapsed-
+    high-value segment. The threshold is a 1-row broadcast (never a
+    per-row subquery) and the "never ordered" test is a left-anti join.
+
+    The average is a fixed-point sum over exact doubles, so the
+    threshold — and therefore every comparison against it — is
+    bit-identical across engines and partitionings (an order-dependent
+    double avg would make the kept row SET itself nondeterministic,
+    not just a trailing digit).
+    """
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    q = F.floor(F.col("c_acctbal") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    thr = (
+        customer.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(q).cast("double") / F.lit(1e6) / F.count(F.lit(1))
+            ).alias("thr")
+        )
+    )
+    rich = customer.crossJoin(F.broadcast(thr)).filter(
+        F.col("c_acctbal") > F.col("thr")
+    )
+    idle = rich.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum(q).cast("double") / F.lit(1e6)).alias("total_balance"),
+    )
+
+
+R46_SQL = """
+WITH thr AS (
+  SELECT CAST(sum(CAST(floor(c_acctbal * 1000000.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1000000.0 / count(*) AS thr
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(floor(c_acctbal * 1000000.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 1000000.0 AS total_balance
+FROM customer, thr
+WHERE c_acctbal > thr
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -1486,6 +1540,7 @@ QUERIES = {
     "r43_market_share": r43_market_share,
     "r44_custdist": r44_custdist,
     "r45_dominant_suppliers": r45_dominant_suppliers,
+    "r46_idle_rich_customers": r46_idle_rich_customers,
 }
 
 ORACLE = {
@@ -1533,5 +1588,6 @@ ORACLE = {
     "r43_market_share": R43_SQL,
     "r44_custdist": R44_SQL,
     "r45_dominant_suppliers": R45_SQL,
+    "r46_idle_rich_customers": R46_SQL,
     # r27: HLL sketch — rows-only by design
 }
