@@ -800,6 +800,39 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------- l28
+def l28_type_token_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary richness per source: distinct tokens / total tokens
+    (type-token ratio) — low TTR flags templated/boilerplate sources
+    before any per-document filter runs; the corpus-level sibling of
+    l22's per-document repetition stats.
+
+    Scale: explode + one shuffle on (source, token) for the distinct,
+    then a source-sized rollup; token text crosses the wire once.
+    """
+    docs = load_table(spark, sf, "documents")
+    flat = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    return flat.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_types"),
+        (F.countDistinct("token").cast("double") / F.count(F.lit(1))).alias(
+            "ttr"
+        ),
+    )
+
+
+L28_SQL = f"""
+WITH toks AS ({_TOKS}),
+flat AS (SELECT source, unnest(words) AS token FROM toks)
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT token) AS BIGINT) AS n_types,
+       CAST(count(DISTINCT token) AS DOUBLE) / count(*) AS ttr
+FROM flat GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------- l26
 def l26_source_mixture(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature-based corpus mixing weights per source:
@@ -875,6 +908,7 @@ QUERIES = {
     "l25_scalar_quantize": l25_scalar_quantize,
     "l26_source_mixture": l26_source_mixture,
     "l27_chunk_documents": l27_chunk_documents,
+    "l28_type_token_ratio": l28_type_token_ratio,
 }
 
 ORACLE = {
@@ -905,4 +939,5 @@ ORACLE = {
     "l25_scalar_quantize": L25_SQL,
     "l26_source_mixture": L26_SQL,
     "l27_chunk_documents": L27_SQL,
+    "l28_type_token_ratio": L28_SQL,
 }
