@@ -269,7 +269,10 @@ def connected_components(
     lineage — at 100 TB swap cache for localCheckpoint.
 
     Output: (node, label) for every node in ``nodes``; singletons label
-    themselves.
+    themselves.  Raises ``RuntimeError`` if ``max_iter`` rounds pass
+    without convergence — silently returning split components would make
+    dedup quietly under-merge.  Intermediate caches are unpersisted each
+    round; only the returned labels stay cached for the caller.
     """
     # Materialize the edge list once — it is consumed every iteration
     # (join + convergence check), and recomputing its upstream (LSH +
@@ -283,6 +286,8 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     )
+    converged = False
+    prev_cached = None
     for _ in range(max_iter):
         neighbor_labels = sym.join(
             labels, sym["b"] == labels["node"]
@@ -300,7 +305,20 @@ def connected_components(
             .filter(F.col("label") != F.col("old"))
             .count()
         )
+        # The convergence-check count materialized new_labels, so the
+        # previous round's cache is dead weight from here on.
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = new_labels
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "a component has diameter > max_iter and would be silently "
+            "split — raise max_iter"
+        )
     return labels

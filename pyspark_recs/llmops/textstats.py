@@ -60,8 +60,12 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     avg_token_len = total_len.cast("double") / n_tokens
     n_chars = F.length(F.col(text_col))
+    # Letters of either case count as letters — stripping only [a-z0-9 ]
+    # would score uppercase (and any mixed-case) text as punctuation.
     punct_ratio = (
-        F.length(F.regexp_replace(F.col(text_col), "[a-z0-9 ]", "")).cast("double")
+        F.length(
+            F.regexp_replace(F.col(text_col), "[A-Za-z0-9 ]", "")
+        ).cast("double")
         / n_chars
     )
     stop_ratio = en_stopword_ratio(words)

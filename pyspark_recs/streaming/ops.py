@@ -233,9 +233,16 @@ def stream_to_kv_sink(
     through the same pluggable putter as the batch kv_export."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        rows = [r.asDict() for r in batch_df.collect()]
-        if rows:
-            put_batch(rows)
+        # Executor-side writes, mirroring the batch kv_export
+        # (io/sinks.py): each partition pushes its own rows through the
+        # pluggable putter, so a large micro-batch never funnels through
+        # the driver.
+        def _put_partition(rows) -> None:
+            batch = [r.asDict() for r in rows]
+            if batch:
+                put_batch(batch)
+
+        batch_df.foreachPartition(_put_partition)
 
     writer = (
         stream.writeStream.foreachBatch(_sink)

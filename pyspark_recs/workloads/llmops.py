@@ -257,7 +257,7 @@ m AS (
          CAST(len(words) AS INTEGER) AS n_tokens,
          CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
            / len(words) AS avg_token_len,
-         CAST(length(regexp_replace(d.text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         CAST(length(regexp_replace(d.text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
            / length(d.text) AS punct_ratio,
          CAST(len(list_filter(words, w -> w IN ({_STOPLIST}))) AS DOUBLE)
            / len(words) AS stopword_ratio

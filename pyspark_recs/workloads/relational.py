@@ -722,13 +722,34 @@ FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 100
 # --------------------------------------------------------------------- r27
 def r27_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """approx_count_distinct (HLL++) — the sketch the 100 TB path uses
-    instead of r25's exact expand. Engine sketches differ, so no SQL
-    oracle (rows-only); the relative-error bound vs r25 is asserted in
-    tests."""
+    instead of r25's exact expand. Engine sketches differ, so the
+    comparable output is a *bounded* check: the exact distinct count
+    (which DuckDB reproduces) plus a boolean asserting the HLL estimate
+    landed within 4·rsd of it. The sketch runs for real Spark-side; a
+    broken sketch flips ``within_bound`` and hash-fails the gate."""
     orders = load_table(spark, sf, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    rsd = 0.02
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=rsd).alias("approx"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
     )
+    within = (
+        F.abs(F.col("approx") - F.col("exact_customers"))
+        <= F.lit(4.0 * rsd) * F.col("exact_customers")
+    )
+    return agg.select(
+        "o_orderpriority",
+        "exact_customers",
+        within.alias("within_bound"),
+    )
+
+
+R27_SQL = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS within_bound
+FROM orders GROUP BY o_orderpriority
+"""
 
 
 # --------------------------------------------------------------------- r28
@@ -1589,5 +1610,6 @@ ORACLE = {
     "r44_custdist": R44_SQL,
     "r45_dominant_suppliers": R45_SQL,
     "r46_idle_rich_customers": R46_SQL,
-    # r27: HLL sketch — rows-only by design
+    # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
+    "r27_approx_distinct": R27_SQL,
 }

@@ -6,6 +6,7 @@ availableNow triggers.
 
 from __future__ import annotations
 
+import json
 import pytest
 from pyspark.sql import functions as F
 
@@ -81,16 +82,35 @@ def test_stream_to_kv_sink(spark, event_dir, tmp_path):
     stream = read_event_stream(spark, path, schema)
     agg = streaming_tumbling_agg(stream, window="1 day", watermark="2 days")
 
-    captured = []
+    # put_batch runs on executors (foreachPartition inside foreachBatch),
+    # so capture via the filesystem — same pattern as the batch kv_export
+    # test and a real KV client.
+    out_dir = tmp_path / "kv_puts"
+    out_dir.mkdir()
+
+    def put_batch(items):
+        import os
+        import uuid
+
+        p = out_dir / f"{os.getpid()}-{uuid.uuid4().hex}.jsonl"
+        with open(p, "w") as f:
+            for item in items:
+                f.write(json.dumps(item) + "\n")
+
     q = stream_to_kv_sink(
         agg.select(
             F.col("event_type").alias("userId"),
             F.col("n_events").cast("string").alias("recs"),
         ),
-        captured.extend,
+        put_batch,
         checkpoint_dir=str(tmp_path / "kv_ckpt"),
     )
     q.awaitTermination(120)
+    captured = [
+        json.loads(line)
+        for p in out_dir.glob("*.jsonl")
+        for line in p.read_text().splitlines()
+    ]
     assert len(captured) >= 2  # one row per (day, type) reaching the sink
     assert {r["userId"] for r in captured} == {"click", "view"}
 
