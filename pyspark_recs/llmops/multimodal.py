@@ -139,6 +139,157 @@ def frame_sample(
     )
 
 
+FETCHED_SCHEMA = (
+    "doc_id bigint, url string, status string, payload binary, n_attempts int"
+)
+
+
+def synthesize_image_urls(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build the per-row asset URL the fetch stage pulls (the reference
+    derives S3/HTTP image URLs per article before CLIP-encoding them,
+    app_utils.py:10-26, my_merlin_flow.py:586-599)."""
+    return df.select(
+        F.col(id_col),
+        F.concat(
+            F.lit("https://img.example.com/"),
+            F.col(id_col).cast("string"),
+            F.lit(".jpg"),
+        ).alias("url"),
+    )
+
+
+def fake_http_fetcher(url: str, attempt: int) -> bytes:
+    """Deterministic stand-in for an HTTP GET (the container has no
+    network): payload = the URL's ascii bytes. Simulates the two failure
+    modes a real fetcher hits — a permanent 404 (asset ids divisible by
+    13 always raise) and a transient 5xx (ids divisible by 11 raise on
+    the first attempt only, succeeding on retry) — so the retry and
+    dead-letter paths are exercised and oracle-checkable."""
+    asset_id = int(url.rsplit("/", 1)[1].split(".")[0])
+    if asset_id % 13 == 0:
+        raise IOError(f"404 not found: {url}")
+    if asset_id % 11 == 0 and attempt == 0:
+        raise IOError(f"503 transient: {url}")
+    return url.encode("ascii")
+
+
+def http_fetcher(timeout: float = 5.0):
+    """Real fetcher factory for production use (app_utils.py:14-20):
+    stdlib urllib, constructed inside the closure so it pickles to
+    executors. Same ``(url, attempt) -> bytes`` contract as the fake."""
+
+    def fetch(url: str, attempt: int) -> bytes:
+        import urllib.request
+
+        with urllib.request.urlopen(url, timeout=timeout) as resp:
+            return resp.read()
+
+    return fetch
+
+
+def fetch_payloads(
+    df: DataFrame,
+    fetcher=fake_http_fetcher,
+    max_attempts: int = 3,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """HTTP-fetch source (S11, app_utils.py:14-20): Arrow-batched
+    ``mapInPandas`` pull of binary assets with bounded retry; permanent
+    failures become ``status='dead_letter'`` rows (payload NULL) instead
+    of failing the job — route them to a side table downstream.
+
+    Scale: fetches run partition-parallel on executors (the reference
+    parallelizes the same loop with joblib on one box,
+    my_merlin_flow.py:592-599); no driver involvement, no shuffle. Size
+    partitions so per-task fetch counts amortize connection setup, and
+    repartition upstream if the URL list arrives in few files."""
+
+    def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, statuses, attempts = [], [], []
+            for url in pdf[url_col]:
+                payload, used = None, 0
+                for attempt in range(max_attempts):
+                    used = attempt + 1
+                    try:
+                        payload = fetcher(url, attempt)
+                        break
+                    except Exception:
+                        continue
+                payloads.append(payload)
+                statuses.append("ok" if payload is not None else "dead_letter")
+                attempts.append(used)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "url": pdf[url_col].values,
+                    "status": statuses,
+                    "payload": payloads,
+                    "n_attempts": attempts,
+                }
+            )
+
+    return df.select(id_col, url_col).mapInPandas(
+        fetch_batches, schema=FETCHED_SCHEMA
+    )
+
+
+ENCODED_SCHEMA = "doc_id bigint, embedding array<double>"
+ENCODER_DIM = 8
+
+
+def tiny_image_encoder(payloads) -> list:
+    """Pure-python deterministic "model": the pluggable-encoder demo
+    standing in for CLIP (my_merlin_flow.py:586-599). Batched contract —
+    a sequence of byte payloads in, one L2-normalized vector per payload
+    out — exactly the signature a real model forward pass uses inside
+    the pandas UDF; swap this callable for
+    ``lambda ps: clip_model.encode_image(decode(ps))`` in production.
+
+    The "model": stride-sample ``ENCODER_DIM`` bytes, scale to [0,1],
+    L2-normalize with a fixed-point norm (integer-fold sum of squares)
+    so the output is bit-identical across engines and batch shapes."""
+    import math
+
+    out = []
+    for payload in payloads:
+        n = len(payload)
+        if n < ENCODER_DIM:
+            out.append(None)
+            continue
+        stride = n // ENCODER_DIM
+        raw = [payload[j * stride] / 255.0 for j in range(ENCODER_DIM)]
+        sumsq = sum(math.floor(x * x * 1e12 + 0.5) for x in raw) / 1e12
+        norm = math.sqrt(sumsq)
+        out.append([x / norm for x in raw] if norm > 0 else None)
+    return out
+
+
+def encode_payloads(
+    df: DataFrame, encoder=tiny_image_encoder, payload_col: str = "payload"
+) -> DataFrame:
+    """Model-encode binary payloads into embeddings (M7): Arrow-batched
+    ``mapInPandas`` around a pluggable batched encoder. Rows the encoder
+    rejects (too-short payloads) are dropped — dead-letter them upstream
+    via ``fetch_payloads`` status instead.
+
+    Scale: the model runs once per Arrow batch (set
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` to the model's
+    optimal batch size); payload bytes never cross a shuffle — prune to
+    (id, embedding) immediately after this operator."""
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = encoder(pdf[payload_col])
+            out = pd.DataFrame({"doc_id": pdf["doc_id"].values, "embedding": vecs})
+            yield out[out["embedding"].notna()]
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        encode_batches, schema=ENCODED_SCHEMA
+    )
+
+
 FEATURES_SCHEMA = "doc_id bigint, features array<double>"
 
 

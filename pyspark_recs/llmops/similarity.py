@@ -85,6 +85,44 @@ def cosine_topk_bruteforce(
     )
 
 
+def crossmodal_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    item_id: str = "doc_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Text→image retrieval ranking (the reference scores CLIP text
+    embeddings against item-image embeddings and takes the best matches,
+    `src/app/pred_inspector.py:94-108`): per query, top-k items by
+    cosine. Both sides are unit-norm by encoder contract, so cosine =
+    dot product — one fixed-point fold per pair, no norm recompute.
+
+    Scale: the prompt side is tiny (user queries) → broadcast; the item
+    scan is embarrassingly parallel and per-query top-k prunes to O(Q·k)
+    rows per task before the window shuffle (WindowGroupLimit). For
+    billion-item catalogs swap the scan for ``ivf_topk`` blocking with
+    the same scoring expression.
+    """
+    pairs = items.select(
+        F.col(item_id), F.col(vec_col).alias("iv")
+    ).crossJoin(
+        F.broadcast(
+            queries.select(F.col(query_id), F.col(vec_col).alias("qv"))
+        )
+    )
+    scored = pairs.select(
+        query_id,
+        item_id,
+        _fixed_dot(F.col("iv"), F.col("qv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.asc(item_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,

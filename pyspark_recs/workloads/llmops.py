@@ -22,12 +22,16 @@ from pyspark_recs.llmops import (
 )
 from pyspark_recs.llmops.multimodal import (
     decode_metadata,
+    encode_payloads,
     extract_features,
+    fetch_payloads,
     frame_sample,
     resize_payload,
+    synthesize_image_urls,
     with_binary_payload,
 )
 from pyspark_recs.llmops.similarity import (
+    crossmodal_topk,
     embedding_neardup_pairs,
     ivf_topk,
     lsh_topk,
@@ -880,6 +884,120 @@ FROM w
 """
 
 
+# --------------------------------------------------------------------- l29
+def l29_image_fetch_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Image fetch → encode path (S11 + M7, app_utils.py:10-26 +
+    my_merlin_flow.py:586-599): synthesize per-doc asset URLs, fetch
+    bytes with bounded retry (transient failures retry, permanent ones
+    dead-letter), then model-encode the fetched payloads into unit-norm
+    embeddings via the pluggable batched-encoder pandas-UDF contract.
+    Dead-lettered rows surface with NULL embedding instead of failing
+    the batch."""
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    fetched = fetch_payloads(synthesize_image_urls(docs))
+    encoded = encode_payloads(fetched.filter(F.col("status") == "ok"))
+    return fetched.select(
+        "doc_id",
+        "status",
+        "n_attempts",
+        F.coalesce(F.length("payload"), F.lit(0)).cast("int").alias("n_bytes"),
+    ).join(encoded, "doc_id", "left")
+
+
+def _tiny_enc_sql(s: str) -> str:
+    """DuckDB twin of multimodal.tiny_image_encoder over ascii string
+    ``s``: stride-sample 8 bytes → /255 → L2-normalize with the
+    fixed-point norm."""
+    return (
+        f"list_transform(range(0, 8), j -> "
+        f"CAST(unicode(substr({s}, CAST(j * (length({s}) // 8) AS INTEGER) + 1, 1)) "
+        f"AS DOUBLE) / 255.0)"
+    )
+
+
+_NORMALIZE_SQL = (
+    "list_transform(raw, x -> x / sqrt(" + _FIXED_DOT.format(a="raw", b="raw") + "))"
+)
+
+L29_SQL = f"""
+WITH u AS (
+  SELECT doc_id,
+         'https://img.example.com/' || CAST(doc_id AS VARCHAR) || '.jpg' AS url
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN 'dead_letter' ELSE 'ok' END AS status,
+         CAST(CASE WHEN doc_id % 13 = 0 THEN 3
+                   WHEN doc_id % 11 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_attempts,
+         CAST(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE length(url) END AS INTEGER)
+           AS n_bytes,
+         CASE WHEN doc_id % 13 = 0 THEN NULL ELSE url END AS s
+  FROM u),
+r AS (
+  SELECT doc_id, status, n_attempts, n_bytes,
+         CASE WHEN s IS NULL THEN NULL ELSE {_tiny_enc_sql('s')} END AS raw
+  FROM f)
+SELECT doc_id, status, n_attempts, n_bytes,
+       CASE WHEN raw IS NULL THEN NULL ELSE {_NORMALIZE_SQL} END AS embedding
+FROM r
+"""
+
+
+# --------------------------------------------------------------------- l30
+_SEARCH_PROMPTS = ["red summer dress", "leather ankle boots", "floral print blouse"]
+
+
+def l30_text_image_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Text→image similarity search (pred_inspector.py:94-108): encode
+    text prompts with the same pluggable encoder as the image payloads
+    (the CLIP joint-space contract), then rank each prompt's top-5
+    images by cosine via the broadcast cross-modal scorer."""
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    images = encode_payloads(
+        fetch_payloads(synthesize_image_urls(docs)).filter(
+            F.col("status") == "ok"
+        )
+    )
+    prompts = spark.createDataFrame(
+        list(enumerate(_SEARCH_PROMPTS)), "query_id bigint, prompt string"
+    )
+    qvecs = encode_payloads(
+        prompts.select(
+            F.col("query_id").alias("doc_id"),
+            F.encode("prompt", "utf-8").alias("payload"),
+        )
+    ).select(F.col("doc_id").alias("query_id"), "embedding")
+    return crossmodal_topk(images, qvecs, k=5)
+
+
+_PROMPT_VALUES = ", ".join(
+    f"({i}, '{p}')" for i, p in enumerate(_SEARCH_PROMPTS)
+)
+
+L30_SQL = f"""
+WITH u AS (
+  SELECT doc_id,
+         'https://img.example.com/' || CAST(doc_id AS VARCHAR) || '.jpg' AS s
+  FROM documents WHERE doc_id % 13 <> 0),
+ir AS (SELECT doc_id, {_tiny_enc_sql('s')} AS raw FROM u),
+img AS (SELECT doc_id, {_NORMALIZE_SQL} AS iv FROM ir),
+p(query_id, s) AS (VALUES {_PROMPT_VALUES}),
+pr AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+              {_tiny_enc_sql('s')} AS raw FROM p),
+q AS (SELECT query_id, {_NORMALIZE_SQL} AS qv FROM pr),
+scored AS (
+  SELECT query_id, doc_id,
+         {_FIXED_DOT.format(a='iv', b='qv')} AS cos_sim
+  FROM img, q)
+SELECT query_id, doc_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, doc_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, doc_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -909,6 +1027,8 @@ QUERIES = {
     "l26_source_mixture": l26_source_mixture,
     "l27_chunk_documents": l27_chunk_documents,
     "l28_type_token_ratio": l28_type_token_ratio,
+    "l29_image_fetch_encode": l29_image_fetch_encode,
+    "l30_text_image_search": l30_text_image_search,
 }
 
 ORACLE = {
@@ -940,4 +1060,6 @@ ORACLE = {
     "l26_source_mixture": L26_SQL,
     "l27_chunk_documents": L27_SQL,
     "l28_type_token_ratio": L28_SQL,
+    "l29_image_fetch_encode": L29_SQL,
+    "l30_text_image_search": L30_SQL,
 }

@@ -502,3 +502,99 @@ def test_prepare_corpus_end_to_end(spark):
     # packing covers every canonical doc exactly once
     assert res.packed.count() == 2
     assert res.chunks.filter(F.col("doc_id") == 4).count() == 0
+
+
+def test_fetch_payloads_retry_and_dead_letter(spark):
+    from pyspark_recs.llmops.multimodal import (
+        fetch_payloads,
+        synthesize_image_urls,
+    )
+
+    docs = spark.createDataFrame(
+        [(7,), (11,), (13,), (143,)], "doc_id bigint"
+    )
+    rows = {
+        r.doc_id: r
+        for r in fetch_payloads(synthesize_image_urls(docs)).collect()
+    }
+    assert rows[7].status == "ok" and rows[7].n_attempts == 1
+    # transient failure: succeeds on the second attempt
+    assert rows[11].status == "ok" and rows[11].n_attempts == 2
+    # permanent failure: exhausts retries, dead-lettered, payload NULL
+    assert rows[13].status == "dead_letter" and rows[13].n_attempts == 3
+    assert rows[13].payload is None
+    assert rows[143].status == "dead_letter"  # 143 = 11*13 -> permanent
+    assert bytes(rows[7].payload) == b"https://img.example.com/7.jpg"
+
+
+def test_fetch_payloads_pluggable_fetcher(spark):
+    """The fetcher contract is pluggable: a custom (url, attempt) ->
+    bytes callable replaces the fake — the seam where a real HTTP GET
+    (urllib/requests) plugs in."""
+    from pyspark_recs.llmops.multimodal import fetch_payloads
+
+    df = spark.createDataFrame(
+        [(1, "u://a"), (2, "u://b")], "doc_id bigint, url string"
+    )
+
+    def fetcher(url, attempt):
+        return url[-1].encode() * 3
+
+    rows = {r.doc_id: bytes(r.payload) for r in fetch_payloads(df, fetcher).collect()}
+    assert rows == {1: b"aaa", 2: b"bbb"}
+
+
+def test_encode_payloads_unit_norm_and_pluggable(spark):
+    import math
+
+    from pyspark_recs.llmops.multimodal import (
+        ENCODER_DIM,
+        encode_payloads,
+        tiny_image_encoder,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"the quick brown fox jumps"), (2, b"short")],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r.doc_id: r.embedding for r in encode_payloads(df).collect()}
+    # too-short payload dropped; embedding is unit-norm, ENCODER_DIM wide
+    assert set(rows) == {1}
+    assert len(rows[1]) == ENCODER_DIM
+    assert abs(math.sqrt(sum(x * x for x in rows[1])) - 1.0) < 1e-9
+    # spark result == driving the batched encoder contract directly
+    assert rows[1] == tiny_image_encoder([b"the quick brown fox jumps"])[0]
+
+    # pluggable: swap the model for a constant-vector "encoder"
+    def const_encoder(payloads):
+        return [[1.0, 0.0] for _ in payloads]
+
+    got = encode_payloads(df, encoder=const_encoder).collect()
+    assert all(r.embedding == [1.0, 0.0] for r in got)
+
+
+def test_text_image_search_ranks_self_prompt_first(spark):
+    """Planted structure: an image whose payload IS the prompt's bytes
+    must rank first for that prompt (identical vectors, cosine 1)."""
+    from pyspark_recs.llmops.multimodal import encode_payloads
+    from pyspark_recs.llmops.similarity import crossmodal_topk
+
+    prompts = ["red summer dress", "leather ankle boots"]
+    images = spark.createDataFrame(
+        [(100, prompts[0].encode()), (200, prompts[1].encode())]
+        + [(300 + i, f"unrelated payload number {i}".encode()) for i in range(5)],
+        "doc_id bigint, payload binary",
+    )
+    qdf = spark.createDataFrame(
+        [(i, p.encode()) for i, p in enumerate(prompts)],
+        "doc_id bigint, payload binary",
+    )
+    ivecs = encode_payloads(images)
+    qvecs = encode_payloads(qdf).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    top = {
+        r.query_id: r.doc_id
+        for r in crossmodal_topk(ivecs, qvecs, k=1).collect()
+    }
+    assert top == {0: 100, 1: 200}
