@@ -2,6 +2,7 @@ from pyspark_recs.streaming.ops import (
     read_event_stream,
     streaming_dedup,
     streaming_enrich,
+    streaming_quarantine,
     streaming_session_agg,
     streaming_sessionize,
     streaming_stream_join,
@@ -14,6 +15,7 @@ __all__ = [
     "stream_to_kv_sink",
     "streaming_dedup",
     "streaming_enrich",
+    "streaming_quarantine",
     "streaming_session_agg",
     "streaming_sessionize",
     "streaming_stream_join",

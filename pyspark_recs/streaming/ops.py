@@ -223,6 +223,52 @@ def streaming_stream_join(
     return l.join(r, cond, how).drop(F.col(f"r.{key}"))
 
 
+def streaming_quarantine(
+    stream: DataFrame,
+    good_path: str,
+    dead_path: str,
+    checkpoint_dir: str,
+    payload_col: str = "props",
+    trigger_once: bool = True,
+):
+    """Streaming malformed-JSON quarantine (the incremental twin of the
+    batch r42/s06 routing): each micro-batch splits on JSON validity —
+    parseable rows append to the good table, unparseable raw rows to a
+    dead-letter table — so one bad producer never fails the stream.
+
+    ``get_json_object(payload, '$')`` is NULL iff the payload is not
+    valid JSON, the same verdict the batch form and the DuckDB oracle
+    (``json_valid``) compute.
+
+    Scale: the verdict is a scan-time expression; the micro-batch is
+    persisted once so the two filtered writes don't recompute the
+    source, then unpersisted. Both sinks are append-mode parquet —
+    partition the dead-letter table by ingest date in production so
+    replays prune."""
+    valid = F.get_json_object(F.col(payload_col), "$").isNotNull()
+
+    def _route(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = batch_df.withColumn("_valid", valid).persist()
+        try:
+            flagged.filter(F.col("_valid")).drop("_valid").write.mode(
+                "append"
+            ).parquet(good_path)
+            flagged.filter(~F.col("_valid")).drop("_valid").write.mode(
+                "append"
+            ).parquet(dead_path)
+        finally:
+            flagged.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(_route)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_to_kv_sink(
     stream: DataFrame,
     put_batch,

@@ -213,12 +213,53 @@ FROM islands GROUP BY user_id, sid
 """
 
 
+# --------------------------------------------------------------------- s06
+def s06_stream_quarantine(spark: SparkSession, sf: str) -> DataFrame:
+    """Dead-letter table content for the streaming JSON quarantine
+    (batch-equivalent form of pyspark_recs.streaming.streaming_quarantine;
+    r42 reports the counts, this returns the routed rows themselves).
+    Corruption is planted deterministically (every 7th event loses its
+    closing brace, same as r42) so the oracle sees identical inputs;
+    the validity verdict is ``get_json_object(raw, '$') IS NULL`` —
+    exactly what the foreachBatch router evaluates per micro-batch.
+
+    Scale: scan-time projection + filter (predicate pushes to the scan);
+    no shuffle at all — the dead-letter write is embarrassingly
+    parallel."""
+    ev = load_table(spark, sf, "events")
+    raw = F.when(
+        F.col("event_id") % 7 == 0,
+        F.substring(F.col("props"), 1, F.length("props") - 2),
+    ).otherwise(F.col("props"))
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.to_date("ts").alias("day"),
+            raw.alias("raw"),
+        )
+        .filter(F.get_json_object(F.col("raw"), "$").isNull())
+    )
+
+
+S06_SQL = """
+WITH m AS (
+  SELECT event_id, event_type, CAST(ts AS DATE) AS day,
+         CASE WHEN event_id % 7 = 0
+              THEN substring(props, 1, length(props) - 2)
+              ELSE props END AS raw
+  FROM events)
+SELECT event_id, event_type, day, raw FROM m WHERE NOT json_valid(raw)
+"""
+
+
 QUERIES = {
     "s01_tumbling_daily": s01_tumbling_daily,
     "s02_sessionize": s02_sessionize,
     "s03_keep_first_dedup": s03_keep_first_dedup,
     "s04_user_gap_stats": s04_user_gap_stats,
     "s05_session_windows": s05_session_windows,
+    "s06_stream_quarantine": s06_stream_quarantine,
 }
 
 ORACLE = {
@@ -227,4 +268,5 @@ ORACLE = {
     "s03_keep_first_dedup": S03_SQL,
     "s04_user_gap_stats": S04_SQL,
     "s05_session_windows": S05_SQL,
+    "s06_stream_quarantine": S06_SQL,
 }

@@ -269,3 +269,44 @@ def test_streaming_stream_join_left_outer(spark, tmp_path_factory, tmp_path):
     got = {r.event_id: r.action_id for r in out.collect() if r.event_id != 99}
     assert got[1] == 101     # matched within the window
     assert got[2] is None    # no action -> outer row with NULL action
+
+
+def test_streaming_quarantine_routes_dead_letters(spark, tmp_path_factory, tmp_path):
+    """Parity with the batch s06 routing: malformed-JSON rows land in
+    the dead-letter table, parseable ones in the good table, and the
+    union reconstructs the input."""
+    from pyspark_recs.streaming import streaming_quarantine
+
+    src_dir = str(tmp_path_factory.mktemp("quarantine_src"))
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 1}'),
+            (2, '{"k": 2'),      # truncated -> dead letter
+            (3, 'not json'),     # -> dead letter
+            (4, '{"k": 4}'),
+        ],
+        "event_id long, props string",
+    )
+    df.write.parquet(src_dir, mode="overwrite")
+
+    good = str(tmp_path / "good")
+    dead = str(tmp_path / "dead")
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    q = streaming_quarantine(
+        stream, good, dead, checkpoint_dir=str(tmp_path / "q_ckpt")
+    )
+    q.awaitTermination(120)
+
+    good_ids = {r.event_id for r in spark.read.parquet(good).collect()}
+    dead_ids = {r.event_id for r in spark.read.parquet(dead).collect()}
+    assert good_ids == {1, 4}
+    assert dead_ids == {2, 3}
+
+    # batch-form verdict (the s06 expression) agrees row for row
+    batch_dead = {
+        r.event_id
+        for r in df.filter(
+            F.get_json_object(F.col("props"), "$").isNull()
+        ).collect()
+    }
+    assert batch_dead == dead_ids
