@@ -84,6 +84,59 @@ def recommend_topk(model, users: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def rerank_with_features(
+    candidates: DataFrame,
+    item_features: DataFrame,
+    feature_weights: dict[str, float],
+    k: int = 5,
+    als_weight: float = 1.0,
+    item_col: str = "item_id",
+    user_col: str = "user_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Content-feature re-ranker over retrieval candidates (closing the
+    M1 gap: the reference's item tower consumes 12 item content features,
+    workflow_builder.py:43-58, while ALS sees ids only — so content
+    enters here, as a second-stage scorer over the retrieved top-k).
+
+    ``item_features`` is (item_id, <numeric feature columns>) — e.g.
+    Categorify-encoded then aggregated/z-scored item attributes. The
+    blend is linear: ``final = als_weight·score + Σ w_f · feature_f``;
+    missing features default to 0 (the OOV-neutral convention), so
+    candidates never drop out of the slate for lacking metadata.
+
+    Scale: the candidate set is O(users·k_retrieve) — tiny next to the
+    fact tables — and the feature table is O(items), so the join
+    broadcasts the features; the re-rank window shuffles only candidate
+    rows (WindowGroupLimit prunes per task). This is the standard
+    two-stage retrieve→rank split: never score all items with the
+    ranker.
+
+    Output: (user_id, item_id, final_score, rank) with rank ≤ k,
+    deterministic tiebreak by item_id.
+    """
+    from pyspark.sql import Window
+
+    feats = item_features.select(
+        item_col, *[F.col(c) for c in feature_weights]
+    )
+    joined = candidates.join(F.broadcast(feats), item_col, "left").fillna(
+        {c: 0.0 for c in feature_weights}
+    )
+    final = F.lit(als_weight) * F.col(score_col)
+    for c, w in feature_weights.items():
+        final = final + F.lit(w) * F.col(c)
+    w_rank = Window.partitionBy(user_col).orderBy(
+        F.desc("final_score"), F.asc(item_col)
+    )
+    return (
+        joined.withColumn("final_score", final)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(user_col, item_col, "final_score", "rank")
+    )
+
+
 @dataclass
 class GridResult:
     params: dict
@@ -97,22 +150,49 @@ def grid_search(
     param_grid: list[dict],
     k: int = 10,
     seed: int = 42,
+    max_workers: int = 1,
+    train_fn=None,
 ) -> list[GridResult]:
     """Explicit hyperparameter fan-out with time-split validation (M2) +
     argmax selection by recall@k (A4, my_merlin_flow.py:355-364).
 
-    Runs sequentially here; on a cluster submit each fit in a scheduler
-    pool (FAIR) for the reference's --max-workers parallelism. Returns
-    results sorted best-first by recall@k."""
+    ``max_workers > 1`` reproduces the reference's parallel foreach over
+    configs (my_merlin_flow.py:263, ``--max-workers 4``): fits are
+    submitted concurrently from a thread pool, each thread tagged with
+    its own FAIR scheduler pool so one long fit can't starve the others
+    (Spark job scheduling is thread-local via
+    ``spark.scheduler.pool``; set ``spark.scheduler.mode=FAIR`` on the
+    session to honor it). The driver threads only coordinate — all data
+    work stays on executors. Returns results sorted best-first by
+    recall@k (ties broken by grid order, deterministically).
+
+    ``train_fn`` overrides the trainer (tests inject instrumented
+    trainers); defaults to ``train_als``."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark_recs.model.metrics import ranking_metrics
 
-    results = []
-    for params in param_grid:
-        model = train_als(train, seed=seed, **params)
-        users = valid_truth.select("user_id").distinct()
-        preds = recommend_topk(model, users, k=k)
-        metrics = ranking_metrics(preds, valid_truth, k=k)
-        results.append(GridResult(params=params, metrics=metrics, model=model))
+    fit = train_fn or train_als
+    spark = train.sparkSession
+    users = valid_truth.select("user_id").distinct()
+
+    def run_one(idx_params):
+        idx, params = idx_params
+        sc = spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", f"grid-{idx}")
+        try:
+            model = fit(train, seed=seed, **params)
+            preds = recommend_topk(model, users, k=k)
+            metrics = ranking_metrics(preds, valid_truth, k=k)
+            return GridResult(params=params, metrics=metrics, model=model)
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+    if max_workers <= 1:
+        results = [run_one(ip) for ip in enumerate(param_grid)]
+    else:
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            results = list(pool.map(run_one, enumerate(param_grid)))
     return sorted(
         results, key=lambda r: r.metrics[f"recall_at_{k}"], reverse=True
     )

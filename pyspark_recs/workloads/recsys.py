@@ -366,6 +366,89 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------- rs08
+def rs08_feature_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage retrieve→rank with content features (M1's content gap:
+    the reference item tower consumes 12 item features,
+    workflow_builder.py:43-58; here content enters as a second-stage
+    linear re-scorer over retrieved candidates via
+    ``model.retrieval.rerank_with_features``).
+
+    Retrieval stage: per-user top-10 history items (deterministic, so
+    the whole two-stage plan stays hash-checkable; the ALS-candidate
+    composition of the same re-ranker is exercised in tests with a
+    recall floor). Features: item popularity (purchase count) and retail
+    price, linearly blended with the retrieval score.
+
+    Scale: candidates are O(users·10); the item-feature table broadcasts
+    into the join; re-rank windows only candidate rows. The ranker never
+    scores the full catalog."""
+    from pyspark_recs.model.retrieval import rerank_with_features
+
+    inter = _interactions(spark, sf)
+    cands = top_k_per_group(
+        inter,
+        partition_cols=["user_id"],
+        order_cols=[
+            F.desc("n_purchases"),
+            F.desc("total_qty"),
+            F.asc("item_id"),
+        ],
+        k=10,
+        rank_alias="retrieval_rank",
+    ).select(
+        "user_id", "item_id", F.col("n_purchases").cast("double").alias("score")
+    )
+    pop = inter.groupBy("item_id").agg(
+        F.sum("n_purchases").cast("double").alias("pop")
+    )
+    part = load_table(spark, sf, "part")
+    feats = part.select(
+        F.col("p_partkey").alias("item_id"), F.col("p_retailprice").alias("price")
+    ).join(pop, "item_id", "left")
+    return rerank_with_features(
+        cands,
+        feats,
+        feature_weights={"pop": 0.05, "price": -0.0001},
+        k=5,
+    )
+
+
+RS08_SQL = f"""
+WITH inter AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id,
+         CAST(count(*) AS BIGINT) AS n_purchases,
+         {sql_dsum('l_quantity')} AS total_qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_partkey),
+cand AS (
+  SELECT user_id, item_id, CAST(n_purchases AS DOUBLE) AS score FROM (
+    SELECT user_id, item_id, n_purchases,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY n_purchases DESC, total_qty DESC,
+                                       item_id) AS rn
+    FROM inter)
+  WHERE rn <= 10),
+pop AS (
+  SELECT item_id, CAST(sum(n_purchases) AS DOUBLE) AS pop
+  FROM inter GROUP BY item_id),
+feats AS (
+  SELECT p_partkey AS item_id, p_retailprice AS price, pop.pop AS pop
+  FROM part LEFT JOIN pop ON p_partkey = pop.item_id),
+blended AS (
+  SELECT c.user_id, c.item_id,
+         1.0 * c.score + 0.05 * coalesce(f.pop, 0.0)
+           + -0.0001 * coalesce(f.price, 0.0) AS final_score
+  FROM cand c LEFT JOIN feats f ON c.item_id = f.item_id)
+SELECT user_id, item_id, final_score, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT user_id, item_id, final_score,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY final_score DESC, item_id) AS rank
+  FROM blended)
+WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -374,6 +457,7 @@ QUERIES = {
     "rs05_item_cooccurrence": rs05_item_cooccurrence,
     "rs06_negative_samples": rs06_negative_samples,
     "rs07_leave_one_out": rs07_leave_one_out,
+    "rs08_feature_rerank": rs08_feature_rerank,
 }
 
 ORACLE = {
@@ -384,4 +468,5 @@ ORACLE = {
     "rs05_item_cooccurrence": RS05_SQL,
     "rs06_negative_samples": RS06_SQL,
     "rs07_leave_one_out": RS07_SQL,
+    "rs08_feature_rerank": RS08_SQL,
 }

@@ -95,3 +95,98 @@ def test_grid_search_selects_best(spark, planted):
         results[0].metrics["recall_at_10"] >= results[1].metrics["recall_at_10"]
     )
     assert results[0].params["rank"] == 8
+
+
+def test_rerank_with_features_moves_feature_favored_item(spark):
+    """Hand-computed: candidate C trails on retrieval score but its
+    feature blend lifts it to rank 1; missing features default to 0."""
+    from pyspark.sql import functions as F
+
+    from pyspark_recs.model import rerank_with_features
+
+    cands = spark.createDataFrame(
+        [(1, 10, 3.0), (1, 20, 2.9), (1, 30, 2.8)],
+        "user_id int, item_id int, score double",
+    )
+    feats = spark.createDataFrame(
+        [(30, 5.0), (10, 0.0)],  # item 20 has no feature row -> 0
+        "item_id int, boost double",
+    )
+    out = rerank_with_features(
+        cands, feats, feature_weights={"boost": 0.1}, k=3
+    ).orderBy("rank")
+    rows = [(r.item_id, r.final_score, r.rank) for r in out.collect()]
+    # 30: 2.8 + 0.5 = 3.3 ; 10: 3.0 ; 20: 2.9
+    assert [r[0] for r in rows] == [30, 10, 20]
+    assert abs(rows[0][1] - 3.3) < 1e-12
+
+
+def test_rerank_zero_weights_preserves_retrieval_order(spark):
+    from pyspark_recs.model import rerank_with_features
+
+    cands = spark.createDataFrame(
+        [(1, 10, 3.0), (1, 20, 2.0), (2, 10, 1.0), (2, 30, 5.0)],
+        "user_id int, item_id int, score double",
+    )
+    feats = spark.createDataFrame([(10, 99.0)], "item_id int, boost double")
+    out = rerank_with_features(
+        cands, feats, feature_weights={"boost": 0.0}, k=2
+    )
+    got = {(r.user_id, r.rank): r.item_id for r in out.collect()}
+    assert got == {(1, 1): 10, (1, 2): 20, (2, 1): 30, (2, 2): 10}
+
+
+def test_rerank_on_als_candidates_keeps_recall_floor(spark, planted):
+    """Two-stage ALS retrieve -> content re-rank: with a mild in-cluster
+    feature boost the held-out item stays in the top-10 (recall floor
+    holds through the second stage)."""
+    from pyspark_recs.model import (
+        ranking_metrics,
+        recommend_topk,
+        rerank_with_features,
+        train_als,
+    )
+
+    train, heldout = planted
+    model = train_als(train, rank=8, max_iter=10, seed=42)
+    users = heldout.select("user_id").distinct()
+    cands = recommend_topk(model, users, k=20)
+    # feature: cluster-0 items get a small boost — orthogonal enough not
+    # to evict true in-cluster candidates from anyone's top-10
+    feats = spark.createDataFrame(
+        [(i, 0.05 if i < 10 else 0.0) for i in range(20)],
+        "item_id int, cluster0_affinity double",
+    )
+    reranked = rerank_with_features(
+        cands, feats, feature_weights={"cluster0_affinity": 0.1}, k=10
+    ).withColumnRenamed("final_score", "score")
+    m = ranking_metrics(reranked, heldout, k=10)
+    assert m["recall_at_10"] > 0.8
+
+
+def test_grid_search_parallel_matches_sequential(spark, planted):
+    """max_workers=2 submits fits concurrently (distinct threads
+    observed) and selects the same winner as the sequential path."""
+    import threading
+
+    from pyspark_recs.model import grid_search
+    from pyspark_recs.model.retrieval import train_als
+
+    train, heldout = planted
+    grid = [
+        {"rank": 8, "max_iter": 10},
+        {"rank": 2, "max_iter": 1},
+    ]
+    seen_threads = []
+
+    def instrumented(df, seed=42, **params):
+        seen_threads.append(threading.current_thread().name)
+        return train_als(df, seed=seed, **params)
+
+    results = grid_search(
+        train, heldout, grid, k=10, max_workers=2, train_fn=instrumented
+    )
+    assert len(set(seen_threads)) == 2  # genuinely fanned out
+    assert results[0].params["rank"] == 8
+    seq = grid_search(train, heldout, grid, k=10)
+    assert results[0].metrics == seq[0].metrics
