@@ -1,16 +1,24 @@
 """Parquet loaders for the driver testdata tables.
 
-Handles the one physical-format wart in the testdata: ``events.ts`` is
-stored as parquet TIMESTAMP(NANOS, isAdjustedToUTC=false), a type Spark's
-vectorized reader refuses. We read nanos as LongType
-(``spark.sql.legacy.parquet.nanosAsLong``) and floor-divide to micros —
-bit-identical to DuckDB's nanos→micros truncation, verified by the oracle
-harness.
+Handles the physical-format warts in the testdata's timestamp columns,
+which have varied across driver rounds:
+
+* ``TIMESTAMP(NANOS, isAdjustedToUTC=false)`` — a type Spark's vectorized
+  reader refuses. We read nanos as LongType
+  (``spark.sql.legacy.parquet.nanosAsLong``) and floor-divide to micros —
+  bit-identical to DuckDB's nanos→micros truncation, verified by the
+  oracle harness.
+* ``TIMESTAMP(MICROS, isAdjustedToUTC=false)`` — Spark ≥3.4 infers this as
+  TIMESTAMP_NTZ, which breaks ``unix_micros`` and timestamp arithmetic.
+  We disable ``spark.sql.parquet.inferTimestampNTZ.enabled`` in the
+  session confs so it maps to plain TimestampType (the session TZ is
+  pinned to UTC, so wall-clock values are identical), and additionally
+  cast any residual NTZ column after read in case the conf could not be
+  applied to a harness-owned session.
 
 At 100 TB these loaders are still the right shape: schema discovery via
-parquet footers is O(files) metadata work, and the nanos conversion is a
-single projected expression inside whole-stage codegen (no shuffle, no
-Python).
+parquet footers is O(files) metadata work, and both conversions are single
+projected expressions inside whole-stage codegen (no shuffle, no Python).
 """
 
 from __future__ import annotations
@@ -20,6 +28,7 @@ from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 from pyspark_recs.session import apply_runtime_confs
 
@@ -52,7 +61,7 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table with timestamps normalized to micros."""
+    """Load one testdata table with timestamps normalized to TimestampType."""
     apply_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
@@ -63,6 +72,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
         )
+    # Normalize any TIMESTAMP_NTZ survivors (conf not applied, or a future
+    # Spark default change). Session TZ is UTC so the cast is value-identical.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -1,0 +1,135 @@
+"""Corpus-scrubbing operators for training-data pipelines: PII
+redaction and train/eval decontamination.
+
+Both are pure DataFrame compositions — regexp projections and a
+broadcast semi-join — JVM-side end to end, no Python in the hot path.
+
+The regex dialect is restricted to the intersection of Java regex
+(Spark) and RE2 (DuckDB oracle): character classes, bounded repeats and
+``\\b`` word boundaries only — no backrefs or lookarounds — so both
+engines match identical spans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_recs.llmops.dedup import word_shingles
+from pyspark_recs.llmops.textstats import tokens
+
+# Dialect-portable PII patterns (Java regex == RE2 semantics for these).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+CARD_RE = r"\b\d{16}\b"
+
+
+def synthesize_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministically inject PII spans into a synthetic corpus (the
+    testdata has none), so the redaction path is exercised non-vacuously
+    — same convention as the synthesized image URLs in multimodal.py.
+    Injection is keyed on doc_id, so both engines build byte-identical
+    inputs."""
+    doc_id = F.col("doc_id")
+    text = F.col(text_col)
+    text = F.when(
+        doc_id % 7 == 0,
+        F.concat(text, F.lit(" contact user"), doc_id, F.lit("@example.com")),
+    ).otherwise(text)
+    text = F.when(
+        doc_id % 11 == 0,
+        F.concat(
+            text,
+            F.lit(" call 415-555-"),
+            F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(text)
+    text = F.when(
+        doc_id % 13 == 0, F.concat(text, F.lit(" card 4242424242424242"))
+    ).otherwise(text)
+    return df.withColumn(text_col, text)
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / phone numbers / 16-digit card numbers to typed
+    placeholder tokens, reporting per-document match counts and a digest
+    of the redacted text (the digest proves byte-identical redaction
+    across engines, partitionings and re-runs).
+
+    Scale: one projection — three regexp passes inside whole-stage
+    codegen; no shuffle, no Python. At 100 TB this runs at scan
+    throughput and composes with any downstream filter."""
+    text = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_RE, "<EMAIL>"),
+            PHONE_RE,
+            "<PHONE>",
+        ),
+        CARD_RE,
+        "<CARD>",
+    )
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), F.lit(0)))
+        .cast("int")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(text, F.lit(CARD_RE), F.lit(0)))
+        .cast("int")
+        .alias("n_cards"),
+        F.length(redacted).cast("int").alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval decontamination: flag training documents sharing any
+    ``shingle_n``-gram with a benchmark (eval) set — the standard
+    n-gram-overlap decontamination pass every pre-training pipeline runs
+    before releasing a corpus.
+
+    Returns (doc_id, contaminated) for every training document.
+
+    Scale: benchmark n-grams are DISTINCT'd then semi-joined against the
+    exploded training n-grams. The benchmark side is eval-set sized
+    (thousands of docs), so Spark broadcasts it and the pass is one scan
+    of the corpus with a broadcast-hash semi-join per gram — no
+    all-pairs, no shuffle of the corpus. Grams are n-word strings; for a
+    100 TB corpus switch to ``shingle_hashes`` (integer Horner folds) to
+    shrink the exploded column — semantics identical modulo hash
+    collisions, which only ever over-flag."""
+    # Guard: word_shingles uses sequence(1, n_words - n + 1), which turns
+    # descending (then element_at(0) errors) on docs shorter than n words.
+    long_enough = F.size(tokens(F.col(text_col))) >= shingle_n
+    bench_grams = (
+        benchmark.filter(long_enough)
+        .select(
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("gram")
+        )
+        .distinct()
+    )
+    train_grams = train.filter(long_enough).select(
+        "doc_id", F.explode(word_shingles(F.col(text_col), shingle_n)).alias("gram")
+    )
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
+        )
+    )

@@ -299,23 +299,38 @@ def lsh_topk(
     bucket_length: float = 2.0,
     num_hash_tables: int = 3,
     seed: int = 42,
+    max_candidates_per_query: int = 4096,
 ) -> DataFrame:
-    """Approximate top-k via BucketedRandomProjectionLSH (the scale
-    path: candidate generation by bucket equi-join instead of a full
-    cross product).
+    """Approximate top-k via random-projection LSH (the scale path:
+    candidate generation by bucket equi-join instead of a full cross
+    product).
+
+    Uses MLlib's BucketedRandomProjectionLSH only to fit the seeded
+    projections; the join itself is a hand-rolled (table, bucket)
+    equi-join so candidate volume is bounded: after pair-dedup, each
+    query keeps at most ``max_candidates_per_query`` candidates before
+    exact rescoring. ``approxSimilarityJoin`` with an infinite radius
+    would instead score *every* colliding pair — a pathological bucket
+    (all-zero vectors, a heavy hub) degenerates to near-all-pairs.
+    Here the worst case is queries × max_candidates exact distances,
+    by construction.
 
     Distances are Euclidean; for unit-normalized embeddings the ranking
     is equivalent to cosine. Not oracle-checkable (model-seeded), tested
     by recall-vs-bruteforce in tests/.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.functions import array_to_vector, vector_to_array
 
     cand = candidates.select(
-        F.col(id_col).alias("id"), array_to_vector(F.col(vec_col)).alias("features")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        array_to_vector(F.col(vec_col)).alias("features"),
     )
     qry = queries.select(
-        F.col(id_col).alias("id"), array_to_vector(F.col(vec_col)).alias("features")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        array_to_vector(F.col(vec_col)).alias("features"),
     )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
@@ -325,16 +340,46 @@ def lsh_topk(
         seed=seed,
     )
     model = lsh.fit(cand)
-    joined = model.approxSimilarityJoin(qry, cand, float("inf"), "dist").filter(
-        F.col("datasetA.id") != F.col("datasetB.id")
+
+    def _buckets(df: DataFrame, id_out: str, vec_out: str) -> DataFrame:
+        # hashes is array<vector> (one 1-dim vector per table); explode to
+        # (table_idx, bucket) so colliding rows meet on an equi-join key.
+        return model.transform(df).select(
+            F.col("id").alias(id_out),
+            F.col("vec").alias(vec_out),
+            F.posexplode("hashes").alias("table_idx", "hvec"),
+        ).select(
+            id_out,
+            vec_out,
+            "table_idx",
+            vector_to_array("hvec")[0].cast("long").alias("bucket"),
+        )
+
+    qb = _buckets(qry, "query_id", "qvec")
+    cb = _buckets(cand, "neighbor_id", "nvec")
+    pairs = (
+        qb.join(cb, ["table_idx", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # Dedup pairs colliding in several tables (one shuffle, keeps the
+        # vectors via first() instead of a join-back).
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("qvec").alias("qvec"), F.first("nvec").alias("nvec"))
+    )
+    # Safety valve: bound exact-rescore work per query. The cap is far
+    # above k, so recall is unchanged unless a bucket truly degenerates.
+    wcap = Window.partitionBy("query_id").orderBy(F.asc("neighbor_id"))
+    capped = (
+        pairs.withColumn("cand_rank", F.row_number().over(wcap))
+        .filter(F.col("cand_rank") <= max_candidates_per_query)
+    )
+    dist = F.sqrt(
+        _fixed_dot(F.col("qvec"), F.col("qvec"))
+        + _fixed_dot(F.col("nvec"), F.col("nvec"))
+        - 2 * _fixed_dot(F.col("qvec"), F.col("nvec"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
     return (
-        joined.select(
-            F.col("datasetA.id").alias("query_id"),
-            F.col("datasetB.id").alias("neighbor_id"),
-            F.col("dist"),
-        )
+        capped.select("query_id", "neighbor_id", dist.alias("dist"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -19,10 +19,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # The driver-generated testdata stores `events.ts` as parquet
-    # TIMESTAMP(NANOS) which Spark cannot map to TimestampType; read it as
-    # LongType and convert explicitly (see pyspark_recs.io.loaders).
+    # The driver-generated testdata has stored `events.ts` as parquet
+    # TIMESTAMP(NANOS) in some rounds and TIMESTAMP(MICROS,
+    # isAdjustedToUTC=false) in others. Handle both: read nanos as LongType
+    # and convert explicitly (see pyspark_recs.io.loaders), and disable
+    # TIMESTAMP_NTZ inference so non-UTC-adjusted micros map to plain
+    # TimestampType (session TZ is pinned to UTC, so values are identical).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Arrow for pandas interchange — the only sanctioned Python boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }

@@ -637,16 +637,28 @@ def l13_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     (the CLIP-encode shape with a deterministic byte-sampler stand-in —
     SURVEY §2.7 M7). Oracle reproduces the sampler relationally."""
     docs = load_table(spark, sf, "documents")
-    return extract_features(with_binary_payload(docs), dim=8)
+    feats = extract_features(with_binary_payload(docs), dim=8)
+    # Flattened to scalar columns (not a raw array) so the oracle
+    # harness can canonicalize the result — same convention as l02's
+    # sig_0..k.
+    return feats.select(
+        "doc_id", *[F.col("features")[j].alias(f"f_{j}") for j in range(8)]
+    )
 
 
 L13_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         list_transform(range(0, 8),
+           j -> ascii(substring(text, 1 + j * (length(text) // 8), 1)) / 255.0)
+           AS features
+  FROM documents
+  WHERE length(text) >= 8)
 SELECT doc_id,
-       list_transform(range(0, 8),
-         j -> ascii(substring(text, 1 + j * (length(text) // 8), 1)) / 255.0)
-         AS features
-FROM documents
-WHERE length(text) >= 8
+       features[1] AS f_0, features[2] AS f_1, features[3] AS f_2,
+       features[4] AS f_3, features[5] AS f_4, features[6] AS f_5,
+       features[7] AS f_6, features[8] AS f_7
+FROM f
 """
 
 
@@ -716,7 +728,18 @@ def l25_scalar_quantize(spark: SparkSession, sf: str) -> DataFrame:
     arithmetic so the codes are engine- and partitioning-identical."""
     from pyspark_recs.llmops.similarity import scalar_quantize
 
-    return scalar_quantize(load_table(spark, sf, "embeddings"))
+    q = scalar_quantize(load_table(spark, sf, "embeddings"))
+    # Integer codes serialize deterministically; emit a CSV string so the
+    # oracle harness can canonicalize (raw int arrays are unhashable in
+    # its comparator).
+    return q.select(
+        "vec_id",
+        "vmin",
+        "vmax",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias(
+            "codes_csv"
+        ),
+    )
 
 
 L25_SQL = """
@@ -729,11 +752,12 @@ m AS (
          list_min(vec) AS vmin, list_max(vec) AS vmax
   FROM v)
 SELECT vec_id, vmin, vmax,
-       CASE WHEN vmax = vmin THEN list_transform(vec, x -> 0)
-            ELSE list_transform(vec,
-                 x -> CAST(floor((x - vmin) / ((vmax - vmin) / 255.0) + 0.5)
-                           AS INTEGER))
-       END AS codes
+       array_to_string(
+         CASE WHEN vmax = vmin THEN list_transform(vec, x -> 0)
+              ELSE list_transform(vec,
+                   x -> CAST(floor((x - vmin) / ((vmax - vmin) / 255.0) + 0.5)
+                             AS INTEGER))
+         END, ',') AS codes_csv
 FROM m
 """
 
@@ -896,12 +920,21 @@ def l29_image_fetch_encode(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id")
     fetched = fetch_payloads(synthesize_image_urls(docs))
     encoded = encode_payloads(fetched.filter(F.col("status") == "ok"))
-    return fetched.select(
+    joined = fetched.select(
         "doc_id",
         "status",
         "n_attempts",
         F.coalesce(F.length("payload"), F.lit(0)).cast("int").alias("n_bytes"),
     ).join(encoded, "doc_id", "left")
+    # Flatten the 8-dim embedding to scalar columns (oracle-canonicalizable;
+    # NULL array → NULL scalars for dead-lettered rows).
+    return joined.select(
+        "doc_id",
+        "status",
+        "n_attempts",
+        "n_bytes",
+        *[F.col("embedding")[j].alias(f"e_{j}") for j in range(8)],
+    )
 
 
 def _tiny_enc_sql(s: str) -> str:
@@ -936,10 +969,16 @@ f AS (
 r AS (
   SELECT doc_id, status, n_attempts, n_bytes,
          CASE WHEN s IS NULL THEN NULL ELSE {_tiny_enc_sql('s')} END AS raw
-  FROM f)
+  FROM f),
+e AS (
+  SELECT doc_id, status, n_attempts, n_bytes,
+         CASE WHEN raw IS NULL THEN NULL ELSE {_NORMALIZE_SQL} END AS embedding
+  FROM r)
 SELECT doc_id, status, n_attempts, n_bytes,
-       CASE WHEN raw IS NULL THEN NULL ELSE {_NORMALIZE_SQL} END AS embedding
-FROM r
+       embedding[1] AS e_0, embedding[2] AS e_1, embedding[3] AS e_2,
+       embedding[4] AS e_3, embedding[5] AS e_4, embedding[6] AS e_5,
+       embedding[7] AS e_6, embedding[8] AS e_7
+FROM e
 """
 
 
@@ -998,6 +1037,125 @@ WHERE rank <= 5
 """
 
 
+# --------------------------------------------------------------------- l31
+def l31_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction pass (email / phone / card scrub) over the corpus
+    with per-doc match counts and a redacted-text digest. PII spans are
+    deterministically synthesized (the testdata has none) so the scrub
+    is exercised non-vacuously; see llmops/scrub.py."""
+    from pyspark_recs.llmops.scrub import pii_redact, synthesize_pii
+
+    return pii_redact(synthesize_pii(load_table(spark, sf, "documents")))
+
+
+L31_SQL = r"""
+WITH p AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' card 4242424242424242' ELSE '' END AS t
+  FROM documents),
+r AS (
+  SELECT doc_id, t,
+         regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+           '\b\d{16}\b', '<CARD>', 'g') AS redacted
+  FROM p)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phones,
+       CAST(len(regexp_extract_all(t, '\b\d{16}\b')) AS INTEGER) AS n_cards,
+       CAST(length(redacted) AS INTEGER) AS redacted_len,
+       md5(redacted) AS redacted_md5
+FROM r
+"""
+
+
+# --------------------------------------------------------------------- l32
+def l32_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/eval decontamination: flag corpus documents sharing any
+    5-gram with the benchmark subset (doc_id % 97 = 0 stands in for the
+    eval set). Broadcast semi-join over distinct benchmark grams — the
+    standard pre-release decontamination pass; see llmops/scrub.py."""
+    from pyspark_recs.llmops.scrub import decontaminate
+
+    docs = load_table(spark, sf, "documents")
+    return decontaminate(docs, docs.filter(F.col("doc_id") % 97 == 0))
+
+
+L32_SQL = f"""
+WITH toks AS ({_TOKS}),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(words) - 3),
+           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' '
+                || words[i+3] || ' ' || words[i+4]))) AS gram
+  FROM toks WHERE len(words) >= 5),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+hits AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram))
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+# --------------------------------------------------------------------- l33
+_BM25_TERMS = ("spark", "join", "window")
+
+
+def l33_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 keyword search (log-free rational idf, fixed-point score
+    sum): top-10 documents for a 3-term query. The inverted-index shape
+    expressed relationally; see llmops/search.py."""
+    from pyspark_recs.llmops.search import bm25_topk
+
+    return bm25_topk(load_table(spark, sf, "documents"), _BM25_TERMS, k=10)
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+L33_SQL = f"""
+WITH toks AS ({_TOKS}),
+lens AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM toks),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM lens),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter(words, w -> w IN ({_BM25_IN}))) AS term
+        FROM toks)
+  GROUP BY doc_id, term),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT t.doc_id,
+         CAST(floor(
+           ((s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * ((t.tf * 2.2)
+              / (t.tf + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl)))
+           * 1000000000.0 + 0.5) AS BIGINT) AS c
+  FROM tf t
+  JOIN dft d USING (term)
+  JOIN lens l USING (doc_id)
+  CROSS JOIN stats s),
+scores AS (
+  SELECT doc_id, CAST(sum(c) AS DOUBLE) / 1000000000.0 AS score
+  FROM contrib GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
+       doc_id, score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -1029,6 +1187,9 @@ QUERIES = {
     "l28_type_token_ratio": l28_type_token_ratio,
     "l29_image_fetch_encode": l29_image_fetch_encode,
     "l30_text_image_search": l30_text_image_search,
+    "l31_pii_redaction": l31_pii_redaction,
+    "l32_decontaminate": l32_decontaminate,
+    "l33_bm25_search": l33_bm25_search,
 }
 
 ORACLE = {
@@ -1062,4 +1223,7 @@ ORACLE = {
     "l28_type_token_ratio": L28_SQL,
     "l29_image_fetch_encode": L29_SQL,
     "l30_text_image_search": L30_SQL,
+    "l31_pii_redaction": L31_SQL,
+    "l32_decontaminate": L32_SQL,
+    "l33_bm25_search": L33_SQL,
 }

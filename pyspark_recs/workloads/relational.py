@@ -1415,11 +1415,14 @@ GROUP BY c_count
 
 # --------------------------------------------------------------------- r45
 def r45_dominant_suppliers(spark: SparkSession, sf: str) -> DataFrame:
-    """Semi-join chain (TPC-H Q20 shape): suppliers who shipped more
-    than half of some part's total volume, listed with how many parts
-    they dominate. The per-part share comes from one window over the
-    (part, supplier) rollup — the fact table aggregates once and never
-    self-joins.
+    """Semi-join chain (TPC-H Q20 shape): suppliers whose shipped share
+    of a part's total volume exceeds twice the fair share (1/n
+    suppliers of that part), listed with how many parts they dominate.
+    The per-part share comes from one window over the (part, supplier)
+    rollup — the fact table aggregates once and never self-joins.
+    (An absolute ">half" threshold is vacuous on this data — parts
+    have 13–41 suppliers with max share ~25% — so dominance is
+    relative to the part's supplier count.)
 
     Scale: fact → (part, supplier) rollup is one map-side-combined
     shuffle; the window partitions by part over rollup rows (items x
@@ -1433,9 +1436,13 @@ def r45_dominant_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(q).alias("supp_qty")
     )
     w = Window.partitionBy("l_partkey")
-    dominant = per_ps.withColumn(
-        "part_qty", F.sum("supp_qty").over(w)
-    ).filter(F.col("supp_qty") * 2 > F.col("part_qty"))
+    dominant = (
+        per_ps.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .filter(
+            F.col("supp_qty") * F.col("n_supp") > F.lit(2) * F.col("part_qty")
+        )
+    )
     return (
         dominant.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
@@ -1452,11 +1459,12 @@ WITH per_ps AS (
   FROM lineitem GROUP BY l_partkey, l_suppkey),
 flagged AS (
   SELECT l_partkey, l_suppkey, supp_qty,
-         sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+         sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty,
+         count(*) OVER (PARTITION BY l_partkey) AS n_supp
   FROM per_ps)
 SELECT l_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_dominated_parts
 FROM flagged JOIN supplier ON l_suppkey = s_suppkey
-WHERE supp_qty * 2 > part_qty
+WHERE supp_qty * n_supp > 2 * part_qty
 GROUP BY l_suppkey, s_name
 """
 
@@ -1465,9 +1473,13 @@ GROUP BY l_suppkey, s_name
 def r46_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
     """Global-scalar threshold + anti-join (TPC-H Q22 shape): per
     nation, the customers whose account balance beats the positive-
-    balance average but who never placed an order — the lapsed-
-    high-value segment. The threshold is a 1-row broadcast (never a
-    per-row subquery) and the "never ordered" test is a left-anti join.
+    balance average but who placed no order in the trailing 180 days
+    of the dataset — the lapsed-high-value segment. The threshold is a
+    1-row broadcast (never a per-row subquery) and the "no recent
+    order" test is a left-anti join against the recent-orderer keys.
+    (Every customer in this data has *some* order, so the classic
+    "never ordered" form is vacuous; recency-lapse is the non-trivial
+    production variant.)
 
     The average is a fixed-point sum over exact doubles, so the
     threshold — and therefore every comparison against it — is
@@ -1489,11 +1501,14 @@ def r46_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
     rich = customer.crossJoin(F.broadcast(thr)).filter(
         F.col("c_acctbal") > F.col("thr")
     )
-    idle = rich.join(
-        orders.select(F.col("o_custkey").alias("c_custkey")),
-        "c_custkey",
-        "left_anti",
+    mx = orders.agg(F.max("o_orderdate").alias("mx"))
+    recent = (
+        orders.crossJoin(F.broadcast(mx))
+        .filter(F.col("o_orderdate") > F.col("mx") - F.expr("INTERVAL 180 DAYS"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
     )
+    idle = rich.join(recent, "c_custkey", "left_anti")
     return idle.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_customers"),
         (F.sum(q).cast("double") / F.lit(1e6)).alias("total_balance"),
@@ -1504,13 +1519,17 @@ R46_SQL = """
 WITH thr AS (
   SELECT CAST(sum(CAST(floor(c_acctbal * 1000000.0 + 0.5) AS BIGINT))
               AS DOUBLE) / 1000000.0 / count(*) AS thr
-  FROM customer WHERE c_acctbal > 0)
+  FROM customer WHERE c_acctbal > 0),
+mx AS (SELECT max(o_orderdate) AS mx FROM orders),
+recent AS (
+  SELECT DISTINCT o_custkey FROM orders, mx
+  WHERE o_orderdate > mx - INTERVAL 180 DAY)
 SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
        CAST(sum(CAST(floor(c_acctbal * 1000000.0 + 0.5) AS BIGINT))
             AS DOUBLE) / 1000000.0 AS total_balance
 FROM customer, thr
 WHERE c_acctbal > thr
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
 GROUP BY c_nationkey
 """
 

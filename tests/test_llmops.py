@@ -223,9 +223,12 @@ def test_approx_distinct_error_bound(spark):
 
     sf = "/root/testdata/sf0.001"
     exact = {r.o_orderpriority: r.n_customers for r in r25_count_distinct(spark, sf).collect()}
-    approx = {r.o_orderpriority: r.approx_customers for r in r27_approx_distinct(spark, sf).collect()}
+    rows = {r.o_orderpriority: r for r in r27_approx_distinct(spark, sf).collect()}
     for k, v in exact.items():
-        assert abs(approx[k] - v) / v < 0.1  # rsd=0.02 sketch, loose gate
+        # r27 emits (exact_customers, within_bound): exact must reproduce
+        # r25, and the HLL sketch must land within its 4·rsd bound.
+        assert rows[k].exact_customers == v
+        assert rows[k].within_bound is True
 
 
 def test_multimodal_decode_metadata(spark, near_dup_docs):
@@ -598,3 +601,28 @@ def test_text_image_search_ranks_self_prompt_first(spark):
         for r in crossmodal_topk(ivecs, qvecs, k=1).collect()
     }
     assert top == {0: 100, 1: 200}
+
+
+def test_lsh_topk_bounded_candidates(spark):
+    # Pathological bucket: 100 identical vectors all collide in every
+    # hash table. The candidate cap must bound rescoring work while
+    # still answering every query with k rows.
+    vec = [1.0, 0.0, 2.0, -1.0]
+    vecs = spark.createDataFrame(
+        [(i, vec) for i in range(100)], "vec_id long, embedding array<float>"
+    )
+    queries = vecs.filter(F.col("vec_id") < 2)
+    rows = lsh_topk(
+        vecs, queries, k=5, num_hash_tables=3, max_candidates_per_query=10
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(by_q) == {0, 1}
+    for q, neighbors in by_q.items():
+        assert len(neighbors) == 5
+        # The cap keeps the 10 lowest neighbor_ids (excluding self); with
+        # all distances tied, the final top-5 is the 5 lowest of those —
+        # observable proof the cap was applied before rescoring.
+        expected_pool = [i for i in range(100) if i != q][:10]
+        assert neighbors == set(expected_pool[:5])
