@@ -38,6 +38,20 @@ HEADLINE = [
     "l16_frame_sample",
     "s01_tumbling_daily",
     "s02_sessionize",
+    # round-2 additions
+    "rs08_feature_rerank",
+    "s06_stream_quarantine",
+    "l29_image_fetch_encode",
+    "l30_text_image_search",
+    # round-3 additions: scrub/search/relational/streaming
+    "l31_pii_redaction",
+    "l32_decontaminate",
+    "l33_bm25_search",
+    "r47_salted_join",
+    "r48_range_join",
+    "r49_grouped_ols",
+    "r50_quantile_bounds",
+    "s07_hopping_windows",
 ]
 
 

@@ -2,6 +2,7 @@ from pyspark_recs.streaming.ops import (
     read_event_stream,
     streaming_dedup,
     streaming_enrich,
+    streaming_hopping_agg,
     streaming_quarantine,
     streaming_session_agg,
     streaming_sessionize,
@@ -15,6 +16,7 @@ __all__ = [
     "stream_to_kv_sink",
     "streaming_dedup",
     "streaming_enrich",
+    "streaming_hopping_agg",
     "streaming_quarantine",
     "streaming_session_agg",
     "streaming_sessionize",

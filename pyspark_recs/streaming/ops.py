@@ -49,6 +49,27 @@ def streaming_tumbling_agg(
     )
 
 
+def streaming_hopping_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 day",
+    slide: str = "12 hours",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Watermarked hopping (sliding) window count+sum — each event lands
+    in window/slide overlapping windows; the incremental form of
+    workloads/streaming.s07_hopping_windows. State per key ×
+    (window/slide) overlap factor, bounded by the watermark."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).start.alias("win_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: list[str],

@@ -5,12 +5,13 @@ over the driver testdata, each with a DuckDB oracle-SQL twin.
 feed /root/repo/__spark_entry__.py (the driver correctness contract).
 
 Ordering matters: the driver's correctness gate checks a bounded prefix
-of the registry (round 1 covered exactly the first 50 entries), so the
-registry interleaves families — llmops / recsys / streaming / key
-relational shapes first — to guarantee every family lands green rows in
-``CORRECTNESS_r{N}.json`` regardless of the exact window size.  Queries
-already driver-verified in round 1 (r01–r46, l01–l04) yield their slots
-to the families that round 1 never reached.
+of the registry (rounds 1 and 2 each covered ~50 entries), so the
+registry interleaves families — to guarantee every family lands green
+rows in ``CORRECTNESS_r{N}.json`` regardless of the exact window size —
+and ROTATES per round: (1) queries never driver-verified (new this
+round), (2) queries whose round-2 row errored and was since fixed,
+(3) queries last verified in round 1 (drift check — the round-2 NTZ
+regression showed drift is real), (4) queries green in round 2.
 """
 
 from pyspark_recs.workloads import llmops as _llmops
@@ -24,23 +25,33 @@ for _mod in (_relational, _llmops, _recsys, _streaming):
     _ALL_QUERIES.update(_mod.QUERIES)
     _ALL_ORACLE.update(getattr(_mod, "ORACLE", {}))
 
-# Families round-robin'd so even a window smaller than 50 still samples
-# every family; within a family, round-1-unverified queries come first.
+# Round-3 rotation. Tier 1: new-this-round + round-2-errored-now-fixed,
+# family-interleaved so even a tiny window samples every family.
+# Tier 2: last verified in round 1 (stale — rotate back in to catch
+# drift). Tier 3 (the trailing loop below): round-2 greens.
 _PRIORITY = [
-    # round-robin block: llmops / recsys / streaming / relational-key
-    "l05_ngram_jaccard", "rs01_interactions", "s01_tumbling_daily", "r27_approx_distinct",
-    "l06_embedding_topk", "rs02_popular_items_per_segment", "s02_sessionize", "r01_pricing_summary",
-    "l07_langid", "rs03_user_history_topk", "s03_keep_first_dedup", "r29_asof_join",
-    "l08_quality_scores", "rs04_als_recommendations", "s04_user_gap_stats", "r34_scd2_history",
-    "l09_token_stats", "rs05_item_cooccurrence", "s05_session_windows", "r42_json_quarantine",
-    "l10_char_fingerprints", "rs06_negative_samples", "s06_stream_quarantine", "r45_dominant_suppliers",
-    "l11_multimodal_decode", "rs07_leave_one_out", "l13_multimodal_features", "r46_idle_rich_customers",
-    "l12_ann_lsh", "rs08_feature_rerank", "l14_embedding_neardup", "l15_ann_ivf",
-    "l16_frame_sample", "l17_resize_thumbnail", "l18_tfidf_top_terms", "l19_pack_sequences",
-    "l20_corpus_profile", "l21_dedup_components", "l22_bigram_repetition", "l23_gopher_rules",
-    "l24_stratified_sample", "l25_scalar_quantize", "l26_source_mixture", "l27_chunk_documents",
-    "l28_type_token_ratio", "l29_image_fetch_encode", "l30_text_image_search",
-    "l01_exact_dedup", "l02_minhash_signatures", "l03_lsh_candidate_pairs",
+    # tier 1 — new (l31-33, r47-50, s07) + fixed (s02/s04, l13/l25/l29,
+    # r45/r46), round-robin llmops / relational / streaming
+    "l31_pii_redaction", "r47_salted_join", "s07_hopping_windows",
+    "l32_decontaminate", "r48_range_join", "s02_sessionize",
+    "l33_bm25_search", "r49_grouped_ols", "s04_user_gap_stats",
+    "l13_multimodal_features", "r50_quantile_bounds", "l25_scalar_quantize",
+    "r45_dominant_suppliers", "l29_image_fetch_encode", "r46_idle_rich_customers",
+    # tier 2 — round-1-verified, unchecked since (drift watch)
+    "r02_frequent_customers", "r03_frequent_customer_orders", "r04_dedup_exact",
+    "r05_dedup_last_value", "r06_latest_batch", "r07_json_extract",
+    "r08_url_synthesis", "r09_left_join_defaults", "r10_three_way_join",
+    "r11_per_part_avg_price", "r12_time_split", "r13_date_parts",
+    "r14_topk_per_customer", "r15_latest_event", "r16_union_splits",
+    "r17_distinct_values", "r18_argmax_per_nation", "r19_categorify_dictionary",
+    "r20_categorify_encode_oov", "r21_bucketize", "r22_zscore",
+    "r23_explode_tokens", "r24_fill_missing_normalize", "r25_count_distinct",
+    "r26_ordered_export", "r28_hash_sample", "r30_interval_join",
+    "r31_pivot", "r32_rollup", "r33_unpivot",
+    "r35_trailing_window", "r36_spend_deciles", "r37_incremental_rollup",
+    "r38_props_extract", "r39_local_supplier_volume", "r40_small_order_parts",
+    "r41_sole_late_supplier", "r43_market_share", "r44_custdist",
+    "l04_simhash",
 ]
 
 QUERIES = {}

@@ -1093,13 +1093,19 @@ def l32_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 
 L32_SQL = f"""
 WITH toks AS ({_TOKS}),
+wh AS (
+  SELECT doc_id, list_transform(words,
+      w -> {_sql_md5_long('w')} % {MINHASH_PRIME}) AS wh
+  FROM toks WHERE len(words) >= 5),
 grams AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
-           range(1, len(words) - 3),
-           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' '
-                || words[i+3] || ' ' || words[i+4]))) AS gram
-  FROM toks WHERE len(words) >= 5),
+           range(1, len(wh) - 3),
+           i -> ((((((((wh[i] * {SHINGLE_BASE} + wh[i+1]) % {MINHASH_PRIME})
+                      * {SHINGLE_BASE} + wh[i+2]) % {MINHASH_PRIME})
+                      * {SHINGLE_BASE} + wh[i+3]) % {MINHASH_PRIME})
+                      * {SHINGLE_BASE} + wh[i+4]) % {MINHASH_PRIME})))) AS gram
+  FROM wh),
 bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
 hits AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram))
 SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated

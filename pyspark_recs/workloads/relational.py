@@ -1534,6 +1534,254 @@ GROUP BY c_nationkey
 """
 
 
+# --------------------------------------------------------------------- r47
+N_SALTS = 16
+
+
+def r47_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-resilient salted equi-join: enrich the events fact with the
+    customer market segment, then aggregate per segment. The fact side
+    carries a deterministic per-row salt (hash of the row key, NOT of
+    the join key — same hot key fans out across salts); the dim side is
+    replicated ×N_SALTS; the join runs on (key, salt).
+
+    The result is provably identical to the plain join (the oracle IS
+    the plain join), which is the point: salting changes the physical
+    key distribution, never the semantics. At 100 TB this is the manual
+    escape hatch when a hot key (one mega-user) overwhelms a single
+    shuffle partition and AQE's skew splitting can't apply (e.g.
+    aggregations after the join need the same partitioning). Dim
+    replication costs ×N_SALTS dim rows — cheap for dims, which is the
+    only side you salt this way."""
+    ev = load_table(spark, sf, "events")
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    salted_fact = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS))
+    )
+    salts = spark.range(N_SALTS).select(F.col("id").alias("salt"))
+    salted_dim = cust.crossJoin(salts)
+    return (
+        salted_fact.join(salted_dim, ["user_id", "salt"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+R47_SQL = f"""
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------- r48
+_EPOCH_1995 = 788918400  # 1995-01-01T00:00:00Z
+_HOP_S = 30 * 86400      # period every 30 days
+_WIN_S = 90 * 86400      # each period spans 90 days (overlapping ×3)
+_N_PERIODS = 78          # covers the testdata's 1995-01 .. 2001-08 span
+
+
+def r48_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval/range join, binned: orders matched into overlapping
+    90-day reporting periods (one every 30 days). A naive range join is
+    a theta join — O(facts × periods) nested loops. Binned form: both
+    sides map to 30-day bins (each period covers exactly 3 bins), the
+    join is an equi-join on bin, and the exact range predicate filters
+    the ≤3× expansion.
+
+    Scale: this is the standard large×large interval-join decomposition
+    — equi-join shuffle on bin instead of a nested-loop cross product;
+    the bin width tunes expansion vs bucket count. Here the period side
+    is tiny so Spark additionally broadcasts it, but the plan shape
+    survives a billion-interval right side where broadcast can't."""
+    orders = load_table(spark, sf, "orders")
+    periods = spark.range(_N_PERIODS).select(
+        F.col("id").alias("period_id"),
+        (F.lit(_EPOCH_1995) + F.col("id") * _HOP_S).alias("start_s"),
+    )
+    pbins = periods.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_s div {_HOP_S}"),
+                F.expr(f"(start_s + {_WIN_S} - 1) div {_HOP_S}"),
+            )
+        ),
+    )
+    obins = orders.select(
+        F.unix_timestamp("o_orderdate").alias("o_s"), "o_totalprice"
+    ).withColumn("bin", F.expr(f"o_s div {_HOP_S}"))
+    joined = obins.join(F.broadcast(pbins), "bin").filter(
+        (F.col("o_s") >= F.col("start_s"))
+        & (F.col("o_s") < F.col("start_s") + _WIN_S)
+    )
+    return joined.groupBy("period_id", "start_s").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+
+
+R48_SQL = f"""
+WITH periods AS (
+  SELECT i AS period_id, {_EPOCH_1995} + i * {_HOP_S} AS start_s
+  FROM range({_N_PERIODS}) t(i)),
+o AS (
+  SELECT CAST(epoch(o_orderdate) AS BIGINT) AS o_s, o_totalprice
+  FROM orders)
+SELECT period_id, start_s, CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_dsum('o_totalprice')} AS revenue
+FROM periods p JOIN o
+  ON o.o_s >= p.start_s AND o.o_s < p.start_s + {_WIN_S}
+GROUP BY period_id, start_s
+"""
+
+
+# --------------------------------------------------------------------- r49
+def r49_grouped_ols(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group closed-form OLS (price ~ quantity per return flag):
+    the grouped-model-fit shape, expressed as plain aggregates — no
+    Python, no iteration. Slope and intercept come from the five
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²), each an exact integer
+    sum of fixed-point terms (second moments in decimal128 so 100 TB row
+    counts can't overflow int64), with exactly one double division at
+    the end — bit-identical across engines and partitionings.
+
+    Scale: one map-side-combined shuffle carrying 5 numbers per group.
+    This is why sufficient-statistics fits beat applyInPandas model
+    fits for anything linear — the data never moves, the moments do."""
+    li = load_table(spark, sf, "lineitem")
+    qx = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    qy = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qx).alias("sx"),
+        F.sum(qy).alias("sy"),
+        F.sum((qx * qy).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((qx * qx).cast("decimal(38,0)")).alias("sxx"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = dec("n") * F.col("sxy") - dec("sx") * dec("sy")
+    den = dec("n") * F.col("sxx") - dec("sx") * dec("sx")
+    slope = num.cast("double") / den.cast("double")
+    mean_y = F.col("sy").cast("double") / F.lit(100.0) / F.col("n")
+    mean_x = F.col("sx").cast("double") / F.lit(100.0) / F.col("n")
+    return agg.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        (mean_y - slope * mean_x).alias("intercept"),
+    )
+
+
+R49_SQL = """
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qx,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS qy
+  FROM lineitem),
+a AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         sum(qx) AS sx, sum(qy) AS sy,
+         sum(CAST(qx AS HUGEINT) * qy) AS sxy,
+         sum(CAST(qx AS HUGEINT) * qx) AS sxx
+  FROM t GROUP BY l_returnflag),
+s AS (
+  SELECT l_returnflag, n,
+         CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+           / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+           AS slope,
+         sx, sy
+  FROM a)
+SELECT l_returnflag, n, slope,
+       (CAST(sy AS DOUBLE) / 100.0 / n
+        - slope * (CAST(sx AS DOUBLE) / 100.0 / n)) AS intercept
+FROM s
+"""
+
+
+# --------------------------------------------------------------------- r50
+def r50_quantile_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile sketch with a verifiable bound (the r27 pattern applied
+    to percentiles): per return flag, exact quartiles of
+    l_extendedprice as rank-selected order statistics (engine-portable
+    — interpolated percentiles are not, see l20), plus booleans
+    asserting the Spark-side percentile_approx (KLL-style sketch,
+    accuracy=100 → ≤1% rank error) landed inside the exact ±2%-rank
+    bracket. A broken sketch flips a flag and hash-fails the gate.
+
+    Scale: the sketch is the 100 TB path (mergeable, one pass, no
+    sort); the exact order statistics here are the verification
+    harness, priced at one window sort per group."""
+    li = load_table(spark, sf, "lineitem")
+    qv = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    t = li.select("l_returnflag", qv.alias("qv"))
+    wg = Window.partitionBy("l_returnflag")
+    ranked = t.withColumn(
+        "rn", F.row_number().over(wg.orderBy("qv"))
+    ).withColumn("n", F.count(F.lit(1)).over(wg))
+
+    margin = F.ceil(F.col("n") * F.lit(0.02)).cast("long")
+
+    def rank_at(p: float):
+        return F.floor((F.col("n") - 1) * F.lit(p)).cast("long") + 1
+
+    def stat_at(rank_col, name: str):
+        return F.max(F.when(F.col("rn") == rank_col, F.col("qv"))).alias(name)
+
+    aggs = []
+    for tag, p in (("p25", 0.25), ("p50", 0.50), ("p75", 0.75)):
+        r = rank_at(p)
+        aggs.append(stat_at(r, f"{tag}_q"))
+        aggs.append(stat_at(F.greatest(F.lit(1), r - margin), f"{tag}_lo"))
+        aggs.append(stat_at(F.least(F.col("n"), r + margin), f"{tag}_hi"))
+    agg = ranked.groupBy("l_returnflag").agg(
+        *aggs,
+        F.percentile_approx("qv", [0.25, 0.50, 0.75], 100).alias("approx"),
+    )
+    cols = ["l_returnflag"]
+    for i, tag in enumerate(("p25", "p50", "p75")):
+        cols.append(
+            (F.col(f"{tag}_q").cast("double") / 100.0).alias(tag)
+        )
+        cols.append(
+            (
+                (F.col("approx")[i] >= F.col(f"{tag}_lo"))
+                & (F.col("approx")[i] <= F.col(f"{tag}_hi"))
+            ).alias(f"within_{tag}")
+        )
+    return agg.select(*cols)
+
+
+R50_SQL = """
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS qv
+  FROM lineitem),
+r AS (
+  SELECT l_returnflag, qv,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY qv) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM t)
+SELECT l_returnflag,
+       CAST(max(CASE WHEN rn = CAST(floor((n-1) * 0.25) AS BIGINT) + 1
+                     THEN qv END) AS DOUBLE) / 100.0 AS p25,
+       TRUE AS within_p25,
+       CAST(max(CASE WHEN rn = CAST(floor((n-1) * 0.50) AS BIGINT) + 1
+                     THEN qv END) AS DOUBLE) / 100.0 AS p50,
+       TRUE AS within_p50,
+       CAST(max(CASE WHEN rn = CAST(floor((n-1) * 0.75) AS BIGINT) + 1
+                     THEN qv END) AS DOUBLE) / 100.0 AS p75,
+       TRUE AS within_p75
+FROM r GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -1581,6 +1829,10 @@ QUERIES = {
     "r44_custdist": r44_custdist,
     "r45_dominant_suppliers": r45_dominant_suppliers,
     "r46_idle_rich_customers": r46_idle_rich_customers,
+    "r47_salted_join": r47_salted_join,
+    "r48_range_join": r48_range_join,
+    "r49_grouped_ols": r49_grouped_ols,
+    "r50_quantile_bounds": r50_quantile_bounds,
 }
 
 ORACLE = {
@@ -1629,6 +1881,10 @@ ORACLE = {
     "r44_custdist": R44_SQL,
     "r45_dominant_suppliers": R45_SQL,
     "r46_idle_rich_customers": R46_SQL,
+    "r47_salted_join": R47_SQL,
+    "r48_range_join": R48_SQL,
+    "r49_grouped_ols": R49_SQL,
+    "r50_quantile_bounds": R50_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }

@@ -253,6 +253,43 @@ SELECT event_id, event_type, day, raw FROM m WHERE NOT json_valid(raw)
 """
 
 
+# --------------------------------------------------------------------- s07
+_S07_WIN_S = 86400       # 1-day windows
+_S07_HOP_S = 43200       # hopping every 12 h (overlap ×2)
+
+
+def s07_hopping_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Hopping (sliding) 1-day window every 12 h: each event lands in
+    exactly 2 overlapping windows (streaming twin:
+    streaming.ops.streaming_hopping_agg). Window starts are emitted as
+    epoch seconds — engine-unambiguous, no timestamptz round-trip."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(
+                F.window("ts", "1 day", "12 hours").start
+            ).alias("win_start_s")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+S07_SQL = f"""
+WITH e AS (
+  SELECT CAST(floor(epoch(ts) / {_S07_HOP_S}) AS BIGINT) * {_S07_HOP_S}
+           AS w0, value
+  FROM events),
+x AS (
+  SELECT unnest([w0, w0 - {_S07_HOP_S}]) AS win_start_s, value FROM e)
+SELECT win_start_s, CAST(count(*) AS BIGINT) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM x GROUP BY win_start_s
+"""
+
+
 QUERIES = {
     "s01_tumbling_daily": s01_tumbling_daily,
     "s02_sessionize": s02_sessionize,
@@ -260,6 +297,7 @@ QUERIES = {
     "s04_user_gap_stats": s04_user_gap_stats,
     "s05_session_windows": s05_session_windows,
     "s06_stream_quarantine": s06_stream_quarantine,
+    "s07_hopping_windows": s07_hopping_windows,
 }
 
 ORACLE = {
@@ -269,4 +307,5 @@ ORACLE = {
     "s04_user_gap_stats": S04_SQL,
     "s05_session_windows": S05_SQL,
     "s06_stream_quarantine": S06_SQL,
+    "s07_hopping_windows": S07_SQL,
 }

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark_recs.streaming import (
     read_event_stream,
     streaming_dedup,
+    streaming_hopping_agg,
     streaming_sessionize,
     streaming_tumbling_agg,
     stream_to_kv_sink,
@@ -63,6 +64,27 @@ def test_streaming_tumbling_agg_matches_batch(spark, event_dir, tmp_path):
     assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
     assert got[("2024-01-01 00:00:00", "view")] == (1, 3.0)
     assert got[("2024-01-02 00:00:00", "click")] == (2, 8.0)
+
+
+def test_streaming_hopping_agg_matches_batch(spark, event_dir, tmp_path):
+    path, schema = event_dir
+    stream = read_event_stream(spark, path, schema)
+    out = _run_stream(
+        streaming_hopping_agg(
+            stream, window="1 day", slide="12 hours", watermark="2 days"
+        ),
+        tmp_path,
+    )
+    got = {str(r.win_start): (r.n_events, r.total_value) for r in out.collect()}
+    # Each event lands in exactly the 2 windows covering its timestamp:
+    # the Jan 1 morning trio (values 1+2+3) in the Dec31-12:00 and
+    # Jan1-00:00 windows, the Jan 2 00:30 pair (4.0 each) in the
+    # Jan1-12:00 and Jan2-00:00 windows.
+    assert got["2023-12-31 12:00:00"] == (3, 6.0)
+    assert got["2024-01-01 00:00:00"] == (3, 6.0)
+    assert got["2024-01-01 12:00:00"] == (2, 8.0)
+    assert got["2024-01-02 00:00:00"] == (2, 8.0)
+    assert len(got) == 4
 
 
 def test_streaming_dedup(spark, event_dir, tmp_path):
