@@ -50,6 +50,13 @@ HEADLINE = [
     "l10_char_fingerprints",
     "s01_tumbling_daily",
     "s02_sessionize",
+    # round-3 fact-table additions (document/event-family queries don't
+    # scale here — only lineitem/orders are replicated)
+    "r45_dominant_suppliers",
+    "r46_idle_rich_customers",
+    "r48_range_join",
+    "r49_grouped_ols",
+    "r50_quantile_bounds",
 ]
 KEY_SHIFT = 10_000_000  # > max o_orderkey at sf0.1 (600k)
 
