@@ -1552,18 +1552,16 @@ def r47_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     shuffle partition and AQE's skew splitting can't apply (e.g.
     aggregations after the join need the same partitioning). Dim
     replication costs ×N_SALTS dim rows — cheap for dims, which is the
-    only side you salt this way."""
+    only side you salt this way. Implementation:
+    sql/transforms.py:salted_join (plan-asserted in tests/test_plans.py)."""
+    from pyspark_recs.sql import salted_join
+
     ev = load_table(spark, sf, "events")
     cust = load_table(spark, sf, "customer").select(
-        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        F.col("c_custkey").alias("cust_id"), "c_mktsegment"
     )
-    salted_fact = ev.withColumn(
-        "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS))
-    )
-    salts = spark.range(N_SALTS).select(F.col("id").alias("salt"))
-    salted_dim = cust.crossJoin(salts)
     return (
-        salted_fact.join(salted_dim, ["user_id", "salt"])
+        salted_join(ev, cust, "user_id", "cust_id", n_salts=N_SALTS)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

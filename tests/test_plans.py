@@ -164,6 +164,25 @@ def test_interval_join_is_equi_join(spark):
     assert "Join" in plan
 
 
+def test_overlapping_range_join_is_equi_join(spark):
+    # r48's overlapping 90-day periods decompose to a 30-day-bin
+    # equi-join (x3 expansion) — the theta form would plan a
+    # BroadcastNestedLoopJoin. This is the decomposition that beat
+    # DuckDB's native range join 3x in SCALING.md.
+    plan = plan_of(QUERIES["r48_range_join"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_salted_join_query_has_no_nested_loop(spark):
+    # r47 replicates the dim via explode (not crossJoin), so the salted
+    # join must still plan as a pure equi-join on (key, salt).
+    plan = plan_of(QUERIES["r47_salted_join"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_deep_snowflake_join_broadcasts_all_dims(spark):
     # r39 (TPC-H Q5 shape): all four dimension joins must broadcast (at
     # sf0.001 the fact side also fits the threshold, so >= 4); nothing
