@@ -85,6 +85,112 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def boilerplate_grams(
+    docs: DataFrame,
+    min_df: int = 3,
+    shingle_n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document boilerplate detection (the C4 repeated-content
+    filter signal at corpus granularity, complementing l22's intra-doc
+    repetition): an n-gram is boilerplate when it occurs in ≥ ``min_df``
+    distinct documents; each document reports what fraction of its
+    distinct n-grams are boilerplate.
+
+    Returns (doc_id, n_grams, n_boiler, boiler_frac).
+
+    Scale: grams are integer Horner folds (no strings). One
+    map-side-combined groupBy computes corpus document frequencies; the
+    grams→boilerplate join is a shuffle equi-join on the gram hash
+    (the boilerplate set grows with the corpus, so it is NOT assumed
+    broadcastable — Spark may still broadcast it when small). Per-doc
+    rollups are combiner-friendly counts."""
+    long_enough = F.size(tokens(F.col(text_col))) >= shingle_n
+    grams = docs.filter(long_enough).select(
+        "doc_id",
+        F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("gram"),
+    )
+    # shingle_hashes emits per-doc-distinct grams, so count(*) == count
+    # of distinct docs containing the gram.
+    boiler = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("gram")
+    )
+    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        grams.join(boiler, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        per_doc.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
+            (
+                F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+def novelty_gate(
+    batch: DataFrame,
+    corpus: DataFrame,
+    admit_threshold: float = 0.5,
+    shingle_n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingestion novelty gating: score each new-batch
+    document by the fraction of its n-grams never seen in the existing
+    corpus, and admit it iff novelty ≥ threshold. This is the
+    incremental crawl-dedup primitive — at 100 TB you never re-dedup
+    the whole corpus against itself; you gate each arriving batch
+    against the corpus gram index (in production a persisted
+    bucketed table or Bloom index; semantically this anti-join).
+
+    Returns (doc_id, n_grams, n_novel, novelty_frac, admit) for every
+    batch document with ≥ ``shingle_n`` words.
+
+    Scale: one shuffle equi-join on the gram hash between the (small)
+    batch grams and the corpus gram set; per-doc rollups are
+    combiner-friendly. Collisions in the Horner fold can only lower
+    novelty — the conservative direction for a dedup gate."""
+    long_enough = F.size(tokens(F.col(text_col))) >= shingle_n
+    batch_grams = batch.filter(long_enough).select(
+        "doc_id",
+        F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("gram"),
+    )
+    corpus_grams = (
+        corpus.filter(long_enough)
+        .select(F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("gram"))
+        .distinct()
+    )
+    novel = (
+        batch_grams.join(corpus_grams, "gram", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    per_doc = batch_grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    frac = (
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+        / F.col("n_grams").cast("double")
+    )
+    return per_doc.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+        frac.alias("novelty_frac"),
+        (frac >= F.lit(admit_threshold)).alias("admit"),
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

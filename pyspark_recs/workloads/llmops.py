@@ -1162,6 +1162,73 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+# --------------------------------------------------------------------- l34
+def l34_boilerplate_grams(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document boilerplate detection: per-doc fraction of 3-grams
+    occurring in ≥3 distinct documents (corpus-level repeated-content
+    signal; complements l22's intra-doc repetition). See
+    llmops/scrub.py:boilerplate_grams."""
+    from pyspark_recs.llmops.scrub import boilerplate_grams
+
+    return boilerplate_grams(load_table(spark, sf, "documents"))
+
+
+L34_SQL = f"""
+WITH toks AS ({_TOKS}),
+{_INT_SHINGLE_CTES.strip()},
+g AS (SELECT doc_id, unnest(hs) AS gram FROM ihs),
+b AS (
+  SELECT gram FROM (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+  WHERE df >= 3),
+pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id),
+h AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+  FROM g JOIN b USING (gram) GROUP BY doc_id)
+SELECT pd.doc_id, pd.n_grams,
+       coalesce(h.n_boiler, 0) AS n_boiler,
+       CAST(coalesce(h.n_boiler, 0) AS DOUBLE)
+         / CAST(pd.n_grams AS DOUBLE) AS boiler_frac
+FROM pd LEFT JOIN h USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------- l35
+def l35_novelty_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-ingestion novelty gating: new-batch docs
+    (doc_id % 3 = 0) scored by the fraction of their 3-grams unseen in
+    the existing corpus (the other docs); admitted at novelty ≥ 0.5.
+    The anti-join is the incremental crawl-dedup primitive — gate each
+    arriving batch against the corpus gram index instead of re-deduping
+    the corpus. See llmops/scrub.py:novelty_gate."""
+    from pyspark_recs.llmops.scrub import novelty_gate
+
+    docs = load_table(spark, sf, "documents")
+    return novelty_gate(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0),
+    )
+
+
+L35_SQL = f"""
+WITH toks AS ({_TOKS}),
+{_INT_SHINGLE_CTES.strip()},
+g AS (SELECT doc_id, unnest(hs) AS gram FROM ihs),
+bg AS (SELECT doc_id, gram FROM g WHERE doc_id % 3 = 0),
+cg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 3 <> 0),
+nv AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+  FROM bg ANTI JOIN cg USING (gram) GROUP BY doc_id),
+pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM bg GROUP BY doc_id)
+SELECT pd.doc_id, pd.n_grams,
+       coalesce(nv.n_novel, 0) AS n_novel,
+       CAST(coalesce(nv.n_novel, 0) AS DOUBLE)
+         / CAST(pd.n_grams AS DOUBLE) AS novelty_frac,
+       (CAST(coalesce(nv.n_novel, 0) AS DOUBLE)
+         / CAST(pd.n_grams AS DOUBLE) >= 0.5) AS admit
+FROM pd LEFT JOIN nv USING (doc_id)
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -1196,6 +1263,8 @@ QUERIES = {
     "l31_pii_redaction": l31_pii_redaction,
     "l32_decontaminate": l32_decontaminate,
     "l33_bm25_search": l33_bm25_search,
+    "l34_boilerplate_grams": l34_boilerplate_grams,
+    "l35_novelty_gate": l35_novelty_gate,
 }
 
 ORACLE = {
@@ -1232,4 +1301,6 @@ ORACLE = {
     "l31_pii_redaction": L31_SQL,
     "l32_decontaminate": L32_SQL,
     "l33_bm25_search": L33_SQL,
+    "l34_boilerplate_grams": L34_SQL,
+    "l35_novelty_gate": L35_SQL,
 }

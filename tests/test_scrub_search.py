@@ -86,3 +86,43 @@ def test_bm25_prefers_rare_terms_and_tf(spark):
     assert ranked == [3, 2]
     scores = {r.doc_id: r.score for r in out}
     assert scores[3] > scores[2] > 0
+
+
+def test_boilerplate_grams_flags_shared_phrase(spark):
+    from pyspark_recs.llmops.scrub import boilerplate_grams
+
+    shared = "click here to subscribe"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} alpha beta gamma"),
+            (2, f"{shared} delta epsilon zeta"),
+            (3, f"{shared} eta theta iota"),
+            (4, "completely unrelated words only once"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in boilerplate_grams(docs, min_df=3).collect()}
+    # "click here to" / "here to subscribe" appear in 3 docs -> boilerplate
+    for d in (1, 2, 3):
+        assert out[d].n_boiler == 2
+        assert 0 < out[d].boiler_frac < 1
+    assert out[4].n_boiler == 0 and out[4].boiler_frac == 0.0
+
+
+def test_novelty_gate_admits_fresh_rejects_seen(spark):
+    from pyspark_recs.llmops.scrub import novelty_gate
+
+    corpus_text = "the quick brown fox jumps over the lazy dog"
+    corpus = spark.createDataFrame(
+        [(100, corpus_text)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, corpus_text),                      # fully seen -> reject
+            (2, "entirely novel sentence with unique words"),  # admit
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in novelty_gate(batch, corpus).collect()}
+    assert got[1].n_novel == 0 and got[1].admit is False
+    assert got[2].n_novel == got[2].n_grams and got[2].admit is True
