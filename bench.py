@@ -52,6 +52,8 @@ HEADLINE = [
     "r49_grouped_ols",
     "r50_quantile_bounds",
     "s07_hopping_windows",
+    "l34_boilerplate_grams",
+    "l35_novelty_gate",
 ]
 
 

@@ -6,6 +6,7 @@ from pyspark_recs.streaming.ops import (
     streaming_quarantine,
     streaming_session_agg,
     streaming_sessionize,
+    streaming_static_anti_join,
     streaming_stream_join,
     streaming_tumbling_agg,
     stream_to_kv_sink,
@@ -20,6 +21,7 @@ __all__ = [
     "streaming_quarantine",
     "streaming_session_agg",
     "streaming_sessionize",
+    "streaming_static_anti_join",
     "streaming_stream_join",
     "streaming_tumbling_agg",
 ]

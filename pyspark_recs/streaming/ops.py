@@ -70,6 +70,20 @@ def streaming_hopping_agg(
     )
 
 
+def streaming_static_anti_join(
+    stream: DataFrame, static_keys: DataFrame, on: list[str] | str
+) -> DataFrame:
+    """Stream-static LEFT ANTI join: pass through only stream rows whose
+    key is absent from a static reference table — the incremental form
+    of the corpus novelty gate (workloads s08 / llmops l35): events from
+    never-before-seen keys, dedup-against-history, blocklist filtering.
+
+    Scale: the static side is re-read per micro-batch and broadcast when
+    small; for a 100 TB "seen" index, persist it bucketed on the key so
+    the per-batch join is a co-located lookup instead of a shuffle."""
+    return stream.join(static_keys, on, "left_anti")
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: list[str],

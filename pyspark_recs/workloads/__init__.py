@@ -33,7 +33,7 @@ _PRIORITY = [
     # tier 1 — new (l31-33, r47-50, s07) + fixed (s02/s04, l13/l25/l29,
     # r45/r46), round-robin llmops / relational / streaming
     "l31_pii_redaction", "r47_salted_join", "s07_hopping_windows",
-    "l34_boilerplate_grams", "l35_novelty_gate",
+    "l34_boilerplate_grams", "l35_novelty_gate", "s08_new_user_events",
     "l32_decontaminate", "r48_range_join", "s02_sessionize",
     "l33_bm25_search", "r49_grouped_ols", "s04_user_gap_stats",
     "l13_multimodal_features", "r50_quantile_bounds", "l25_scalar_quantize",

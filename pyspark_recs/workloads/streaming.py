@@ -290,6 +290,56 @@ FROM x GROUP BY win_start_s
 """
 
 
+# --------------------------------------------------------------------- s08
+def s08_new_user_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-vs-history anti-join (streaming twin:
+    streaming.ops.streaming_static_anti_join): events in the trailing
+    7 days of the dataset from users with NO earlier activity — the
+    new-entity detection / dedup-against-history shape. The "seen"
+    user set is the static side; per day we count the surviving events
+    and distinct new users.
+
+    Scale: the seen-set is key-only (pruned before the join) and
+    bucketable; the anti-join shuffles only keys, never payloads."""
+    ev = load_table(spark, sf, "events")
+    mn = ev.agg(F.min("ts").alias("mn"))
+    # History = the first 18 h of the dataset (every user appears within
+    # the first days, so a trailing-recency cutoff would be vacuous —
+    # the bootstrap window keeps both join branches populated).
+    with_cut = ev.crossJoin(F.broadcast(mn)).withColumn(
+        "cutoff", F.col("mn") + F.expr("INTERVAL 18 HOURS")
+    )
+    recent = with_cut.filter(F.col("ts") > F.col("cutoff"))
+    seen = (
+        with_cut.filter(F.col("ts") <= F.col("cutoff"))
+        .select("user_id")
+        .distinct()
+    )
+    fresh = recent.join(seen, "user_id", "left_anti")
+    return fresh.groupBy(
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_s")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_new_users"),
+    )
+
+
+S08_SQL = """
+WITH mn AS (SELECT min(ts) AS mn FROM events),
+cut AS (SELECT mn + INTERVAL 18 HOUR AS cutoff FROM mn),
+seen AS (
+  SELECT DISTINCT user_id FROM events, cut WHERE ts <= cutoff),
+fresh AS (
+  SELECT e.* FROM events e, cut
+  WHERE e.ts > cut.cutoff
+    AND e.user_id NOT IN (SELECT user_id FROM seen))
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_new_users
+FROM fresh GROUP BY day_s
+"""
+
+
 QUERIES = {
     "s01_tumbling_daily": s01_tumbling_daily,
     "s02_sessionize": s02_sessionize,
@@ -298,6 +348,7 @@ QUERIES = {
     "s05_session_windows": s05_session_windows,
     "s06_stream_quarantine": s06_stream_quarantine,
     "s07_hopping_windows": s07_hopping_windows,
+    "s08_new_user_events": s08_new_user_events,
 }
 
 ORACLE = {
@@ -308,4 +359,5 @@ ORACLE = {
     "s05_session_windows": S05_SQL,
     "s06_stream_quarantine": S06_SQL,
     "s07_hopping_windows": S07_SQL,
+    "s08_new_user_events": S08_SQL,
 }

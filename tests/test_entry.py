@@ -37,3 +37,33 @@ def test_every_query_runs_at_smallest_sf(spark):
             continue
         df = fn(spark, SF_DIR)
         assert df.count() >= 0, name
+
+
+def test_loader_normalizes_all_timestamps(spark):
+    # The driver testdata's physical timestamp encoding has changed
+    # across rounds (TIMESTAMP(NANOS) -> TIMESTAMP(MICROS) NTZ, which
+    # broke round 2's bench). Whatever the parquet footer says, every
+    # timestamp-like column must surface as plain TimestampType so
+    # unix_micros()/interval arithmetic works.
+    import os
+
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    from pyspark_recs.io import load_table
+    from pyspark_recs.io.loaders import TABLES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        if not os.path.isdir(sf):
+            continue
+        for name in TABLES:
+            df = load_table(spark, sf, name)
+            for f in df.schema.fields:
+                assert not isinstance(f.dataType, TimestampNTZType), (
+                    f"{sf}/{name}.{f.name} leaked TIMESTAMP_NTZ"
+                )
+            if name == "events":
+                ts_type = dict(df.dtypes)["ts"]
+                assert ts_type == "timestamp"
+                assert isinstance(
+                    df.schema["ts"].dataType, TimestampType
+                )

@@ -15,6 +15,7 @@ from pyspark_recs.streaming import (
     streaming_dedup,
     streaming_hopping_agg,
     streaming_sessionize,
+    streaming_static_anti_join,
     streaming_tumbling_agg,
     stream_to_kv_sink,
 )
@@ -85,6 +86,21 @@ def test_streaming_hopping_agg_matches_batch(spark, event_dir, tmp_path):
     assert got["2024-01-01 12:00:00"] == (2, 8.0)
     assert got["2024-01-02 00:00:00"] == (2, 8.0)
     assert len(got) == 4
+
+
+def test_streaming_static_anti_join_filters_seen_keys(spark, event_dir, tmp_path):
+    path, schema = event_dir
+    stream = read_event_stream(spark, path, schema)
+    seen = spark.createDataFrame([(7,)], "user_id long")
+    out = _run_stream(
+        streaming_static_anti_join(stream, seen, "user_id"),
+        tmp_path,
+        mode="append",
+    )
+    rows = out.collect()
+    # user 7's four events are filtered; only user 8's view survives
+    assert {r.user_id for r in rows} == {8}
+    assert len(rows) == 1
 
 
 def test_streaming_dedup(spark, event_dir, tmp_path):
