@@ -322,3 +322,55 @@ def connected_components(
             "split — raise max_iter"
         )
     return labels
+
+
+def blocked_edit_pairs(
+    df: DataFrame,
+    prefix_len: int = 48,
+    bucket_chars: int = 64,
+    max_dist: int = 20,
+) -> DataFrame:
+    """Entity-resolution-style fuzzy near-dup: Levenshtein distance over
+    a fixed-length document prefix, computed only WITHIN blocking keys
+    of (lang, length bucket) — the classic blocking step that makes
+    edit-distance dedup feasible at corpus scale.
+
+    Levenshtein is O(prefix_len²) per pair, so the all-pairs form is
+    doubly quadratic (pairs × cells). Blocking bounds the candidate set:
+    Σ_b n_b² pairs instead of N², and near-identical docs land in the
+    same block because an edit-distance-close pair has near-equal
+    length and identical language. The distance itself runs JVM-side
+    (`F.levenshtein`, no UDF).
+
+    Output is integer-exact (doc ids + int distance) — bit-stable vs the
+    DuckDB `levenshtein()` twin.
+
+    Scale: the block self-join is an equi-join on (lang, bucket) — one
+    shuffle keyed by block, quadratic term bounded per block. A skewed
+    block (all docs same length) degrades toward n²; mitigate upstream
+    by widening the key (more metadata) or sub-bucketing on a prefix
+    hash, same trade as LSH band tuning.
+    """
+    blocked = df.select(
+        "doc_id",
+        F.col("lang"),
+        (F.col("n_chars") / F.lit(bucket_chars)).cast("long").alias("lbucket"),
+        F.substring(F.col("text"), 1, prefix_len).alias("prefix"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.lbucket") == F.col("b.lbucket")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )

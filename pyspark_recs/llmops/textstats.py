@@ -374,3 +374,113 @@ def pack_sequences(
     return staged.withColumn(
         "bin_idx", F.floor(cum_excl / F.lit(capacity)).cast("int")
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus heavy hitters: every token whose total frequency exceeds
+    N/k tokens, via the two-phase Misra-Gries pattern — per-partition
+    candidate summaries (capacity k keeps only tokens that COULD exceed
+    N/k), then an exact recount restricted to surviving candidates.
+
+    Misra-Gries guarantees no false negatives: a token with global count
+    > N/k survives at least one partition summary, so the exact second
+    pass over candidates only is EQUAL to the full count-filter — which
+    is exactly what the DuckDB oracle computes. What the pattern buys at
+    scale: the shuffle carries ≤ k rows per partition instead of the
+    full long-tail vocabulary (100 TB of web text has billions of
+    distinct tokens; the candidate set is bounded by partitions × k).
+
+    The local summaries run in one `applyInPandas`-free pass: Spark's
+    partial aggregation already combines map-side, so here the
+    candidate phase is expressed as a per-partition groupBy via
+    `spark_partition_id()` — keeping everything JVM-side — and the
+    decrement step of Misra-Gries is replaced by a local-threshold
+    filter (count_local > N_local/k), which has the same no-false-
+    negative guarantee by the pigeonhole argument.
+
+    Output: (token, cnt BIGINT, share DOUBLE = cnt/N, one bigint
+    division — bit-exact).
+    """
+    toks = df.select(
+        F.explode(tokens(F.col(text_col))).alias("token"),
+        F.spark_partition_id().alias("pid"),
+    )
+    toks = toks.cache()
+    total = toks.count()  # N: one job, also materializes the cache
+    # Phase 1: per-partition counts and local threshold. A token with
+    # global count > N/k must exceed N_p/k in ≥1 partition p (else
+    # summing the per-partition bounds gives ≤ Σ N_p/k = N/k).
+    local = toks.groupBy("pid", "token").agg(F.count("*").alias("c_loc"))
+    part_sizes = toks.groupBy("pid").agg(F.count("*").alias("n_loc"))
+    candidates = (
+        local.join(part_sizes, "pid")
+        .filter(F.col("c_loc") * k > F.col("n_loc"))
+        .select("token")
+        .distinct()
+    )
+    # Phase 2: exact recount of candidates only (left_semi prunes the
+    # tail before the global shuffle).
+    exact = (
+        toks.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * k > F.lit(total))
+    )
+    out = exact.select(
+        "token",
+        "cnt",
+        (F.col("cnt").cast("double") / F.lit(float(total))).alias("share"),
+    )
+    return out
+
+
+def rare_token_score(
+    df: DataFrame,
+    text_col: str = "text",
+    ppm_threshold: int = 2000,
+) -> DataFrame:
+    """Per-document rare-token quality signal: the mean corpus frequency
+    of a document's tokens (KenLM-style unigram scoring with the log
+    dropped so arithmetic stays exact). Documents whose tokens are
+    mostly corpus-rare (OCR noise, mojibake, codes) score low and get
+    flagged.
+
+    Arithmetic is integer until the final division: per-token corpus
+    counts (bigint) are summed per doc (bigint), then divided by
+    n_tokens × corpus_total once — parts-per-million as DOUBLE, the
+    same IEEE-754 division DuckDB performs, so the oracle matches
+    bit-exactly (no transcendentals, see module docstring).
+
+    Scale: the token→count join is against the unigram table, which is
+    heavy-hitter-dominated but long-tailed; at 100 TB broadcast the
+    top-M vocabulary and hash-join the tail, or pre-aggregate doc-level
+    token multisets before joining. Here the unigram table is small and
+    broadcast. Two shuffles total (unigram agg, per-doc re-agg).
+    """
+    toks = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("token"))
+    toks = toks.cache()
+    unigrams = toks.groupBy("token").agg(F.count("*").alias("tok_cnt"))
+    total = toks.count()
+    scored = (
+        toks.join(F.broadcast(unigrams), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("tok_cnt").alias("sum_cnt"),
+        )
+    )
+    # mean frequency in parts-per-million: 1e6 * sum_cnt / (n_tokens*N)
+    ppm = (F.col("sum_cnt") * F.lit(1000000)).cast("double") / (
+        F.col("n_tokens") * F.lit(total)
+    ).cast("double")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "sum_cnt",
+        ppm.alias("mean_freq_ppm"),
+        (ppm < F.lit(float(ppm_threshold))).alias("flag_rare"),
+    )

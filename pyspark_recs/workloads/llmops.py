@@ -1229,6 +1229,81 @@ FROM pd LEFT JOIN nv USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------- l36
+def l36_fuzzy_edit_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked Levenshtein fuzzy near-dup over document prefixes:
+    candidate pairs only within (lang, length-bucket) blocks, distance
+    JVM-side via F.levenshtein — the entity-resolution blocking pattern.
+    See llmops/dedup.py:blocked_edit_pairs."""
+    from pyspark_recs.llmops.dedup import blocked_edit_pairs
+
+    return blocked_edit_pairs(load_table(spark, sf, "documents"))
+
+
+L36_SQL = """
+WITH b AS (
+  SELECT doc_id, lang, CAST(floor(n_chars / 64) AS BIGINT) AS lbucket,
+         substring(text, 1, 48) AS prefix
+  FROM documents)
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, a.lang AS lang,
+       CAST(levenshtein(a.prefix, c.prefix) AS INT) AS edit_dist
+FROM b a JOIN b c
+  ON a.doc_id < c.doc_id AND a.lang = c.lang AND a.lbucket = c.lbucket
+WHERE levenshtein(a.prefix, c.prefix) <= 20
+"""
+
+
+# --------------------------------------------------------------------- l37
+def l37_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus heavy hitters (> N/k tokens) via per-partition Misra-Gries
+    candidate summaries + exact recount of candidates only — the
+    bounded-shuffle pattern for billion-token vocabularies. The oracle
+    is the plain global count-filter the two-phase plan provably equals.
+    See llmops/textstats.py:heavy_hitters."""
+    from pyspark_recs.llmops.textstats import heavy_hitters
+
+    return heavy_hitters(load_table(spark, sf, "documents"), k=50)
+
+
+L37_SQL = f"""
+WITH toks AS ({_TOKS}),
+t AS (SELECT unnest(words) AS token FROM toks),
+n AS (SELECT count(*) AS total FROM t),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token)
+SELECT token, cnt,
+       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+FROM c, n WHERE cnt * 50 > total
+"""
+
+
+# --------------------------------------------------------------------- l38
+def l38_rare_token_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc mean corpus token frequency (unigram-LM quality signal,
+    log-free so arithmetic is exact): docs dominated by corpus-rare
+    tokens are flagged. See llmops/textstats.py:rare_token_score."""
+    from pyspark_recs.llmops.textstats import rare_token_score
+
+    return rare_token_score(load_table(spark, sf, "documents"))
+
+
+L38_SQL = f"""
+WITH toks AS ({_TOKS}),
+t AS (SELECT doc_id, unnest(words) AS token FROM toks),
+n AS (SELECT count(*) AS total FROM t),
+u AS (SELECT token, CAST(count(*) AS BIGINT) AS tok_cnt FROM t GROUP BY token),
+d AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(u.tok_cnt) AS BIGINT) AS sum_cnt
+  FROM t JOIN u USING (token) GROUP BY t.doc_id)
+SELECT doc_id, n_tokens, sum_cnt,
+       CAST(sum_cnt * 1000000 AS DOUBLE)
+         / CAST(n_tokens * total AS DOUBLE) AS mean_freq_ppm,
+       (CAST(sum_cnt * 1000000 AS DOUBLE)
+         / CAST(n_tokens * total AS DOUBLE) < 2000.0) AS flag_rare
+FROM d, n
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -1265,6 +1340,9 @@ QUERIES = {
     "l33_bm25_search": l33_bm25_search,
     "l34_boilerplate_grams": l34_boilerplate_grams,
     "l35_novelty_gate": l35_novelty_gate,
+    "l36_fuzzy_edit_dedup": l36_fuzzy_edit_dedup,
+    "l37_heavy_hitters": l37_heavy_hitters,
+    "l38_rare_token_score": l38_rare_token_score,
 }
 
 ORACLE = {
@@ -1303,4 +1381,7 @@ ORACLE = {
     "l33_bm25_search": L33_SQL,
     "l34_boilerplate_grams": L34_SQL,
     "l35_novelty_gate": L35_SQL,
+    "l36_fuzzy_edit_dedup": L36_SQL,
+    "l37_heavy_hitters": L37_SQL,
+    "l38_rare_token_score": L38_SQL,
 }

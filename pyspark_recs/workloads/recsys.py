@@ -449,6 +449,76 @@ WHERE rank <= 5
 """
 
 
+# --------------------------------------------------------------------- rs09
+def rs09_next_item_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """(history, next-item) training pairs for a sequential recommender:
+    one window per user over the event stream, history bounded to the
+    last 3 items — the supervised-example assembly step between raw
+    events and the two-tower/sequence model. See
+    features/sequences.py:next_item_pairs."""
+    from pyspark_recs.features.sequences import next_item_pairs
+
+    return next_item_pairs(load_table(spark, sf, "events"))
+
+
+RS09_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+  FROM events),
+h AS (
+  SELECT user_id, event_id, item_id,
+         list(item_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS hist
+  FROM e)
+SELECT user_id, event_id,
+       array_to_string(list_transform(hist, x -> CAST(x AS VARCHAR)), ',')
+         AS history,
+       item_id AS label
+FROM h
+WHERE hist IS NOT NULL AND len(hist) > 0
+"""
+
+
+# --------------------------------------------------------------------- rs10
+def rs10_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: strictly-increasing first-
+    event times per user, strictly-shrinking per-stage join chain on
+    user_id, three scalar counts out. See
+    features/sequences.py:funnel_stages."""
+    from pyspark_recs.features.sequences import funnel_stages
+
+    return funnel_stages(load_table(spark, sf, "events"))
+
+
+RS10_SQL = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id),
+n AS (
+  SELECT (SELECT count(*) FROM t1) AS n1,
+         (SELECT count(*) FROM t2) AS n2,
+         (SELECT count(*) FROM t3) AS n3)
+SELECT 'view' AS stage, CAST(1 AS INTEGER) AS stage_idx,
+       CAST(n1 AS BIGINT) AS n_users,
+       CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS share_of_entry FROM n
+UNION ALL
+SELECT 'click', CAST(2 AS INTEGER), CAST(n2 AS BIGINT),
+       CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM n
+UNION ALL
+SELECT 'purchase', CAST(3 AS INTEGER), CAST(n3 AS BIGINT),
+       CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM n
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -458,6 +528,8 @@ QUERIES = {
     "rs06_negative_samples": rs06_negative_samples,
     "rs07_leave_one_out": rs07_leave_one_out,
     "rs08_feature_rerank": rs08_feature_rerank,
+    "rs09_next_item_pairs": rs09_next_item_pairs,
+    "rs10_funnel": rs10_funnel,
 }
 
 ORACLE = {
@@ -469,4 +541,6 @@ ORACLE = {
     "rs06_negative_samples": RS06_SQL,
     "rs07_leave_one_out": RS07_SQL,
     "rs08_feature_rerank": RS08_SQL,
+    "rs09_next_item_pairs": RS09_SQL,
+    "rs10_funnel": RS10_SQL,
 }

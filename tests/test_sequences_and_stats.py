@@ -1,0 +1,131 @@
+"""Unit tests for the round-3 training-data operators: blocked edit
+dedup, two-phase heavy hitters, rare-token scoring, next-item pairs,
+funnel stages."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from pyspark_recs.features.sequences import funnel_stages, next_item_pairs
+from pyspark_recs.llmops.dedup import blocked_edit_pairs
+from pyspark_recs.llmops.textstats import heavy_hitters, rare_token_score
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+
+
+def test_blocked_edit_pairs_finds_near_identical(spark):
+    base = "the quick brown fox jumps over the lazy dog again"
+    docs = _docs(
+        spark,
+        [
+            (1, base, "en", len(base)),
+            (2, base.replace("quick", "quack"), "en", len(base)),
+            # same text, different lang — blocking must exclude it
+            (3, base, "fr", len(base)),
+            # wildly different length bucket
+            (4, "x" * 500, "en", 500),
+        ],
+    )
+    pairs = blocked_edit_pairs(docs, prefix_len=48, max_dist=5).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
+    assert pairs[0].edit_dist == 1
+
+
+def test_blocked_edit_pairs_never_crosses_blocks(spark):
+    docs = _docs(
+        spark,
+        [(i, "same text", "en" if i % 2 else "de", 9) for i in range(8)],
+    )
+    pairs = blocked_edit_pairs(docs, max_dist=100).collect()
+    for r in pairs:
+        assert (r.doc_a % 2) == (r.doc_b % 2)  # lang block respected
+
+
+def test_heavy_hitters_equals_bruteforce(spark):
+    # 'a' appears 12/24 tokens, 'b' 6/24, the rest once each (6 tokens).
+    text_rows = [
+        (1, "a a a a a a b b b", "en", 0),
+        (2, "a a a a a a b b b u1 u2 u3", "en", 0),
+        (3, "u4 u5 u6", "en", 0),
+    ]
+    docs = _docs(
+        spark, [(i, t, la, len(t)) for i, t, la, _ in text_rows]
+    )
+    k = 5  # threshold 24/5 = 4.8 tokens
+    got = {r.token: r.cnt for r in heavy_hitters(docs, k=k).collect()}
+    toks = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    total = toks.count()
+    brute = {
+        r.t: r.c
+        for r in toks.groupBy("t").agg(F.count("*").alias("c")).collect()
+        if r.c * k > total
+    }
+    assert got == brute == {"a": 12, "b": 6}
+
+
+def test_rare_token_score_hand_computed(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a a b", "en", 5),  # counts: a=2,b=1 within corpus a=2,b=1,c=1
+            (2, "c", "en", 1),
+        ],
+    )
+    rows = {r.doc_id: r for r in rare_token_score(docs).collect()}
+    # corpus total = 4 tokens; doc1 sum_cnt = 2+2+1 = 5, n_tokens 3
+    assert rows[1].sum_cnt == 5 and rows[1].n_tokens == 3
+    assert rows[1].mean_freq_ppm == 5 * 1_000_000 / (3 * 4)
+    # doc2: c appears once in corpus of 4 -> 250000 ppm
+    assert rows[2].mean_freq_ppm == 250_000.0
+    assert not rows[2].flag_rare  # 250000 >= 2000
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+        "event_type string, props string"
+    )
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_next_item_pairs_history_order_and_bound(spark):
+    ev = _events(
+        spark,
+        [
+            (i, 1, _ts(f"2024-01-01 00:0{i}:00"), "click", f'{{"k": {10 + i}}}')
+            for i in range(5)
+        ],
+    )
+    rows = {r.event_id: r for r in next_item_pairs(ev, history_len=3).collect()}
+    assert 0 not in rows  # first event has no history
+    assert rows[1].history == "10" and rows[1].label == 11
+    assert rows[4].history == "11,12,13" and rows[4].label == 14  # bounded to 3
+
+
+def test_funnel_requires_strict_stage_order(spark):
+    rows = [
+        # user 1 completes the funnel in order
+        (1, 1, _ts("2024-01-01 00:00:00"), "view", "{}"),
+        (2, 1, _ts("2024-01-01 00:01:00"), "click", "{}"),
+        (3, 1, _ts("2024-01-01 00:02:00"), "purchase", "{}"),
+        # user 2 purchases BEFORE clicking — must not count as stage 3
+        (4, 2, _ts("2024-01-01 00:00:00"), "view", "{}"),
+        (5, 2, _ts("2024-01-01 00:00:30"), "purchase", "{}"),
+        (6, 2, _ts("2024-01-01 00:01:00"), "click", "{}"),
+        # user 3 never views — enters no stage
+        (7, 3, _ts("2024-01-01 00:00:00"), "click", "{}"),
+    ]
+    got = {r.stage: r for r in funnel_stages(_events(spark, rows)).collect()}
+    assert got["view"].n_users == 2
+    assert got["click"].n_users == 2
+    assert got["purchase"].n_users == 1
+    assert got["purchase"].share_of_entry == 0.5
