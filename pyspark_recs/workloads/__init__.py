@@ -32,8 +32,9 @@ for _mod in (_relational, _llmops, _recsys, _streaming):
 _PRIORITY = [
     # tier 1 — new (l31-33, r47-50, s07) + fixed (s02/s04, l13/l25/l29,
     # r45/r46), round-robin llmops / relational / streaming
-    "l36_fuzzy_edit_dedup", "rs09_next_item_pairs", "l37_heavy_hitters",
-    "rs10_funnel", "l38_rare_token_score",
+    "l36_fuzzy_edit_dedup", "rs09_next_item_pairs", "r51_grouping_sets",
+    "l37_heavy_hitters", "rs10_funnel", "r52_mode_per_group",
+    "l38_rare_token_score", "rs11_copurchase_triangles",
     "l31_pii_redaction", "r47_salted_join", "s07_hopping_windows",
     "l34_boilerplate_grams", "l35_novelty_gate", "s08_new_user_events",
     "l32_decontaminate", "r48_range_join", "s02_sessionize",

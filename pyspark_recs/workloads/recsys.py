@@ -519,6 +519,48 @@ SELECT 'purchase', CAST(3 AS INTEGER), CAST(n3 AS BIGINT),
 """
 
 
+# --------------------------------------------------------------------- rs11
+def rs11_copurchase_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle counts on the item co-purchase graph (items sharing an
+    order are edges): the clustering signal used for neighborhood-based
+    recommenders and community features. Edge generation is the
+    same-order self-join — bounded by lines-per-order, never all item
+    pairs — and enumeration is the oriented two-join wedge-close plan.
+    See graph.py:triangle_counts."""
+    from pyspark_recs.graph import triangle_counts
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return triangle_counts(edges)
+
+
+RS11_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+w AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM pairs e1 JOIN pairs e2 ON e1.hi = e2.lo),
+t AS (
+  SELECT w.a, w.b, w.c
+  FROM w JOIN pairs e3 ON w.a = e3.lo AND w.c = e3.hi),
+corners AS (
+  SELECT a AS node FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -530,6 +572,7 @@ QUERIES = {
     "rs08_feature_rerank": rs08_feature_rerank,
     "rs09_next_item_pairs": rs09_next_item_pairs,
     "rs10_funnel": rs10_funnel,
+    "rs11_copurchase_triangles": rs11_copurchase_triangles,
 }
 
 ORACLE = {
@@ -543,4 +586,5 @@ ORACLE = {
     "rs08_feature_rerank": RS08_SQL,
     "rs09_next_item_pairs": RS09_SQL,
     "rs10_funnel": RS10_SQL,
+    "rs11_copurchase_triangles": RS11_SQL,
 }

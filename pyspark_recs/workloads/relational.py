@@ -1780,6 +1780,92 @@ FROM r GROUP BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------- r51
+def r51_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Non-hierarchical GROUPING SETS (beyond r32's ROLLUP): the
+    (status), (priority) and () summaries of orders in ONE aggregate —
+    Catalyst plans a single Expand + one shuffle instead of three jobs
+    that each rescan the fact table. grouping() flags disambiguate a
+    genuine NULL key from a superaggregate row.
+
+    Scale: Expand multiplies rows by the number of sets (3×) BEFORE the
+    shuffle, but map-side combine collapses them to |keys| per task —
+    the exchange carries group rows, not fact rows.
+    """
+    load_table(spark, sf, "orders").createOrReplaceTempView("_r51_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_dsum('o_totalprice')} AS total_price
+        FROM _r51_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+R51_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# --------------------------------------------------------------------- r52
+def r52_mode_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Mode (most frequent value) per group without a window: count per
+    (segment, priority), then max(struct(cnt, value)) per segment —
+    the two-phase argmax that replaces the rank-window idiom with two
+    combiner-friendly aggregates (deterministic tiebreak: higher
+    priority string wins equal counts).
+
+    Scale: a window row_number over (segment ORDER BY cnt) would
+    single-task each segment's candidate list; max(struct) keeps both
+    phases map-side-combined with O(1) state per key.
+    """
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    counted = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = F.max(F.struct("cnt", "o_orderpriority")).alias("b")
+    return (
+        counted.groupBy("c_mktsegment")
+        .agg(best)
+        .select(
+            "c_mktsegment",
+            F.col("b.o_orderpriority").alias("mode_priority"),
+            F.col("b.cnt").alias("n_orders"),
+        )
+    )
+
+
+R52_SQL = """
+WITH counted AS (
+  SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, o_orderpriority),
+r AS (
+  SELECT c_mktsegment, o_orderpriority, cnt,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY cnt DESC, o_orderpriority DESC) AS rn
+  FROM counted)
+SELECT c_mktsegment, o_orderpriority AS mode_priority, cnt AS n_orders
+FROM r WHERE rn = 1
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -1831,6 +1917,8 @@ QUERIES = {
     "r48_range_join": r48_range_join,
     "r49_grouped_ols": r49_grouped_ols,
     "r50_quantile_bounds": r50_quantile_bounds,
+    "r51_grouping_sets": r51_grouping_sets,
+    "r52_mode_per_group": r52_mode_per_group,
 }
 
 ORACLE = {
@@ -1883,6 +1971,8 @@ ORACLE = {
     "r48_range_join": R48_SQL,
     "r49_grouped_ols": R49_SQL,
     "r50_quantile_bounds": R50_SQL,
+    "r51_grouping_sets": R51_SQL,
+    "r52_mode_per_group": R52_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }

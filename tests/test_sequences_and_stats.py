@@ -129,3 +129,27 @@ def test_funnel_requires_strict_stage_order(spark):
     assert got["click"].n_users == 2
     assert got["purchase"].n_users == 1
     assert got["purchase"].share_of_entry == 0.5
+
+
+def test_triangle_counts_k4_plus_pendant(spark):
+    from pyspark_recs.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant node 5
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (5, 4), (3, 3)], "src long, dst long"  # dup + self-loop
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # pendant 5 absent
+
+
+def test_mode_per_group_two_phase_matches_window(spark):
+    df = spark.createDataFrame(
+        [("s1", "A"), ("s1", "A"), ("s1", "B"), ("s2", "B"), ("s2", "C")],
+        "seg string, val string",
+    )
+    counted = df.groupBy("seg", "val").agg(F.count("*").alias("cnt"))
+    best = counted.groupBy("seg").agg(F.max(F.struct("cnt", "val")).alias("b"))
+    got = {r.seg: (r.b.val, r.b.cnt) for r in best.collect()}
+    # s2 ties 1-1: higher string wins deterministically
+    assert got == {"s1": ("A", 2), "s2": ("C", 1)}
