@@ -54,6 +54,14 @@ HEADLINE = [
     "s07_hopping_windows",
     "l34_boilerplate_grams",
     "l35_novelty_gate",
+    # round-3 additions: fuzzy dedup, heavy hitters, sequences, graph
+    "l36_fuzzy_edit_dedup",
+    "l37_heavy_hitters",
+    "l38_rare_token_score",
+    "rs09_next_item_pairs",
+    "rs11_copurchase_triangles",
+    "r51_grouping_sets",
+    "r52_mode_per_group",
 ]
 
 

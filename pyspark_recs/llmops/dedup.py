@@ -357,8 +357,21 @@ def blocked_edit_pairs(
         (F.col("n_chars") / F.lit(bucket_chars)).cast("long").alias("lbucket"),
         F.substring(F.col("text"), 1, prefix_len).alias("prefix"),
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
-    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    # Spread the probe side: a small corpus arrives as one input split,
+    # which would serialize the whole quadratic block-compare onto one
+    # task under a broadcast join. Hash-repartitioning by doc_id costs
+    # one tiny shuffle and buys full-cluster parallelism (at real scale
+    # the scan is already many splits and this is a cheap no-op).
+    # An explicit partition count pins the spread — AQE would coalesce
+    # a byte-count-small shuffle back to one task, but bytes don't
+    # measure this stage's cost (pairs × DP cells do).
+    n_spread = blocked.sparkSession.sparkContext.defaultParallelism
+    a = blocked.repartition(n_spread, F.col("doc_id")).alias("a")
+    b = blocked.alias("b")
+    # The threshold arg band-limits the DP to O(max_dist·prefix_len)
+    # cells with early exit (returns -1 past the bound) — ~2.4× fewer
+    # cells at max_dist=20/prefix_len=48, exact result within bound.
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"), max_dist)
     return (
         a.join(
             b,
@@ -372,5 +385,9 @@ def blocked_edit_pairs(
             F.col("a.lang").alias("lang"),
             dist.alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= max_dist)
+        # banded levenshtein returns -1 past the bound and the true
+        # distance (≤ max_dist) otherwise, so >= 0 is the whole filter —
+        # keeping it single-reference stops the join residual from
+        # evaluating the DP twice per candidate pair.
+        .filter(F.col("edit_dist") >= 0)
     )

@@ -484,3 +484,36 @@ def rare_token_score(
         ppm.alias("mean_freq_ppm"),
         (ppm < F.lit(float(ppm_threshold))).alias("flag_rare"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    top_n: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Adjacent-token pair frequencies — the statistic behind one BPE /
+    WordPiece merge step (the most frequent pair is the next merge).
+    Returns the top ``top_n`` pairs with a total-order tiebreak
+    (count desc, pair asc), so the boundary is deterministic and
+    oracle-comparable.
+
+    Scale: pair generation is a pure projection (transform over the
+    token array — no self-join); counting is one combiner-friendly
+    shuffle on the pair; the bounded head plans TakeOrderedAndProject
+    (per-partition top-n, then a single merge of n-row heaps — never a
+    global sort). This is the per-iteration inner loop of a distributed
+    BPE trainer; iterate by re-tokenizing with the merged vocab.
+    """
+    pairs = F.expr(
+        "transform(sequence(0, size(words) - 2), "
+        "i -> concat(words[i], ' ', words[i + 1]))"
+    )
+    return (
+        with_tokens(df, text_col)
+        .filter(F.size("words") >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(top_n)
+    )

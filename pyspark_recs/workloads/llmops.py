@@ -1304,6 +1304,30 @@ FROM d, n
 """
 
 
+# --------------------------------------------------------------------- l39
+def l39_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Top adjacent-token pairs (one BPE merge step's statistic):
+    projection-only pair generation, one counting shuffle, bounded head
+    via TakeOrderedAndProject. See llmops/textstats.py:bpe_pair_counts."""
+    from pyspark_recs.llmops.textstats import bpe_pair_counts
+
+    return bpe_pair_counts(load_table(spark, sf, "documents"), top_n=50)
+
+
+L39_SQL = f"""
+WITH toks AS ({_TOKS}),
+p AS (
+  SELECT list_transform(range(1, len(words)),
+                        i -> words[i] || ' ' || words[i + 1]) AS prs
+  FROM toks WHERE len(words) >= 2),
+e AS (SELECT unnest(prs) AS pair FROM p)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM e GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT 50
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -1343,6 +1367,7 @@ QUERIES = {
     "l36_fuzzy_edit_dedup": l36_fuzzy_edit_dedup,
     "l37_heavy_hitters": l37_heavy_hitters,
     "l38_rare_token_score": l38_rare_token_score,
+    "l39_bpe_pair_counts": l39_bpe_pair_counts,
 }
 
 ORACLE = {
@@ -1384,4 +1409,5 @@ ORACLE = {
     "l36_fuzzy_edit_dedup": L36_SQL,
     "l37_heavy_hitters": L37_SQL,
     "l38_rare_token_score": L38_SQL,
+    "l39_bpe_pair_counts": L39_SQL,
 }

@@ -153,3 +153,18 @@ def test_mode_per_group_two_phase_matches_window(spark):
     got = {r.seg: (r.b.val, r.b.cnt) for r in best.collect()}
     # s2 ties 1-1: higher string wins deterministically
     assert got == {"s1": ("A", 2), "s2": ("C", 1)}
+
+
+def test_bpe_pair_counts_top_pair(spark):
+    from pyspark_recs.llmops.textstats import bpe_pair_counts
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b a b a b", "en", 11),  # "a b"×3, "b a"×2
+            (2, "a b c", "en", 5),         # "a b", "b c"
+            (3, "solo", "en", 4),          # no pairs
+        ],
+    )
+    rows = bpe_pair_counts(docs, top_n=2).collect()
+    assert [(r.pair, r.cnt) for r in rows] == [("a b", 4), ("b a", 2)]
