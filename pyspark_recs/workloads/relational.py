@@ -1866,6 +1866,53 @@ FROM r WHERE rn = 1
 """
 
 
+# --------------------------------------------------------------------- r53
+def r53_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Datasketches HLL): build one
+    sketch per (status, priority) leaf, then UNION the leaf sketches up
+    to the status level — the re-aggregation never touches the fact
+    table again. This is the property approx_count_distinct (r27)
+    lacks: its estimate is final, while a stored sketch column supports
+    any later rollup (day→month→year, leaf→cube) at sketch-merge cost.
+
+    Verified r27-style: the output is the exact per-status distinct
+    (DuckDB-reproducible) plus a bound flag on the merged-sketch
+    estimate — a broken sketch/merge flips the flag and hash-fails.
+
+    Scale: leaf sketches are a combiner-friendly aggregate (fixed
+    ~2-4 KB state per group); the rollup shuffles sketch bytes, not
+    rows. At 100 TB you persist the leaf-sketch table once and serve
+    every distinct-count rollup from it.
+    """
+    orders = load_table(spark, sf, "orders")
+    leaf = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = leaf.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx")
+    )
+    exact = orders.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("exact_customers")
+    )
+    # default lgConfigK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%; allow 4×.
+    within = (
+        F.abs(F.col("approx") - F.col("exact_customers"))
+        <= F.lit(0.065) * F.col("exact_customers")
+    )
+    return (
+        exact.join(F.broadcast(merged), "o_orderstatus")
+        .select("o_orderstatus", "exact_customers", within.alias("within_bound"))
+    )
+
+
+R53_SQL = """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS within_bound
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -1919,6 +1966,7 @@ QUERIES = {
     "r50_quantile_bounds": r50_quantile_bounds,
     "r51_grouping_sets": r51_grouping_sets,
     "r52_mode_per_group": r52_mode_per_group,
+    "r53_sketch_rollup": r53_sketch_rollup,
 }
 
 ORACLE = {
@@ -1973,6 +2021,7 @@ ORACLE = {
     "r50_quantile_bounds": R50_SQL,
     "r51_grouping_sets": R51_SQL,
     "r52_mode_per_group": R52_SQL,
+    "r53_sketch_rollup": R53_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }

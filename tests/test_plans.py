@@ -201,3 +201,39 @@ def test_correlated_subquery_decorrelates(spark):
     assert "Subquery" not in plan  # no per-row scalar subquery remains
     assert re.search(r"^\(\d+\) (SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan, re.M)
     assert "HashAggregate" in plan
+
+
+@pytest.mark.parametrize(
+    "query",
+    ["l36_fuzzy_edit_dedup", "rs11_copurchase_triangles"],
+)
+def test_blocked_and_graph_joins_are_equi_joins(spark, query):
+    # Blocking / orientation must make every join an equi-join — a
+    # nested-loop here means the all-pairs quadratic materializes.
+    plan = plan_of(QUERIES[query](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_has_no_window_and_broadcasts_candidates(spark):
+    # The two-phase heavy-hitter plan must stay window-free (windows
+    # would single-task the vocabulary) and probe candidates via
+    # broadcast, keeping the long tail out of the final shuffle.
+    plan = plan_of(QUERIES["l37_heavy_hitters"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark):
+    # GROUPING SETS must plan ONE Expand + one grouped exchange — not
+    # one job per set.
+    plan = plan_of(QUERIES["r51_grouping_sets"](spark, SF_DIR))
+    assert len(re.findall(r"^\(\d+\) Expand", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_mode_per_group_is_windowless_two_phase(spark):
+    # max(struct) argmax: two HashAggregates per phase, zero windows.
+    plan = plan_of(QUERIES["r52_mode_per_group"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan

@@ -168,3 +168,20 @@ def test_bpe_pair_counts_top_pair(spark):
     )
     rows = bpe_pair_counts(docs, top_n=2).collect()
     assert [(r.pair, r.cnt) for r in rows] == [("a b", 4), ("b a", 2)]
+
+
+def test_hll_sketch_merge_matches_direct_sketch(spark):
+    # Merging per-group sketches must estimate the same distinct count
+    # as one sketch over the union (and land near the exact count).
+    df = spark.createDataFrame(
+        [(i % 3, i % 500) for i in range(5000)], "g int, v int"
+    )
+    leaf = df.groupBy("g").agg(F.hll_sketch_agg("v").alias("sk"))
+    merged = leaf.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0].est
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("est")
+    ).collect()[0].est
+    assert merged == direct  # identical sketch state, not just close
+    assert abs(merged - 500) <= 0.065 * 500

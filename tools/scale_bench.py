@@ -57,6 +57,12 @@ HEADLINE = [
     "r48_range_join",
     "r49_grouped_ols",
     "r50_quantile_bounds",
+    "r51_grouping_sets",
+    "r52_mode_per_group",
+    "r53_sketch_rollup",
+    # rs11 deliberately excluded: key-shift replication multiplies edges
+    # over a FIXED node set, so the graph densifies quadratically — not
+    # the growth shape of a real co-purchase graph (nodes grow too).
 ]
 KEY_SHIFT = 10_000_000  # > max o_orderkey at sf0.1 (600k)
 
