@@ -9,6 +9,7 @@ from pyspark_recs.streaming.ops import (
     streaming_static_anti_join,
     streaming_stream_join,
     streaming_tumbling_agg,
+    streaming_user_profile,
     stream_to_kv_sink,
 )
 
@@ -24,4 +25,5 @@ __all__ = [
     "streaming_static_anti_join",
     "streaming_stream_join",
     "streaming_tumbling_agg",
+    "streaming_user_profile",
 ]

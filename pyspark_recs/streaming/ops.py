@@ -334,3 +334,80 @@ def stream_to_kv_sink(
         writer = writer.trigger(availableNow=True)
     return writer.start()
 
+
+
+def streaming_user_profile(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Running per-user profile via ``transformWithStateInPandas`` —
+    the Spark 4 arbitrary-state API (typed composite state, state TTL,
+    timers) that supersedes applyInPandasWithState for new operators.
+
+    State per user: a ValueState (event count, fixed-point value cents)
+    plus a MapState used as the set of distinct event types seen — the
+    running-profile shape a feature store maintains incrementally
+    instead of rescanning history. Emits the updated profile for every
+    user touched by the micro-batch (output mode ``update``).
+
+    Scale: state is O(1) per user (the type set is bounded by the
+    event-type vocabulary); keys partition across the state stores of
+    ``spark.sql.shuffle.partitions`` tasks; value math is integer cents
+    so the running total is order-independent and matches the batch
+    twin bit-exactly. Pass a ttlDurationMs to the states to evict idle
+    users when the key space is unbounded.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    prepared = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("event_type"),
+        F.floor(F.col(value_col) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("value_cents"),
+    )
+
+    class ProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n_events long, value_cents long"
+            )
+            self._types = handle.getMapState(
+                "types", "event_type string", "seen int"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n_events, cents = (
+                tuple(self._totals.get()) if self._totals.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n_events += int(len(pdf))
+                cents += int(pdf["value_cents"].sum())
+                for t in pdf["event_type"].unique():
+                    self._types.updateValue((str(t),), (1,))
+            self._totals.update((n_events, cents))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n_events],
+                    "total_value": [cents / 100.0],
+                    "n_event_types": [n_types],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        ProfileProcessor(),
+        "user_id long, n_events long, total_value double, n_event_types long",
+        "update",
+        "none",
+    )

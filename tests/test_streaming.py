@@ -348,3 +348,25 @@ def test_streaming_quarantine_routes_dead_letters(spark, tmp_path_factory, tmp_p
         ).collect()
     }
     assert batch_dead == dead_ids
+
+
+def test_streaming_user_profile_transform_with_state(spark, event_dir, tmp_path):
+    # transformWithState's Python worker speaks protobuf to the state
+    # server; the sandbox image ships pyspark without google.protobuf,
+    # so this runs only where the optional dependency exists (same
+    # gating as the sentence-transformers encoder integration test).
+    pytest.importorskip("google.protobuf")
+    from pyspark_recs.streaming import streaming_user_profile
+
+    path, schema = event_dir
+    stream = read_event_stream(spark, path, schema)
+    out = _run_stream(streaming_user_profile(stream), tmp_path, mode="update")
+    # update mode may emit once per micro-batch; keep the last (largest
+    # n_events) row per user — the running profile.
+    final = {}
+    for r in out.orderBy("n_events").collect():
+        final[r.user_id] = (r.n_events, r.total_value, r.n_event_types)
+    # user 7: 4 click events (incl. dup), values 1+2+4+4; one type
+    assert final[7] == (4, 11.0, 1)
+    # user 8: single view event
+    assert final[8] == (1, 3.0, 1)
