@@ -1913,6 +1913,168 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+# --------------------------------------------------------------------- r54
+def r54_nation_trade(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    chosen nations in both directions, by supplier-nation /
+    customer-nation / ship year. Both fact tables are REDUCED by their
+    broadcast dim joins (suppliers and customers of just the 2 nations)
+    BEFORE the fact⋈fact shuffle — the selective-dim-first ordering
+    that makes Q7 tractable: the orderkey exchange carries ~2/25² of
+    the raw join volume.
+    """
+    two = ("NATION_1", "NATION_2")
+    nation = load_table(spark, sf, "nation").filter(F.col("n_name").isin(*two))
+    sup = (
+        load_table(spark, sf, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cus = (
+        load_table(spark, sf, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf, "lineitem").join(
+        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    orders = load_table(spark, sf, "orders").join(
+        F.broadcast(cus), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+R54_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+# --------------------------------------------------------------------- r55
+def r55_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier detection per group: median absolute deviation
+    (MAD) with the modified z-score rule |x−med|·6745 > 35000·MAD
+    (0.6745·dev/MAD > 3.5) kept in INTEGER cross-multiplied form — no
+    float division anywhere, so the flag is bit-portable. Medians are
+    rank-selected order statistics (the r50/l20 discipline: sketches
+    are the 100 TB path, exact ranks are the verification harness).
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("qv"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("qv")
+    ranked = li.select(
+        "l_returnflag",
+        "qv",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    med = (
+        ranked.filter(F.col("rn") == F.floor((F.col("n") - 1) / 2) + 1)
+        .select("l_returnflag", F.col("qv").alias("med_qv"))
+    )
+    with_dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", "qv", "med_qv",
+        F.abs(F.col("qv") - F.col("med_qv")).alias("ad"),
+    )
+    wd = Window.partitionBy("l_returnflag").orderBy("ad")
+    ranked_ad = with_dev.select(
+        "l_returnflag", "ad",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    mad = (
+        ranked_ad.filter(F.col("rn") == F.floor((F.col("n") - 1) / 2) + 1)
+        .select("l_returnflag", F.col("ad").alias("mad_qv"))
+    )
+    flagged = with_dev.join(F.broadcast(mad), "l_returnflag")
+    return (
+        flagged.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max(F.col("med_qv")).alias("med_qv"),
+            F.max(F.col("mad_qv")).alias("mad_qv"),
+            F.sum(
+                (F.col("ad") * 6745 > F.col("mad_qv") * 35000).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            (F.col("med_qv").cast("double") / 100.0).alias("median_price"),
+            (F.col("mad_qv").cast("double") / 100.0).alias("mad_price"),
+            "n_outliers",
+        )
+    )
+
+
+R55_SQL = """
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS qv
+  FROM lineitem),
+r AS (
+  SELECT l_returnflag, qv,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY qv) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM t),
+med AS (
+  SELECT l_returnflag, qv AS med_qv FROM r
+  WHERE rn = CAST(floor((n - 1) / 2) AS BIGINT) + 1),
+dev AS (
+  SELECT t.l_returnflag, t.qv, med.med_qv,
+         abs(t.qv - med.med_qv) AS ad
+  FROM t JOIN med USING (l_returnflag)),
+rd AS (
+  SELECT l_returnflag, ad,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY ad) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM dev),
+mad AS (
+  SELECT l_returnflag, ad AS mad_qv FROM rd
+  WHERE rn = CAST(floor((n - 1) / 2) AS BIGINT) + 1)
+SELECT dev.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(max(dev.med_qv) AS DOUBLE) / 100.0 AS median_price,
+       CAST(max(mad.mad_qv) AS DOUBLE) / 100.0 AS mad_price,
+       CAST(sum(CASE WHEN dev.ad * 6745 > mad.mad_qv * 35000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (l_returnflag)
+GROUP BY dev.l_returnflag
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -1967,6 +2129,8 @@ QUERIES = {
     "r51_grouping_sets": r51_grouping_sets,
     "r52_mode_per_group": r52_mode_per_group,
     "r53_sketch_rollup": r53_sketch_rollup,
+    "r54_nation_trade": r54_nation_trade,
+    "r55_mad_outliers": r55_mad_outliers,
 }
 
 ORACLE = {
@@ -2022,6 +2186,8 @@ ORACLE = {
     "r51_grouping_sets": R51_SQL,
     "r52_mode_per_group": R52_SQL,
     "r53_sketch_rollup": R53_SQL,
+    "r54_nation_trade": R54_SQL,
+    "r55_mad_outliers": R55_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }

@@ -237,3 +237,12 @@ def test_mode_per_group_is_windowless_two_phase(spark):
     plan = plan_of(QUERIES["r52_mode_per_group"](spark, SF_DIR))
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_nation_trade_reduces_facts_before_fact_join(spark):
+    # Q7 shape: both fact sides must be reduced by BROADCAST dim joins;
+    # the only non-broadcast join is the final orderkey fact⋈fact.
+    plan = plan_of(QUERIES["r54_nation_trade"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 4  # sup+nation, cus+nation
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
