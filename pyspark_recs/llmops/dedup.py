@@ -108,18 +108,10 @@ def minhash_signatures(
     return staged.select("doc_id", *sigs)
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, rows_per_band: int = 2
-) -> DataFrame:
-    """LSH banding: split the signature into bands of ``rows_per_band``
-    minhashes, bucket by (band_id, band value), emit candidate pairs
-    sharing any bucket.
-
-    Scale: the self-join is an equi-join on (band_id, band_key) — Spark
-    shuffles both sides by bucket; within-bucket pair expansion is the
-    only quadratic term and is bounded by bucket size (salt or re-band
-    if a degenerate bucket appears; AQE skew-join splits oversized
-    partitions)."""
+def band_keys(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """Explode a signature table into (doc_id, band_key) bucket rows —
+    the shared indexing step of batch LSH (`lsh_candidate_pairs`) and
+    incremental LSH (`incremental_lsh_admit`)."""
     n_sigs = len(MINHASH_COEFFS)
     n_bands = n_sigs // rows_per_band
     bands = F.array(
@@ -135,9 +127,22 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    buckets = signatures.select(
-        "doc_id", F.explode(bands).alias("band_key")
-    )
+    return signatures.select("doc_id", F.explode(bands).alias("band_key"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, rows_per_band: int = 2
+) -> DataFrame:
+    """LSH banding: split the signature into bands of ``rows_per_band``
+    minhashes, bucket by (band_id, band value), emit candidate pairs
+    sharing any bucket.
+
+    Scale: the self-join is an equi-join on (band_id, band_key) — Spark
+    shuffles both sides by bucket; within-bucket pair expansion is the
+    only quadratic term and is bounded by bucket size (salt or re-band
+    if a degenerate bucket appears; AQE skew-join splits oversized
+    partitions)."""
+    buckets = band_keys(signatures, rows_per_band)
     left = buckets.alias("x")
     right = buckets.alias("y")
     return (
@@ -390,4 +395,51 @@ def blocked_edit_pairs(
         # keeping it single-reference stops the join residual from
         # evaluating the DP twice per candidate pair.
         .filter(F.col("edit_dist") >= 0)
+    )
+
+
+def incremental_lsh_admit(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Incremental MinHash-LSH dedup: gate an ARRIVING batch against the
+    existing corpus's band index instead of re-deduping the corpus —
+    the production shape of crawl dedup, where the corpus is petabytes
+    at rest and only the delta is new work each cycle. (The gram-level
+    analog is scrub.novelty_gate; this is the signature-level gate that
+    catches near-dups, not just exact-gram overlap.)
+
+    A batch doc is admitted iff NONE of its signature bands collide
+    with any corpus band — the same candidate rule as
+    `lsh_candidate_pairs`, evaluated batch-vs-index instead of
+    self-join. Output: (doc_id, n_bands_hit, admit).
+
+    Scale: the corpus index is (band_key) DISTINCT — built once,
+    incrementally appendable (admitted docs' bands union in), and the
+    probe is a bucket equi-join of batch bands against it: work is
+    O(batch × bands), independent of corpus row count. The corpus
+    never rescans.
+    """
+    b_keys = band_keys(
+        minhash_signatures(batch, text_col, shingle_n), rows_per_band
+    )
+    c_index = band_keys(
+        minhash_signatures(corpus, text_col, shingle_n), rows_per_band
+    ).select("band_key").distinct()
+    hits = (
+        b_keys.join(c_index, "band_key", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bands_hit"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bands_hit"), F.lit(0)).alias("n_bands_hit"),
+            (F.coalesce(F.col("n_bands_hit"), F.lit(0)) == 0).alias("admit"),
+        )
     )

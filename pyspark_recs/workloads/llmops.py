@@ -1328,6 +1328,44 @@ LIMIT 50
 """
 
 
+# --------------------------------------------------------------------- l40
+def l40_incremental_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental MinHash-LSH admission: the arriving batch
+    (doc_id % 3 = 0) probes the existing corpus's DISTINCT band index —
+    near-dup crawl dedup whose cost is O(batch), independent of corpus
+    rows (the signature-level sibling of l35's gram novelty gate). See
+    llmops/dedup.py:incremental_lsh_admit."""
+    from pyspark_recs.llmops.dedup import incremental_lsh_admit
+
+    docs = load_table(spark, sf, "documents")
+    return incremental_lsh_admit(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0),
+    )
+
+
+L40_SQL = f"""
+WITH toks AS ({_TOKS}),
+{_INT_SHINGLE_CTES.strip()},
+sigs AS (SELECT doc_id, {_SIG_SELECTS} FROM ihs),
+bb AS (
+  SELECT doc_id, unnest([{_BAND_KEYS}]) AS band_key
+  FROM sigs WHERE doc_id % 3 = 0),
+ci AS (
+  SELECT DISTINCT band_key FROM (
+    SELECT unnest([{_BAND_KEYS}]) AS band_key
+    FROM sigs WHERE doc_id % 3 <> 0)),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bands_hit
+  FROM bb SEMI JOIN ci USING (band_key) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(h.n_bands_hit, 0) AS n_bands_hit,
+       (coalesce(h.n_bands_hit, 0) = 0) AS admit
+FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -1368,6 +1406,7 @@ QUERIES = {
     "l37_heavy_hitters": l37_heavy_hitters,
     "l38_rare_token_score": l38_rare_token_score,
     "l39_bpe_pair_counts": l39_bpe_pair_counts,
+    "l40_incremental_lsh": l40_incremental_lsh,
 }
 
 ORACLE = {
@@ -1410,4 +1449,5 @@ ORACLE = {
     "l37_heavy_hitters": L37_SQL,
     "l38_rare_token_score": L38_SQL,
     "l39_bpe_pair_counts": L39_SQL,
+    "l40_incremental_lsh": L40_SQL,
 }

@@ -185,3 +185,16 @@ def test_hll_sketch_merge_matches_direct_sketch(spark):
     ).collect()[0].est
     assert merged == direct  # identical sketch state, not just close
     assert abs(merged - 500) <= 0.065 * 500
+
+
+def test_incremental_lsh_blocks_near_duplicate_of_corpus(spark):
+    from pyspark_recs.llmops.dedup import incremental_lsh_admit
+
+    corpus_text = " ".join(f"w{i}" for i in range(40))
+    near_dup = corpus_text.replace("w7", "x7")  # ~2 shingles differ
+    fresh = " ".join(f"z{i}" for i in range(40))
+    corpus = _docs(spark, [(1, corpus_text, "en", 0)])
+    batch = _docs(spark, [(2, near_dup, "en", 0), (3, fresh, "en", 0)])
+    got = {r.doc_id: r.admit for r in
+           incremental_lsh_admit(batch, corpus).collect()}
+    assert got == {2: False, 3: True}
