@@ -84,3 +84,22 @@ def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def spread_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition IFF the plan currently yields fewer
+    partitions than cores — the guard for compute-heavy projections
+    over small single-row-group files, where one scan task would
+    serialize per-row work (minhash, simhash, gram hashing) that the
+    cluster could do in parallel.
+
+    At real scale this is a no-op branch: a 100 TB corpus scans as
+    ~million splits ≫ cores, and the guard refuses to inject a shuffle
+    of document bodies. It only fires where the shuffle is cheaper than
+    the serialization it removes (small corpus, heavy per-row CPU).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -94,9 +94,11 @@ def minhash_signatures(
     not reach through higher-order-function lambdas — which measured 7x
     slower; CollapseProject keeps the two-step split because it refuses
     to duplicate non-cheap expressions referenced more than once."""
-    staged = df.filter(F.size(tokens(F.col(text_col))) >= shingle_n).select(
-        "doc_id", shingle_hashes(F.col(text_col), shingle_n).alias("hs")
-    )
+    from pyspark_recs.io.loaders import spread_partitions
+
+    staged = spread_partitions(
+        df.filter(F.size(tokens(F.col(text_col))) >= shingle_n)
+    ).select("doc_id", shingle_hashes(F.col(text_col), shingle_n).alias("hs"))
     sigs = [
         F.array_min(
             F.transform(
@@ -167,6 +169,9 @@ def simhash_fingerprints(
 
     Scale: explode + groupBy(doc_id) with map-side combine — the shuffle
     carries ``bits`` small integers per doc, not tokens."""
+    from pyspark_recs.io.loaders import spread_partitions
+
+    df = spread_partitions(df)
     exploded = df.select(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
     ).withColumn("h", md5_long(F.col("token")))

@@ -105,8 +105,10 @@ def boilerplate_grams(
     (the boilerplate set grows with the corpus, so it is NOT assumed
     broadcastable — Spark may still broadcast it when small). Per-doc
     rollups are combiner-friendly counts."""
+    from pyspark_recs.io.loaders import spread_partitions
+
     long_enough = F.size(tokens(F.col(text_col))) >= shingle_n
-    grams = docs.filter(long_enough).select(
+    grams = spread_partitions(docs.filter(long_enough)).select(
         "doc_id",
         F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("gram"),
     )
@@ -160,13 +162,15 @@ def novelty_gate(
     batch grams and the corpus gram set; per-doc rollups are
     combiner-friendly. Collisions in the Horner fold can only lower
     novelty — the conservative direction for a dedup gate."""
+    from pyspark_recs.io.loaders import spread_partitions
+
     long_enough = F.size(tokens(F.col(text_col))) >= shingle_n
-    batch_grams = batch.filter(long_enough).select(
+    batch_grams = spread_partitions(batch.filter(long_enough)).select(
         "doc_id",
         F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("gram"),
     )
     corpus_grams = (
-        corpus.filter(long_enough)
+        spread_partitions(corpus.filter(long_enough))
         .select(F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("gram"))
         .distinct()
     )
@@ -216,6 +220,8 @@ def decontaminate(
     md5-derived fold, so the hash choice is still exactly checked."""
     # Guard: shingle_hashes slices assume ≥ n words; shorter docs have no
     # n-grams and are definitionally uncontaminated.
+    from pyspark_recs.io.loaders import spread_partitions
+
     long_enough = F.size(tokens(F.col(text_col))) >= shingle_n
     bench_grams = (
         benchmark.filter(long_enough)
@@ -224,7 +230,7 @@ def decontaminate(
         )
         .distinct()
     )
-    train_grams = train.filter(long_enough).select(
+    train_grams = spread_partitions(train.filter(long_enough)).select(
         "doc_id",
         F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("gram"),
     )

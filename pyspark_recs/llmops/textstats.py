@@ -117,7 +117,9 @@ def char_fingerprints(df: DataFrame, text_col: str = "text", k: int = 5) -> Data
     codes = F.transform(
         F.split(text, ""), lambda c: F.ascii(c).cast("long")
     )
-    staged = df.filter(F.length(text) >= k).select(
+    from pyspark_recs.io.loaders import spread_partitions
+
+    staged = spread_partitions(df.filter(F.length(text) >= k)).select(
         "doc_id", codes.alias("codes")
     )
     m = F.size(F.col("codes")) - (k - 1)
