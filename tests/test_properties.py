@@ -164,3 +164,62 @@ def test_chunk_documents_invariants(spark, docs, chunk):
             assert len(piece) == r.chunk_tokens <= chunk
             rebuilt.extend(piece[len(rebuilt) - r.chunk_idx * stride:])
         assert rebuilt == words
+
+
+# Small random graphs with duplicate/self-loop pressure.
+graph_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edges=graph_edges)
+@settings(**SETTINGS)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from pyspark_recs.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+
+    eset = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = {n for e in eset for n in e}
+    brute: dict[int, int] = {}
+    for x, y, z in combinations(sorted(nodes), 3):
+        if {(x, y), (x, z), (y, z)} <= eset:
+            for n in (x, y, z):
+                brute[n] = brute.get(n, 0) + 1
+    assert got == brute
+
+
+# Tiny vocab corpora maximize heavy-hitter boundary pressure.
+corpora = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=8
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=corpora, k=st.integers(min_value=2, max_value=6))
+@settings(**SETTINGS)
+def test_heavy_hitters_match_bruteforce(spark, docs, k):
+    from collections import Counter
+
+    from pyspark_recs.llmops.textstats import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words), "en", 0) for i, words in enumerate(docs)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    got = {r.token: r.cnt for r in heavy_hitters(df, k=k).collect()}
+    counts = Counter(w for words in docs for w in words)
+    total = sum(counts.values())
+    brute = {t: c for t, c in counts.items() if c * k > total}
+    assert got == brute
