@@ -110,3 +110,48 @@ def funnel_stages(
             "share_of_entry"
         ),
     )
+
+
+def item_transitions(
+    events: DataFrame,
+    item_expr: str = "CAST(get_json_object(props, '$.k') AS BIGINT)",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user item
+    sequences: P(next = dst | current = src) estimated from consecutive
+    event pairs — the statistic behind Markov-chain / session-based
+    recommenders and the sanity check behind sequence-model baselines.
+
+    One lead() window per user generates the (src, dst) pairs, then two
+    combiner-friendly aggregates count transitions and row-normalize.
+    The probability is one bigint/bigint IEEE division — bit-exact vs
+    the SQL oracle.
+
+    Scale: the window shuffles once on user_id with O(1) state per row;
+    the transition aggregate shuffles (src, dst) pairs, whose
+    cardinality is bounded by the (item × item) support actually
+    observed, not by events. No self-joins.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr(item_expr).alias("src_item"),
+        )
+        .withColumn("dst_item", F.lead("src_item").over(w))
+        .filter(F.col("dst_item").isNotNull())
+    )
+    counts = pairs.groupBy("src_item", "dst_item").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_src = Window.partitionBy("src_item")
+    return counts.select(
+        "src_item",
+        "dst_item",
+        "cnt",
+        (
+            F.col("cnt").cast("double")
+            / F.sum("cnt").over(w_src).cast("double")
+        ).alias("prob"),
+    )

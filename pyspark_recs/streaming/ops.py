@@ -411,3 +411,63 @@ def streaming_user_profile(
         "update",
         "none",
     )
+
+
+def streaming_funnel(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Incremental ordered-funnel tracking, the streaming twin of
+    features/sequences.py:funnel_stages: per-user state is the first
+    qualifying timestamp of each stage (stage k only sets after stage
+    k-1, strictly later), carried across micro-batches; emits each
+    user's deepest stage reached after every batch (mode ``update``).
+
+    The batch form recomputes three shrinking join-aggregates over all
+    history; this form touches only the delta — at 100 TB of events the
+    history rescan is the cost you cannot pay per refresh, and the
+    state here is three longs per user.
+
+    Scale: one groupBy(user) stateful shuffle; state O(1) per user;
+    within-batch ordering applied per Arrow batch, cross-batch order by
+    arrival (the same caveat as the sessionizer — add a watermark
+    reorder buffer for out-of-order production streams).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    s1, s2, s3 = stages
+    prepared = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col("event_type"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+    )
+    out_schema = "user_id long, stage_idx int"
+    state_schema = "t1 long, t2 long, t3 long"
+
+    def update(key, pdfs, state):
+        t1, t2, t3 = state.get if state.exists else (None, None, None)
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("ts_us").iterrows():
+                ts, et = int(row["ts_us"]), row["event_type"]
+                if et == s1 and t1 is None:
+                    t1 = ts
+                elif et == s2 and t2 is None and t1 is not None and ts > t1:
+                    t2 = ts
+                elif et == s3 and t3 is None and t2 is not None and ts > t2:
+                    t3 = ts
+        state.update((t1, t2, t3))
+        stage_idx = (t1 is not None) + (t2 is not None) + (t3 is not None)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "stage_idx": [stage_idx]}
+        )
+
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

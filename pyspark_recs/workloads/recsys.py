@@ -561,6 +561,36 @@ FROM corners GROUP BY node
 """
 
 
+# --------------------------------------------------------------------- rs12
+def rs12_item_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov item-transition matrix from per-user event
+    sequences (session-based recommender baseline). See
+    features/sequences.py:item_transitions."""
+    from pyspark_recs.features.sequences import item_transitions
+
+    return item_transitions(load_table(spark, sf, "events"))
+
+
+RS12_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS src_item
+  FROM events),
+p AS (
+  SELECT src_item,
+         lead(src_item) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS dst_item
+  FROM e),
+c AS (
+  SELECT src_item, dst_item, CAST(count(*) AS BIGINT) AS cnt
+  FROM p WHERE dst_item IS NOT NULL GROUP BY src_item, dst_item)
+SELECT src_item, dst_item, cnt,
+       CAST(cnt AS DOUBLE)
+         / CAST(sum(cnt) OVER (PARTITION BY src_item) AS DOUBLE) AS prob
+FROM c
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -573,6 +603,7 @@ QUERIES = {
     "rs09_next_item_pairs": rs09_next_item_pairs,
     "rs10_funnel": rs10_funnel,
     "rs11_copurchase_triangles": rs11_copurchase_triangles,
+    "rs12_item_transitions": rs12_item_transitions,
 }
 
 ORACLE = {
@@ -587,4 +618,5 @@ ORACLE = {
     "rs09_next_item_pairs": RS09_SQL,
     "rs10_funnel": RS10_SQL,
     "rs11_copurchase_triangles": RS11_SQL,
+    "rs12_item_transitions": RS12_SQL,
 }

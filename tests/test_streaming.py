@@ -370,3 +370,41 @@ def test_streaming_user_profile_transform_with_state(spark, event_dir, tmp_path)
     assert final[7] == (4, 11.0, 1)
     # user 8: single view event
     assert final[8] == (1, 3.0, 1)
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path_factory, tmp_path):
+    from pyspark_recs.features.sequences import funnel_stages
+    from pyspark_recs.streaming import streaming_funnel
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "view"),
+        (2, 1, "2024-01-01 00:01:00", "click"),
+        (3, 1, "2024-01-01 00:02:00", "purchase"),
+        (4, 2, "2024-01-01 00:00:00", "view"),
+        (5, 2, "2024-01-01 00:00:30", "purchase"),  # before click: no s3
+        (6, 2, "2024-01-01 00:01:00", "click"),
+        (7, 3, "2024-01-01 00:00:00", "click"),     # never views
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts_s string, event_type string"
+        )
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .withColumn("props", F.lit("{}"))
+        .drop("ts_s")
+    )
+    src = str(tmp_path_factory.mktemp("funnel_events"))
+    df.write.parquet(src, mode="overwrite")
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = _run_stream(streaming_funnel(stream), tmp_path, mode="update")
+    deepest = {}
+    for r in out.orderBy("stage_idx").collect():
+        deepest[r.user_id] = r.stage_idx
+
+    batch = {r.stage_idx: r.n_users for r in funnel_stages(df).collect()}
+    # streaming deepest-stage counts must reproduce the batch funnel
+    for idx in (1, 2, 3):
+        n_streaming = sum(1 for s in deepest.values() if s >= idx)
+        assert n_streaming == batch[idx]
+    assert deepest == {1: 3, 2: 2, 3: 0}
