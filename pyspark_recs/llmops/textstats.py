@@ -519,3 +519,58 @@ def bpe_pair_counts(
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(top_n)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """MOSS winnowing (the windowed generalization of
+    char_fingerprints' whole-document min): hash every character k-gram
+    (Horner fold, no substrings), then take the minimum of each sliding
+    window of ``w`` consecutive k-gram hashes; the DISTINCT window
+    minima are the document's fingerprint set. Winnowing guarantees any
+    shared substring of length ≥ k + w - 1 contributes at least one
+    SHARED fingerprint — the locality property whole-doc minima lack —
+    which is what makes fingerprint-set overlap a plagiarism/dup signal.
+
+    Output: (doc_id, n_fingerprints, min_fp, max_fp) — the set profile,
+    scalar-shaped for the oracle harness; the full set explodes to a
+    posting table in the pair-detection pipeline.
+
+    Scale: pure projection (no shuffle), O(chars·w) integer ops per
+    doc. The downstream pair step is the LSH-banding shape: explode
+    fingerprints, bucket-join — never all-pairs.
+    """
+    from pyspark_recs.llmops.hashing import MINHASH_PRIME, SHINGLE_BASE
+
+    from pyspark_recs.io.loaders import spread_partitions
+
+    text = F.col(text_col)
+    codes = F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("long"))
+    staged = spread_partitions(
+        df.filter(F.length(text) >= k + w - 1)
+    ).select("doc_id", codes.alias("codes"))
+    m = F.size(F.col("codes")) - (k - 1)
+    acc = F.slice(F.col("codes"), 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(F.col("codes"), 1 + j, m),
+            lambda a, b: (a * F.lit(SHINGLE_BASE) + b) % MINHASH_PRIME,
+        )
+    hashed = staged.select("doc_id", acc.alias("kh"))
+    n_win = F.size(F.col("kh")) - (w - 1)
+    wins = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.array_min(F.slice(F.col("kh"), i, w)),
+    )
+    fps = F.array_distinct(wins)
+    return hashed.select(
+        "doc_id",
+        F.size(fps).alias("n_fingerprints"),
+        F.array_min(fps).alias("min_fp"),
+        F.array_max(fps).alias("max_fp"),
+    )

@@ -1366,6 +1366,44 @@ LEFT JOIN hits h USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------- l41
+def l41_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS winnowing fingerprint sets (windowed min over char-5-gram
+    hashes, window 8): guarantees shared substrings ≥ 12 chars share a
+    fingerprint — the locality property l10's whole-doc min lacks. See
+    llmops/textstats.py:winnow_fingerprints."""
+    from pyspark_recs.llmops.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(load_table(spark, sf, "documents"), k=5, w=8)
+
+
+L41_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> CAST(ord(substring(text, i, 1)) AS BIGINT))
+           AS codes
+  FROM documents WHERE length(text) >= 12),
+khc AS (
+  SELECT doc_id,
+         list_transform(range(1, len(codes) - 3),
+           i -> ((((((((codes[i] * {SHINGLE_BASE} + codes[i + 1])
+                       % {MINHASH_PRIME}) * {SHINGLE_BASE} + codes[i + 2])
+                     % {MINHASH_PRIME}) * {SHINGLE_BASE} + codes[i + 3])
+                   % {MINHASH_PRIME}) * {SHINGLE_BASE} + codes[i + 4])
+                 % {MINHASH_PRIME})) AS kh
+  FROM c),
+f AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(kh) - 6),
+           i -> list_min(list_slice(kh, i, i + 7)))) AS fps
+  FROM khc)
+SELECT doc_id, CAST(len(fps) AS INT) AS n_fingerprints,
+       list_min(fps) AS min_fp, list_max(fps) AS max_fp
+FROM f
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -1407,6 +1445,7 @@ QUERIES = {
     "l38_rare_token_score": l38_rare_token_score,
     "l39_bpe_pair_counts": l39_bpe_pair_counts,
     "l40_incremental_lsh": l40_incremental_lsh,
+    "l41_winnow_fingerprints": l41_winnow_fingerprints,
 }
 
 ORACLE = {
@@ -1450,4 +1489,5 @@ ORACLE = {
     "l38_rare_token_score": L38_SQL,
     "l39_bpe_pair_counts": L39_SQL,
     "l40_incremental_lsh": L40_SQL,
+    "l41_winnow_fingerprints": L41_SQL,
 }

@@ -198,3 +198,19 @@ def test_incremental_lsh_blocks_near_duplicate_of_corpus(spark):
     got = {r.doc_id: r.admit for r in
            incremental_lsh_admit(batch, corpus).collect()}
     assert got == {2: False, 3: True}
+
+
+def test_winnow_fingerprints_deterministic_and_bounded(spark):
+    from pyspark_recs.llmops.textstats import winnow_fingerprints
+
+    text = "the quick brown fox jumps over the lazy dog"
+    docs = _docs(spark, [(1, text, "en", len(text)), (2, text, "en", len(text)),
+                         (3, "short", "en", 5)])
+    rows = {r.doc_id: r for r in
+            winnow_fingerprints(docs, k=5, w=8).collect()}
+    assert 3 not in rows  # below k+w-1 chars: no windows
+    # identical docs -> identical fingerprint profile
+    assert (rows[1].n_fingerprints, rows[1].min_fp, rows[1].max_fp) == (
+        rows[2].n_fingerprints, rows[2].min_fp, rows[2].max_fp)
+    # set size bounded by number of windows: m - w + 1 = (len-4) - 7
+    assert 1 <= rows[1].n_fingerprints <= len(text) - 4 - 7
