@@ -62,6 +62,11 @@ HEADLINE = [
     "rs11_copurchase_triangles",
     "r51_grouping_sets",
     "r52_mode_per_group",
+    "r54_nation_trade",
+    "r55_mad_outliers",
+    "rs12_item_transitions",
+    "l40_incremental_lsh",
+    "l41_winnow_fingerprints",
 ]
 
 
