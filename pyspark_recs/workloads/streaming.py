@@ -340,6 +340,35 @@ FROM fresh GROUP BY day_s
 """
 
 
+# --------------------------------------------------------------------- s09
+def s09_user_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of streaming.ops.streaming_user_profile (the
+    transformWithState running per-user profile): event count,
+    fixed-point total value, distinct event types — the feature-store
+    row the incremental operator maintains without rescanning history.
+
+    Scale: one map-side-combined groupBy; value cents are integer so
+    the total is order-independent (bit-equal to the streaming state's
+    running sum)."""
+    ev = load_table(spark, sf, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(cents).cast("double") / 100.0).alias("total_value"),
+        F.count_distinct("event_type").alias("n_event_types"),
+    )
+
+
+S09_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "s01_tumbling_daily": s01_tumbling_daily,
     "s02_sessionize": s02_sessionize,
@@ -349,6 +378,7 @@ QUERIES = {
     "s06_stream_quarantine": s06_stream_quarantine,
     "s07_hopping_windows": s07_hopping_windows,
     "s08_new_user_events": s08_new_user_events,
+    "s09_user_profile": s09_user_profile,
 }
 
 ORACLE = {
@@ -360,4 +390,5 @@ ORACLE = {
     "s06_stream_quarantine": S06_SQL,
     "s07_hopping_windows": S07_SQL,
     "s08_new_user_events": S08_SQL,
+    "s09_user_profile": S09_SQL,
 }
