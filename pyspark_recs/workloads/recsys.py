@@ -591,6 +591,78 @@ FROM c
 """
 
 
+# --------------------------------------------------------------------- rs13
+def rs13_diversified_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Slate diversification with a per-attribute cap: each user's top-5
+    recommended items with AT MOST 2 per brand — the production
+    diversity constraint (the relational, exactly-checkable form of
+    MMR with binary attribute similarity). Two per-group ranks, both
+    planned as WindowGroupLimit: the brand cap prunes within
+    (user, brand) BEFORE the slate rank, so no candidate list is ever
+    materialized beyond k rows per group per stage.
+
+    Scale: both windows partition by user(/brand) — two bounded
+    shuffles; the part-brand dim joins broadcast. Deterministic
+    tiebreaks (score desc, item_id asc) make the slate reproducible.
+    """
+    from pyspark.sql import Window
+
+    inter = _interactions(spark, sf)
+    part = load_table(spark, sf, "part").select(
+        F.col("p_partkey"), F.col("p_brand")
+    )
+    cand = inter.join(
+        F.broadcast(part), inter.item_id == F.col("p_partkey")
+    ).select(
+        "user_id",
+        "item_id",
+        F.col("p_brand").alias("brand"),
+        F.col("n_purchases").alias("score"),
+    )
+    w_brand = Window.partitionBy("user_id", "brand").orderBy(
+        F.desc("score"), F.asc("item_id")
+    )
+    capped = cand.withColumn("brand_rank", F.row_number().over(w_brand)).filter(
+        F.col("brand_rank") <= 2
+    )
+    w_user = Window.partitionBy("user_id").orderBy(
+        F.desc("score"), F.asc("item_id")
+    )
+    return (
+        capped.withColumn("rank", F.row_number().over(w_user))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "user_id",
+            "item_id",
+            "brand",
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+RS13_SQL = """
+WITH inter AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id,
+         CAST(count(*) AS BIGINT) AS score
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_partkey),
+cand AS (
+  SELECT user_id, item_id, p_brand AS brand, score
+  FROM inter JOIN part ON item_id = p_partkey),
+capped AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, brand
+                               ORDER BY score DESC, item_id) AS brand_rank
+  FROM cand)
+SELECT user_id, item_id, brand, score, CAST(rank AS INT) AS rank FROM (
+  SELECT user_id, item_id, brand, score,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY score DESC, item_id) AS rank
+  FROM capped WHERE brand_rank <= 2)
+WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -604,6 +676,7 @@ QUERIES = {
     "rs10_funnel": rs10_funnel,
     "rs11_copurchase_triangles": rs11_copurchase_triangles,
     "rs12_item_transitions": rs12_item_transitions,
+    "rs13_diversified_topk": rs13_diversified_topk,
 }
 
 ORACLE = {
@@ -619,4 +692,5 @@ ORACLE = {
     "rs10_funnel": RS10_SQL,
     "rs11_copurchase_triangles": RS11_SQL,
     "rs12_item_transitions": RS12_SQL,
+    "rs13_diversified_topk": RS13_SQL,
 }

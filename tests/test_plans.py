@@ -246,3 +246,10 @@ def test_nation_trade_reduces_facts_before_fact_join(spark):
     assert plan.count("BroadcastHashJoin") >= 4  # sup+nation, cus+nation
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_diversified_topk_double_window_group_limit(spark):
+    # Both the brand cap and the slate rank must pre-prune per task
+    # (WindowGroupLimit x2) — no full per-user candidate sort survives.
+    plan = plan_of(QUERIES["rs13_diversified_topk"](spark, SF_DIR))
+    assert len(re.findall(r"WindowGroupLimit", plan)) >= 2
