@@ -2075,6 +2075,63 @@ GROUP BY dev.l_returnflag
 """
 
 
+# --------------------------------------------------------------------- r56
+def r56_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Native set operations (completing §2.6 beyond O5's union):
+    customers active in BOTH halves of the dataset (INTERSECT) vs
+    early-only churned customers (EXCEPT), labeled and unioned into one
+    result. Catalyst rewrites both to semi/anti joins — one shuffle per
+    branch on the key, no distinct-then-join detour.
+
+    Scale: the halves are key-only projections before the set op, so
+    the exchanges carry bigint keys; the midpoint scalar is a 1-row
+    broadcast.
+    """
+    orders = load_table(spark, sf, "orders")
+    mid = orders.agg(
+        F.to_timestamp(
+            F.from_unixtime(
+                F.floor(
+                    (F.unix_timestamp(F.min("o_orderdate"))
+                     + F.unix_timestamp(F.max("o_orderdate"))) / 2
+                )
+            )
+        ).alias("mid")
+    )
+    with_mid = orders.crossJoin(F.broadcast(mid))
+    early = with_mid.filter(F.col("o_orderdate") < F.col("mid")).select(
+        "o_custkey"
+    )
+    late = with_mid.filter(F.col("o_orderdate") >= F.col("mid")).select(
+        "o_custkey"
+    )
+    both = early.intersect(late).select(
+        "o_custkey", F.lit("retained").alias("cohort")
+    )
+    churned = early.subtract(late).select(
+        "o_custkey", F.lit("churned").alias("cohort")
+    )
+    return both.unionByName(churned)
+
+
+R56_SQL = """
+WITH mid AS (
+  SELECT to_timestamp(CAST(floor(
+           (epoch(min(o_orderdate)) + epoch(max(o_orderdate))) / 2)
+         AS BIGINT)) AS mid
+  FROM orders),
+early AS (
+  SELECT o_custkey FROM orders, mid WHERE o_orderdate < mid),
+late AS (
+  SELECT o_custkey FROM orders, mid WHERE o_orderdate >= mid)
+SELECT o_custkey, 'retained' AS cohort
+FROM (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late)
+UNION ALL
+SELECT o_custkey, 'churned' AS cohort
+FROM (SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late)
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -2131,6 +2188,7 @@ QUERIES = {
     "r53_sketch_rollup": r53_sketch_rollup,
     "r54_nation_trade": r54_nation_trade,
     "r55_mad_outliers": r55_mad_outliers,
+    "r56_set_ops": r56_set_ops,
 }
 
 ORACLE = {
@@ -2188,6 +2246,7 @@ ORACLE = {
     "r53_sketch_rollup": R53_SQL,
     "r54_nation_trade": R54_SQL,
     "r55_mad_outliers": R55_SQL,
+    "r56_set_ops": R56_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }
