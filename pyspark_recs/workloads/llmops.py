@@ -1229,6 +1229,52 @@ FROM pd LEFT JOIN nv USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------- l42
+def l42_matryoshka_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka (MRL) truncation audit: per-vector energy (sum of
+    squares) of the full 64-dim embedding vs its 16-dim prefix, and the
+    retained-energy fraction — the measurement that decides how far a
+    nested-representation index can truncate before recall collapses.
+    Truncation itself is a pure projection (`slice`); at 100 TB it is a
+    4× I/O and memory cut on every downstream ANN pass (composing with
+    l25's int8 quantization for 16×).
+
+    Both engines fold the array left-to-right, so the double sums are
+    order-identical and the rows hash-match exactly (same discipline as
+    l06's dot products)."""
+    emb = load_table(spark, sf, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    energy = lambda v: F.aggregate(  # noqa: E731
+        v, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    full = energy(vec)
+    trunc = energy(F.slice(vec, 1, 16))
+    return emb.select(
+        "vec_id",
+        full.alias("full_energy"),
+        trunc.alias("trunc_energy"),
+        (trunc / full).alias("retained"),
+    )
+
+
+L42_SQL = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings),
+e AS (
+  SELECT vec_id,
+         list_aggregate(list_transform(vec, x -> x * x), 'sum')
+           AS full_energy,
+         list_aggregate(list_transform(vec[1:16], x -> x * x), 'sum')
+           AS trunc_energy
+  FROM v)
+SELECT vec_id, full_energy, trunc_energy,
+       trunc_energy / full_energy AS retained
+FROM e
+"""
+
+
 # --------------------------------------------------------------------- l36
 def l36_fuzzy_edit_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Blocked Levenshtein fuzzy near-dup over document prefixes:
@@ -1446,6 +1492,7 @@ QUERIES = {
     "l39_bpe_pair_counts": l39_bpe_pair_counts,
     "l40_incremental_lsh": l40_incremental_lsh,
     "l41_winnow_fingerprints": l41_winnow_fingerprints,
+    "l42_matryoshka_energy": l42_matryoshka_energy,
 }
 
 ORACLE = {
@@ -1490,4 +1537,5 @@ ORACLE = {
     "l39_bpe_pair_counts": L39_SQL,
     "l40_incremental_lsh": L40_SQL,
     "l41_winnow_fingerprints": L41_SQL,
+    "l42_matryoshka_energy": L42_SQL,
 }
