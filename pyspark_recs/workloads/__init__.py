@@ -38,7 +38,7 @@ _PRIORITY = [
     "l39_bpe_pair_counts", "r53_sketch_rollup", "r54_nation_trade",
     "r55_mad_outliers", "l40_incremental_lsh", "rs12_item_transitions",
     "l41_winnow_fingerprints", "s09_user_profile", "rs13_diversified_topk",
-    "r56_set_ops", "l42_matryoshka_energy",
+    "r56_set_ops", "l42_matryoshka_energy", "rs14_retention_cohorts",
     "l31_pii_redaction", "r47_salted_join", "s07_hopping_windows",
     "l34_boilerplate_grams", "l35_novelty_gate", "s08_new_user_events",
     "l32_decontaminate", "r48_range_join", "s02_sessionize",

@@ -663,6 +663,69 @@ WHERE rank <= 5
 """
 
 
+# --------------------------------------------------------------------- rs14
+def rs14_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by first-activity
+    week (the cohort), tracked by weeks-since-cohort — n_active per
+    (cohort_week, week_offset) plus the retention rate vs the cohort's
+    week-0 size. The product-analytics staple next to rs10's funnel.
+
+    Scale: first-activity is one min-aggregate on user_id; the
+    activity⋈cohort join broadcasts the user→cohort map when small
+    (key-only), shuffles otherwise; the (cohort, offset) rollup is
+    combiner-friendly counts. Retention divides two exact bigints.
+    """
+    ev = load_table(spark, sf, "events").select("user_id", "ts")
+    week = lambda c: F.floor(F.unix_timestamp(c) / F.lit(604800))  # noqa: E731
+    cohort = ev.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    activity = (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (week(F.col("ts")) - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    active = activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    base = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return active.join(F.broadcast(base), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size").cast("double"))
+        .alias("retention"),
+    )
+
+
+RS14_SQL = """
+WITH cohort AS (
+  SELECT user_id,
+         CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cohort_week
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id, c.cohort_week,
+         CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - c.cohort_week
+           AS week_offset
+  FROM events e JOIN cohort c USING (user_id)),
+active AS (
+  SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_active
+  FROM activity GROUP BY cohort_week, week_offset),
+base AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM cohort GROUP BY cohort_week)
+SELECT a.cohort_week, a.week_offset, a.n_active, b.cohort_size,
+       CAST(a.n_active AS DOUBLE) / CAST(b.cohort_size AS DOUBLE)
+         AS retention
+FROM active a JOIN base b USING (cohort_week)
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -677,6 +740,7 @@ QUERIES = {
     "rs11_copurchase_triangles": rs11_copurchase_triangles,
     "rs12_item_transitions": rs12_item_transitions,
     "rs13_diversified_topk": rs13_diversified_topk,
+    "rs14_retention_cohorts": rs14_retention_cohorts,
 }
 
 ORACLE = {
@@ -693,4 +757,5 @@ ORACLE = {
     "rs11_copurchase_triangles": RS11_SQL,
     "rs12_item_transitions": RS12_SQL,
     "rs13_diversified_topk": RS13_SQL,
+    "rs14_retention_cohorts": RS14_SQL,
 }

@@ -60,6 +60,9 @@ HEADLINE = [
     "r51_grouping_sets",
     "r52_mode_per_group",
     "r53_sketch_rollup",
+    "r54_nation_trade",
+    "r55_mad_outliers",
+    "r56_set_ops",
     # rs11 deliberately excluded: key-shift replication multiplies edges
     # over a FIXED node set, so the graph densifies quadratically — not
     # the growth shape of a real co-purchase graph (nodes grow too).
