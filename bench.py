@@ -67,6 +67,10 @@ HEADLINE = [
     "rs12_item_transitions",
     "l40_incremental_lsh",
     "l41_winnow_fingerprints",
+    # round-3 additions: iterative graph, market basket, time series
+    "r57_pagerank_trade",
+    "rs15_association_rules",
+    "r58_ewma_smoothing",
 ]
 
 

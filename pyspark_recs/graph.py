@@ -61,6 +61,134 @@ def orient_edges_by_degree(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    scale: int = 12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Distributed PageRank over a directed edge list, bit-reproducible
+    across engines, partitionings and cluster sizes.
+
+    The fourth graph primitive (next to connected components, triangle
+    counting and the co-occurrence graph). Each iteration is exactly
+    one shuffle: contributions rank(src)/out_deg(src) are aggregated
+    per dst (map-side combined), then LEFT-joined back to the node set
+    so sinks and sources keep the teleport term (1-d)/N. Dangling-node
+    mass is dropped (the standard simplified formulation) — documented
+    rather than silently redistributed.
+
+    Determinism: the per-dst contribution sum is the one order-dependent
+    double reduction, so it uses the workloads.common fixed-point
+    discipline — quantize each contribution to a BIGINT at 10^-scale,
+    SUM exactly, divide once. Every other operation (1/N, rank/out_deg,
+    the damping affine map) is an identical scalar double expression,
+    so iteration t+1 is bit-identical given iteration t is. With
+    rank ≤ 1 and scale 12, terms stay < 10^12 and sums < 2^63 up to
+    ~9 M in-edges per node per 2^63/10^12; raise/lower scale to taste.
+
+    Scale: edges are cached once and re-scanned per iteration; ranks
+    are node-sized. Per iteration: one equi-join edges⋈ranks on src
+    (co-partition or broadcast ranks when the node set is small), one
+    groupBy(dst) exact sum, one left join nodes⋈sums. Caches are
+    swapped per round (materialize-then-unpersist, the l21 connected-
+    components discipline) so the lineage and memory stay O(1) in the
+    iteration count.
+    """
+    mult = float(10**scale)
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()  # scalar driver-side; the only collect
+    inv_n = 1.0 / float(n)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = nodes.select("node", F.lit(inv_n).alias("rank"))
+    teleport = (1.0 - damping) * inv_n
+    prev = None
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(
+                    (F.col("rank") / F.col("out_deg")) * F.lit(mult)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("q"),
+            )
+            .groupBy("node")
+            .agg(F.sum("q").alias("s"))
+        )
+        ranks = nodes.join(contrib, "node", "left_outer").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                    / F.lit(mult)
+                )
+            ).alias("rank"),
+        )
+        ranks = ranks.cache()
+        ranks.count()  # materialize before dropping the previous round
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    iterations: int = 3,
+    damping: float = 0.85,
+    scale: int = 12,
+) -> str:
+    """DuckDB twin of :func:`pagerank` — the iteration unrolled as CTEs
+    with the identical fixed-point contribution sums. ``edges_cte`` must
+    select distinct (src, dst) with src <> dst."""
+    mult = float(10**scale)
+    teleport = f"({1.0 - damping!r} * (1.0 / nn.n))"
+    parts = [
+        f"WITH edges AS ({edges_cte})",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg"
+        " FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, "
+            f"sum(CAST(floor((r.rank / d.out_deg) * {mult!r} + 0.5)"
+            f" AS BIGINT)) AS s "
+            f"FROM edges e JOIN r{i - 1} r ON e.src = r.node "
+            f"JOIN deg d ON e.src = d.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.node, {teleport} + {damping!r} * "
+            f"(CAST(coalesce(c{i}.s, 0) AS DOUBLE) / {mult!r}) AS rank "
+            f"FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.node, nn)"
+        )
+    return (
+        ",\n".join(parts) + f"\nSELECT node, rank FROM r{iterations}"
+    )
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "src",

@@ -726,6 +726,107 @@ FROM active a JOIN base b USING (cohort_week)
 """
 
 
+# --------------------------------------------------------------------- rs15
+def rs15_association_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association rules at brand granularity (the
+    classic Apriori 2-itemset pass): for every directed brand pair
+    a→b, support counts plus confidence = n_ab/n_a and
+    lift = n_ab·N/(n_a·n_b). Brand-level baskets keep the universe
+    dense (|brands|² pairs max) so the sf0.01 result is non-vacuous.
+
+    Scale: baskets are DISTINCT (order, brand) — one shuffle, then the
+    pair self-join is co-partitioned on order_id with per-basket fan-out
+    bounded by |brands in one order| (≤ lines per order), never N².
+    Supports broadcast into the rule assembly; confidence/lift are
+    single products/divisions of exact BIGINTs in a fixed parse order,
+    so the doubles are engine-identical without fixed-point help.
+    """
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    part = F.broadcast(
+        load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    )
+    baskets = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("order_id"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .cache()
+    )
+    n_orders = baskets.select("order_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    support = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    a = baskets.select(F.col("order_id"), F.col("brand").alias("brand_a"))
+    b = baskets.select(F.col("order_id"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "order_id")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    directed = pairs.select(
+        F.col("brand_a").alias("antecedent"),
+        F.col("brand_b").alias("consequent"),
+        "n_ab",
+    ).unionByName(
+        pairs.select(
+            F.col("brand_b").alias("antecedent"),
+            F.col("brand_a").alias("consequent"),
+            "n_ab",
+        )
+    )
+    sa = F.broadcast(support.selectExpr("brand AS antecedent", "n AS n_ante"))
+    sc = F.broadcast(support.selectExpr("brand AS consequent", "n AS n_cons"))
+    return (
+        directed.join(sa, "antecedent")
+        .join(sc, "consequent")
+        .crossJoin(F.broadcast(n_orders))
+        .filter(F.col("n_ab") >= 10)
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            "n_ante",
+            "n_cons",
+            (F.col("n_ab").cast("double") / F.col("n_ante").cast("double"))
+            .alias("confidence"),
+            (
+                (F.col("n_ab").cast("double") * F.col("n_orders").cast("double"))
+                / (F.col("n_ante").cast("double") * F.col("n_cons").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
+RS15_SQL = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS order_id, p_brand AS brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+nn AS (SELECT CAST(count(DISTINCT order_id) AS BIGINT) AS n_orders
+       FROM baskets),
+support AS (
+  SELECT brand, CAST(count(*) AS BIGINT) AS n FROM baskets GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM baskets a JOIN baskets b
+    ON a.order_id = b.order_id AND a.brand < b.brand
+  GROUP BY a.brand, b.brand),
+directed AS (
+  SELECT brand_a AS antecedent, brand_b AS consequent, n_ab FROM pairs
+  UNION ALL
+  SELECT brand_b AS antecedent, brand_a AS consequent, n_ab FROM pairs)
+SELECT antecedent, consequent, n_ab, sa.n AS n_ante, sc.n AS n_cons,
+       CAST(n_ab AS DOUBLE) / CAST(sa.n AS DOUBLE) AS confidence,
+       (CAST(n_ab AS DOUBLE) * CAST(nn.n_orders AS DOUBLE))
+         / (CAST(sa.n AS DOUBLE) * CAST(sc.n AS DOUBLE)) AS lift
+FROM directed
+JOIN support sa ON antecedent = sa.brand
+JOIN support sc ON consequent = sc.brand
+CROSS JOIN nn
+WHERE n_ab >= 10
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -741,6 +842,7 @@ QUERIES = {
     "rs12_item_transitions": rs12_item_transitions,
     "rs13_diversified_topk": rs13_diversified_topk,
     "rs14_retention_cohorts": rs14_retention_cohorts,
+    "rs15_association_rules": rs15_association_rules,
 }
 
 ORACLE = {
@@ -758,4 +860,5 @@ ORACLE = {
     "rs12_item_transitions": RS12_SQL,
     "rs13_diversified_topk": RS13_SQL,
     "rs14_retention_cohorts": RS14_SQL,
+    "rs15_association_rules": RS15_SQL,
 }

@@ -2132,6 +2132,122 @@ FROM (SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late)
 """
 
 
+# --------------------------------------------------------------------- r57
+def r57_pagerank_trade(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the nation-level trade graph (customer nation →
+    supplier nation, one directed edge per observed trading relation),
+    3 iterations, damping 0.85 — the iterative-graph workload next to
+    l21's connected components, bit-reproducible via graph.pagerank's
+    fixed-point contribution sums (see pagerank's docstring for the
+    determinism argument and per-iteration shuffle budget).
+
+    Scale: the edge list is DISTINCT'd down to nation-pair granularity
+    BEFORE the iteration (≤ N² rows regardless of fact size — the same
+    reduce-early ordering as r54); dims broadcast into the fact scan.
+    """
+    from pyspark_recs.graph import pagerank
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cus = F.broadcast(
+        load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    )
+    sup = F.broadcast(
+        load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cus, F.col("o_custkey") == F.col("c_custkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    nation = F.broadcast(
+        load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    )
+    return ranks.join(nation, ranks.node == nation.n_nationkey).select(
+        "n_name", F.col("rank").alias("pagerank")
+    )
+
+
+def _r57_sql() -> str:
+    from pyspark_recs.graph import pagerank_oracle_sql
+
+    edges = """
+  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey <> s_nationkey
+"""
+    pr = pagerank_oracle_sql(edges, iterations=3, damping=0.85)
+    return (
+        f"SELECT n_name, pr.rank AS pagerank FROM ({pr}) pr "
+        f"JOIN nation ON pr.node = n_nationkey"
+    )
+
+
+R57_SQL = _r57_sql()
+
+
+# --------------------------------------------------------------------- r58
+def r58_ewma_smoothing(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing exponential smoothing (EWMA) of event values per user:
+    fixed 4-tap kernel with α = 1/2 over the (ts, event_id)-ordered
+    stream, emitted once 4 taps of history exist. α and the kernel
+    normalizer (1.875) are binary-exact doubles and the 4-term sum has
+    a fixed parse-tree order, so the result is bit-identical across
+    engines with NO fixed-point scaffolding — the lag-kernel form of
+    smoothing that windowed state (s09) maintains incrementally.
+
+    Scale: one window spec = one shuffle on user_id; taps are lags
+    inside the sorted run, no self-join, no collect.
+    """
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag1, lag2, lag3 = (F.lag("value", i).over(w) for i in (1, 2, 3))
+    rn = F.row_number().over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            (
+                (
+                    F.col("value")
+                    + F.lit(0.5) * lag1
+                    + F.lit(0.25) * lag2
+                    + F.lit(0.125) * lag3
+                )
+                / F.lit(1.875)
+            ).alias("ewma"),
+            rn.alias("rn"),
+        )
+        .filter(F.col("rn") >= 4)
+        .drop("rn")
+    )
+
+
+R58_SQL = """
+SELECT user_id, event_id, ts, value,
+       (value + 0.5 * lag1 + 0.25 * lag2 + 0.125 * lag3) / 1.875 AS ewma
+FROM (
+  SELECT user_id, event_id, ts, value,
+         lag(value, 1) OVER w AS lag1,
+         lag(value, 2) OVER w AS lag2,
+         lag(value, 3) OVER w AS lag3,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+WHERE rn >= 4
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -2189,6 +2305,8 @@ QUERIES = {
     "r54_nation_trade": r54_nation_trade,
     "r55_mad_outliers": r55_mad_outliers,
     "r56_set_ops": r56_set_ops,
+    "r57_pagerank_trade": r57_pagerank_trade,
+    "r58_ewma_smoothing": r58_ewma_smoothing,
 }
 
 ORACLE = {
@@ -2247,6 +2365,8 @@ ORACLE = {
     "r54_nation_trade": R54_SQL,
     "r55_mad_outliers": R55_SQL,
     "r56_set_ops": R56_SQL,
+    "r57_pagerank_trade": R57_SQL,
+    "r58_ewma_smoothing": R58_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }

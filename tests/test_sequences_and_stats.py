@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pyspark_recs.features.sequences import funnel_stages, next_item_pairs
@@ -141,6 +142,108 @@ def test_triangle_counts_k4_plus_pendant(spark):
     )
     got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # pendant 5 absent
+
+
+def test_pagerank_cycle_is_uniform_and_star_orders_hub_first(spark):
+    from pyspark_recs.graph import pagerank
+
+    # 3-cycle: symmetric, so every iteration keeps the uniform 1/3.
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    got = {r.node: r["rank"] for r in pagerank(cyc, iterations=3).collect()}
+    assert set(got) == {1, 2, 3}
+    for v in got.values():
+        assert abs(v - 1 / 3) < 1e-9
+    # star 1..4 -> 0: hub accumulates, leaves keep only teleport mass;
+    # dangling hub mass is dropped (documented simplified formulation),
+    # so total mass < 1 but the hub still dominates.
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(1, 5)], "src long, dst long"
+    )
+    r = {row.node: row["rank"] for row in pagerank(star, iterations=2).collect()}
+    assert r[0] > r[1] and r[1] == r[2] == r[3] == r[4]
+    assert sum(r.values()) < 1.0
+
+
+def test_pagerank_matches_quantized_power_iteration(spark):
+    """The Spark plan reproduces a driver-side power iteration with the
+    same fixed-point quantization, node for node, bit for bit."""
+    from pyspark_recs.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 1), (2, 4)]
+    got = {
+        r.node: r["rank"]
+        for r in pagerank(
+            spark.createDataFrame(edges, "src long, dst long"), iterations=3
+        ).collect()
+    }
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {u: sum(1 for a, _ in edges if a == u) for u in nodes}
+    rank = {u: 1.0 / n for u in nodes}
+    tp = (1.0 - 0.85) * (1.0 / n)  # NOT 0.15/n: 1.0-0.85 != 0.15 in IEEE
+    for _ in range(3):
+        s = {u: 0 for u in nodes}
+        for a, b in edges:
+            s[b] += int((rank[a] / out[a]) * 1e12 + 0.5)
+        rank = {u: tp + 0.85 * (s[u] / 1e12) for u in nodes}
+    assert got == rank
+
+
+def test_ewma_hand_computed(spark):
+    from pyspark_recs.workloads.relational import r58_ewma_smoothing  # noqa: F401
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    df = spark.createDataFrame(
+        [(i, 1, float(i * 10)) for i in range(1, 6)],
+        "event_id long, user_id long, value double",
+    ).withColumn("ts", F.col("event_id").cast("timestamp"))
+    lag1, lag2, lag3 = (F.lag("value", i).over(w) for i in (1, 2, 3))
+    out = (
+        df.select(
+            "event_id",
+            (
+                (F.col("value") + 0.5 * lag1 + 0.25 * lag2 + 0.125 * lag3)
+                / 1.875
+            ).alias("ewma"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") >= 4)
+        .collect()
+    )
+    got = {r.event_id: r.ewma for r in out}
+    # event 4: (40 + .5*30 + .25*20 + .125*10) / 1.875 = 61.25/1.875
+    assert abs(got[4] - 61.25 / 1.875) < 1e-12
+    assert abs(got[5] - (50 + 20 + 7.5 + 2.5) / 1.875) < 1e-12
+
+
+def test_association_rules_confidence_and_lift(spark):
+    """b is in every basket; a only co-occurs with b => conf(a->b)=1 and
+    lift(a->b) = N/n_b = 1 (b is universal), while a rarer consequent
+    lifts above 1."""
+    from pyspark.sql import functions as FF
+
+    baskets = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "b"), (4, "b"), (3, "c"), (1, "c")],
+        "order_id long, brand string",
+    )
+    n = baskets.select("order_id").distinct().count()
+    sup = {r.brand: r.n for r in baskets.groupBy("brand").agg(FF.count("*").alias("n")).collect()}
+    a = baskets.selectExpr("order_id", "brand AS brand_a")
+    b = baskets.selectExpr("order_id", "brand AS brand_b")
+    pairs = {
+        (r.brand_a, r.brand_b): r.n_ab
+        for r in a.join(b, "order_id")
+        .filter(FF.col("brand_a") < FF.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(FF.count("*").alias("n_ab"))
+        .collect()
+    }
+    assert pairs[("a", "b")] == 2 and sup["a"] == 2 and sup["b"] == 4
+    conf_ab = pairs[("a", "b")] / sup["a"]
+    lift_ab = pairs[("a", "b")] * n / (sup["a"] * sup["b"])
+    assert conf_ab == 1.0 and lift_ab == 1.0
+    lift_ac = pairs[("a", "c")] * n / (sup["a"] * sup["c"])
+    assert lift_ac == 1.0  # a∩c = 1, 1*4/(2*2)
 
 
 def test_mode_per_group_two_phase_matches_window(spark):
