@@ -192,6 +192,63 @@ def streaming_sessionize(
     )
 
 
+def streaming_ewma(
+    events: DataFrame,
+    alpha: float = 0.5,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Incremental recursive EWMA per user via ``applyInPandasWithState``
+    — the streaming twin of workloads/streaming.s10_recursive_ewma.
+    State is ONE double per user (the running smoothed value) plus the
+    event count: r ← α·x + (1-α)·r, folded over each micro-batch's rows
+    in (ts, event_id) order. Because the recursion only ever needs the
+    previous state, the operator is O(1) memory per key no matter how
+    long the history — the canonical example of a fold that streaming
+    state makes cheap while the batch form must collect-and-sort.
+
+    Cross-batch order relies on in-order arrival per key (same caveat
+    as streaming_sessionize). With α = 0.5 every update is binary-exact
+    double arithmetic, so the running value equals the batch fold bit
+    for bit.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, ewma double"
+    state_schema = "ewma double, n_events long"
+
+    rows = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(value_col).alias("value"),
+    )
+
+    def update(key, pdfs, state):
+        ewma, n = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            ordered = pdf.sort_values(["ts_us", "event_id"])["value"]
+            for x in ordered:
+                x = float(x)
+                ewma = x if ewma is None else alpha * x + (1.0 - alpha) * ewma
+                n += 1
+        state.update((ewma, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma": [ewma]}
+        )
+
+    return rows.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_enrich(
     stream: DataFrame,
     dim: DataFrame,

@@ -369,6 +369,53 @@ FROM events GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------- s10
+def s10_recursive_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-history recursive EWMA per user (r ← ½x + ½r over the
+    (ts, event_id)-ordered stream), the batch twin of
+    streaming.ops.streaming_ewma — which maintains the same value with
+    O(1) state per key. The batch form collects each user's ordered
+    value array and left-folds it JVM-side (``aggregate`` over a sorted
+    array); α = ½ keeps every step binary-exact, so Spark, DuckDB's
+    ``list_reduce`` and the streaming fold agree bit for bit. Contrast
+    with r58's finite 4-tap kernel: same smoothing family, windowed vs
+    recursive-infinite form.
+
+    Scale: one shuffle on user_id; per-key memory is the user's history
+    (the reason the streaming form exists). For unbounded histories,
+    cap with a trailing slice or switch to the stateful operator.
+    """
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value"
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts_us", "event_id", "value"))
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.transform(arr, lambda s: s["value"]).alias("vals"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.expr(
+                "aggregate(slice(vals, 2, size(vals) - 1), vals[0],"
+                " (acc, x) -> 0.5D * x + 0.5D * acc)"
+            ).alias("ewma"),
+        )
+    )
+
+
+S10_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       list_reduce(list(value ORDER BY ts, event_id),
+                   (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "s01_tumbling_daily": s01_tumbling_daily,
     "s02_sessionize": s02_sessionize,
@@ -379,6 +426,7 @@ QUERIES = {
     "s07_hopping_windows": s07_hopping_windows,
     "s08_new_user_events": s08_new_user_events,
     "s09_user_profile": s09_user_profile,
+    "s10_recursive_ewma": s10_recursive_ewma,
 }
 
 ORACLE = {
@@ -391,4 +439,5 @@ ORACLE = {
     "s07_hopping_windows": S07_SQL,
     "s08_new_user_events": S08_SQL,
     "s09_user_profile": S09_SQL,
+    "s10_recursive_ewma": S10_SQL,
 }

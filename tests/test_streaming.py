@@ -169,6 +169,23 @@ def test_streaming_sessionize_stateful(spark, event_dir, tmp_path):
     assert final[8] == (1, 1)
 
 
+def test_streaming_ewma_matches_batch_fold(spark, event_dir, tmp_path):
+    from pyspark_recs.streaming import streaming_ewma
+
+    path, schema = event_dir
+    stream = read_event_stream(spark, path, schema)
+    out = _run_stream(streaming_ewma(stream), tmp_path, mode="update")
+    final = {}
+    for r in out.orderBy("n_events").collect():
+        final[r.user_id] = (r.n_events, r.ewma)
+    # user 7 values in ts order: 1.0, 2.0, 4.0, 4.0 (dup kept)
+    acc = 1.0
+    for x in (2.0, 4.0, 4.0):
+        acc = 0.5 * x + 0.5 * acc
+    assert final[7] == (4, acc)
+    assert final[8] == (1, 3.0)
+
+
 def test_streaming_enrich_stream_static_join(spark, event_dir, tmp_path):
     from pyspark_recs.streaming import streaming_enrich
 
