@@ -203,7 +203,15 @@ def fetch_payloads(
     parallelizes the same loop with joblib on one box,
     my_merlin_flow.py:592-599); no driver involvement, no shuffle. Size
     partitions so per-task fetch counts amortize connection setup, and
-    repartition upstream if the URL list arrives in few files."""
+    repartition upstream if the URL list arrives in few files. URL rows
+    are tiny (id + string), so the spread_partitions guard below
+    round-robins them across cores when the upstream scan yields fewer
+    splits than cores — the fetch/encode stages downstream are the
+    per-row-heavy Python work that would otherwise serialize; at real
+    scale the guard is a no-op (URL lists arrive as many splits)."""
+    from pyspark_recs.io.loaders import spread_partitions
+
+    df = spread_partitions(df)
 
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
