@@ -68,6 +68,7 @@ def pagerank(
     scale: int = 12,
     src: str = "src",
     dst: str = "dst",
+    materialize_every: int = 6,
 ) -> DataFrame:
     """Distributed PageRank over a directed edge list, bit-reproducible
     across engines, partitionings and cluster sizes.
@@ -92,10 +93,12 @@ def pagerank(
     Scale: edges are cached once and re-scanned per iteration; ranks
     are node-sized. Per iteration: one equi-join edges⋈ranks on src
     (co-partition or broadcast ranks when the node set is small), one
-    groupBy(dst) exact sum, one left join nodes⋈sums. Caches are
-    swapped per round (materialize-then-unpersist, the l21 connected-
-    components discipline) so the lineage and memory stay O(1) in the
-    iteration count.
+    groupBy(dst) exact sum, one left join nodes⋈sums. Every
+    ``materialize_every`` rounds the rank cache is swapped
+    (materialize-then-unpersist, the l21 connected-components
+    discipline) so lineage and memory stay O(1) in the iteration count
+    — short chains below that cadence stay fully lazy and fuse into a
+    single job instead of paying a checkpoint job per round.
     """
     mult = float(10**scale)
     e = (
@@ -116,7 +119,7 @@ def pagerank(
     ranks = nodes.select("node", F.lit(inv_n).alias("rank"))
     teleport = (1.0 - damping) * inv_n
     prev = None
-    for _ in range(iterations):
+    for it in range(1, iterations + 1):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(deg, "src")
@@ -143,11 +146,12 @@ def pagerank(
                 )
             ).alias("rank"),
         )
-        ranks = ranks.cache()
-        ranks.count()  # materialize before dropping the previous round
-        if prev is not None:
-            prev.unpersist()
-        prev = ranks
+        if it % materialize_every == 0 and it < iterations:
+            ranks = ranks.cache()
+            ranks.count()  # materialize before dropping the previous round
+            if prev is not None:
+                prev.unpersist()
+            prev = ranks
     return ranks
 
 

@@ -734,12 +734,16 @@ def rs15_association_rules(spark: SparkSession, sf: str) -> DataFrame:
     lift = n_ab·N/(n_a·n_b). Brand-level baskets keep the universe
     dense (|brands|² pairs max) so the sf0.01 result is non-vacuous.
 
-    Scale: baskets are DISTINCT (order, brand) — one shuffle, then the
-    pair self-join is co-partitioned on order_id with per-basket fan-out
-    bounded by |brands in one order| (≤ lines per order), never N².
-    Supports broadcast into the rule assembly; confidence/lift are
-    single products/divisions of exact BIGINTs in a fixed parse order,
-    so the doubles are engine-identical without fixed-point help.
+    Scale: ONE shuffle builds per-order brand sets (collect_set =
+    distinct-within-basket, map-side combined); ordered pairs are then
+    generated JVM-side from each sorted array (fan-out bounded by
+    |brands in one order|², ≤ lines-per-order², never N²) — the rs05
+    bounded-array discipline, with no basket self-join and no second
+    scan: supports and the basket count fold off the same aggregate,
+    so Catalyst reuses one Exchange for all three branches.
+    Confidence/lift are single products/divisions of exact BIGINTs in a
+    fixed parse order, so the doubles are engine-identical without
+    fixed-point help.
     """
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     part = F.broadcast(
@@ -747,19 +751,24 @@ def rs15_association_rules(spark: SparkSession, sf: str) -> DataFrame:
     )
     baskets = (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
-        .select(F.col("l_orderkey").alias("order_id"), F.col("p_brand").alias("brand"))
-        .distinct()
-        .cache()
+        .groupBy(F.col("l_orderkey").alias("order_id"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
     )
-    n_orders = baskets.select("order_id").distinct().agg(
-        F.count(F.lit(1)).alias("n_orders")
-    )
-    support = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
-    a = baskets.select(F.col("order_id"), F.col("brand").alias("brand_a"))
-    b = baskets.select(F.col("order_id"), F.col("brand").alias("brand_b"))
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    support = baskets.select(
+        F.explode("brands").alias("brand")
+    ).groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
     pairs = (
-        a.join(b, "order_id")
-        .filter(F.col("brand_a") < F.col("brand_b"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(brands, (x, i) ->"
+                    " transform(slice(brands, i + 2, size(brands)),"
+                    " y -> struct(x AS brand_a, y AS brand_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.brand_a", "p.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
