@@ -71,6 +71,8 @@ HEADLINE = [
     "r57_pagerank_trade",
     "rs15_association_rules",
     "r58_ewma_smoothing",
+    "s10_recursive_ewma",
+    "s11_peak_concurrency",
 ]
 
 

@@ -502,3 +502,57 @@ def scd2_apply(
         .withColumn(valid_to, F.lead(valid_from).over(w))
     )
     return closed.unionByName(rechained.select(*dim.columns))
+
+
+def scalable_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running",
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Globally-ordered running total WITHOUT a single-task window.
+
+    The naive ``sum(x) OVER (ORDER BY t)`` has no PARTITION BY, so Spark
+    funnels every row through ONE task — the classic scale cliff for
+    sweep-line analytics. This is the standard two-phase prefix-sum fix:
+
+      1. range-partition by the order column (``repartitionByRange`` —
+         sampled boundaries, rows stay globally ordered across
+         partitions),
+      2. per-partition running totals (parallel windows keyed on
+         ``spark_partition_id``),
+      3. per-partition grand totals — a ``num_ranges``-row side table —
+         prefix-summed on the driver-scale side and broadcast back as
+         each partition's starting offset.
+
+    The result is row-identical to the single-task window for any
+    boundary placement (offsets absorb whatever the sampler chose), so
+    correctness does not depend on the nondeterministic range split.
+    Requires ``order_col`` values to be unique (pre-aggregate ties
+    first — a sweep line groups simultaneous events anyway).
+    """
+    parted = df.repartitionByRange(num_ranges, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parted.withColumn("_run_local", F.sum(value_col).over(w_local))
+    w_off = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        parted.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_tot"))
+        .withColumn("_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_run_local") + F.col("_off"))
+        .drop("_pid", "_run_local", "_off")
+    )

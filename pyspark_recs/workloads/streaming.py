@@ -416,6 +416,74 @@ FROM events GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------- s11
+def s11_peak_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """Concurrent-session step function via a sweep line over the s05
+    session intervals: every session contributes +1 at its start and −1
+    at its end ([start, end) semantics — simultaneous end/start cancel
+    inside the per-instant net), and the running total of nets IS the
+    number of concurrent sessions after each instant. The peak-load /
+    capacity-planning staple.
+
+    Scale: endpoints aggregate per instant (map-side combine), then the
+    global running total uses sql.transforms.scalable_prefix_sum — the
+    two-phase range-partitioned prefix sum — instead of the single-task
+    `sum OVER (ORDER BY t)` cliff. Output is the full step function, so
+    the oracle compares thousands of rows, not one max.
+    """
+    from pyspark_recs.sql import scalable_prefix_sum
+
+    sess = s05_session_windows(spark, sf).select(
+        "session_start", "session_end"
+    )
+    points = sess.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("session_start").alias("t"),
+                    F.lit(1).alias("delta"),
+                ),
+                F.struct(
+                    F.col("session_end").alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.t", "p.delta")
+    nets = points.groupBy("t").agg(F.sum("delta").alias("net"))
+    return scalable_prefix_sum(nets, "t", "net", out_col="concurrency")
+
+
+S11_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+islands AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged),
+sessions AS (
+  SELECT min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end
+  FROM islands GROUP BY user_id, sid),
+points AS (
+  SELECT session_start AS t, 1 AS delta FROM sessions
+  UNION ALL
+  SELECT session_end AS t, -1 AS delta FROM sessions),
+nets AS (
+  SELECT t, CAST(sum(delta) AS BIGINT) AS net FROM points GROUP BY t)
+SELECT t, net,
+       CAST(sum(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS concurrency
+FROM nets
+"""
+
+
 QUERIES = {
     "s01_tumbling_daily": s01_tumbling_daily,
     "s02_sessionize": s02_sessionize,
@@ -427,6 +495,7 @@ QUERIES = {
     "s08_new_user_events": s08_new_user_events,
     "s09_user_profile": s09_user_profile,
     "s10_recursive_ewma": s10_recursive_ewma,
+    "s11_peak_concurrency": s11_peak_concurrency,
 }
 
 ORACLE = {
@@ -440,4 +509,5 @@ ORACLE = {
     "s08_new_user_events": S08_SQL,
     "s09_user_profile": S09_SQL,
     "s10_recursive_ewma": S10_SQL,
+    "s11_peak_concurrency": S11_SQL,
 }

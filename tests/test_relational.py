@@ -314,3 +314,26 @@ def test_incremental_rollup_matches_full_recompute(spark):
         .collect()
     }
     assert got == full
+
+
+def test_scalable_prefix_sum_matches_single_task_window(spark):
+    """The two-phase range-partitioned prefix sum is row-identical to
+    the single-task global window, including across partition
+    boundaries (offsets must absorb whatever boundaries the range
+    sampler picked)."""
+    from pyspark.sql import Window
+    from pyspark_recs.sql import scalable_prefix_sum
+
+    df = spark.createDataFrame(
+        [(t, (t * 7919) % 13 - 6) for t in range(1, 501)], "t long, v long"
+    )
+    got = {
+        r.t: r.running
+        for r in scalable_prefix_sum(df, "t", "v", num_ranges=8).collect()
+    }
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.t: r.running
+        for r in df.withColumn("running", F.sum("v").over(w)).collect()
+    }
+    assert got == want
