@@ -73,6 +73,7 @@ HEADLINE = [
     "r58_ewma_smoothing",
     "s10_recursive_ewma",
     "s11_peak_concurrency",
+    "l43_semantic_dedup",
 ]
 
 

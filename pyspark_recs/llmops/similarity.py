@@ -184,6 +184,104 @@ def embedding_neardup_pairs(
     ).filter(F.col("cos_sim") >= threshold)
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then call two corpus items semantic duplicates iff
+    their cosine ≥ ``threshold`` AND they land in the same cluster —
+    the clustering is what makes web-scale semantic dedup tractable,
+    turning the N² similarity matrix into Σ_c n_c² within-cell blocks
+    (the IVF sibling of ``embedding_neardup_pairs``' sign-bit blocks;
+    the paper dedups LAION/C4 exactly this way). Keep rule: the lowest
+    id in each duplicate relation survives (keep-first, deterministic —
+    the paper's keep-farthest-from-centroid is a one-line orderBy swap).
+
+    Output: one row per vector — (id, cell_id, status keep|drop) — the
+    corpus-filter shape downstream training pipelines consume.
+
+    Scale: centroid assignment is a broadcast cross-score + max(struct)
+    partial aggregate (no window over the N×C expansion); the pair join
+    is keyed on cell_id, never all-pairs; `drop` derivation is a
+    distinct + broadcastable semi-join. Defaults to the deterministic
+    lowest-id centroid stand-in (oracle-checkable); pass
+    ``kmeans_centroids(...)`` for quality-fit cells in production.
+    """
+    if centroids is None:
+        centroids = (
+            vectors.orderBy(F.asc(id_col))
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec")
+            )
+        )
+    cents = F.broadcast(
+        centroids.select(
+            "cell_id",
+            "cvec",
+            F.sqrt(_fixed_dot(F.col("cvec"), F.col("cvec"))).alias("cnorm"),
+        )
+    )
+    vecs = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(_fixed_dot(F.col(vec_col), F.col(vec_col))).alias("vnorm"),
+    )
+    scored = vecs.crossJoin(cents).select(
+        id_col,
+        vec_col,
+        "vnorm",
+        "cell_id",
+        (
+            _fixed_dot(F.col(vec_col), F.col("cvec"))
+            / (F.col("vnorm") * F.col("cnorm"))
+        ).alias("ccos"),
+    )
+    assigned = (
+        scored.groupBy(id_col, vec_col, "vnorm")
+        .agg(
+            F.max(F.struct(F.col("ccos"), (-F.col("cell_id")).alias("nc")))
+            .alias("best")
+        )
+        .select(id_col, vec_col, "vnorm", (-F.col("best.nc")).alias("cell_id"))
+    )
+    a = assigned.select(
+        "cell_id",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("vnorm").alias("na"),
+    )
+    b = assigned.select(
+        "cell_id",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("vnorm").alias("nb"),
+    )
+    cos = _fixed_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    dropped = (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_d", F.lit(1)), id_col, "left_outer")
+        .select(
+            id_col,
+            "cell_id",
+            F.when(F.col("_d").isNotNull(), F.lit("drop"))
+            .otherwise(F.lit("keep"))
+            .alias("status"),
+        )
+    )
+
+
 def ivf_topk(
     candidates: DataFrame,
     queries: DataFrame,

@@ -35,6 +35,7 @@ from pyspark_recs.llmops.similarity import (
     embedding_neardup_pairs,
     ivf_topk,
     lsh_topk,
+    semantic_dedup,
 )
 from pyspark_recs.llmops.textstats import (
     EN_STOPWORDS,
@@ -1450,6 +1451,48 @@ FROM f
 """
 
 
+# --------------------------------------------------------------------- l43
+def l43_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup corpus filter (llmops.similarity.semantic_dedup): every
+    embedding labeled keep/drop after within-cluster cosine dedup —
+    deterministic lowest-id centroids keep the whole pipeline
+    oracle-checkable (swap in kmeans_centroids at production). θ=0.35
+    sits at ~p99 of this synthetic corpus's within-cell cosine
+    (max ≈ 0.49), so both keep and drop branches are exercised at every
+    sf; a production run on real embeddings uses θ≈0.9+."""
+    emb = load_table(spark, sf, "embeddings")
+    return semantic_dedup(emb, threshold=0.35, n_cells=16)
+
+
+L43_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cv,
+         sqrt({_FIXED_DOT.format(a='embedding', b='embedding')}) AS cnorm
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+vecs AS (
+  SELECT vec_id, embedding AS v,
+         sqrt({_FIXED_DOT.format(a='embedding', b='embedding')}) AS vnorm
+  FROM embeddings),
+assigned AS (
+  SELECT vec_id, v, vnorm, cell_id FROM (
+    SELECT s.vec_id, s.v, s.vnorm, c.cell_id,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY ({_FIXED_DOT.format(a='s.v', b='c.cv')})
+                                       / (s.vnorm * c.cnorm) DESC,
+                                       c.cell_id) AS crank
+    FROM vecs s CROSS JOIN cents c)
+  WHERE crank = 1),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE ({_FIXED_DOT.format(a='a.v', b='b.v')}) / (a.vnorm * b.vnorm) >= 0.35)
+SELECT x.vec_id, x.cell_id,
+       CASE WHEN d.vec_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS status
+FROM assigned x LEFT JOIN dropped d ON x.vec_id = d.vec_id
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -1493,6 +1536,7 @@ QUERIES = {
     "l40_incremental_lsh": l40_incremental_lsh,
     "l41_winnow_fingerprints": l41_winnow_fingerprints,
     "l42_matryoshka_energy": l42_matryoshka_energy,
+    "l43_semantic_dedup": l43_semantic_dedup,
 }
 
 ORACLE = {
@@ -1538,4 +1582,5 @@ ORACLE = {
     "l40_incremental_lsh": L40_SQL,
     "l41_winnow_fingerprints": L41_SQL,
     "l42_matryoshka_energy": L42_SQL,
+    "l43_semantic_dedup": L43_SQL,
 }

@@ -626,3 +626,22 @@ def test_lsh_topk_bounded_candidates(spark):
         # observable proof the cap was applied before rescoring.
         expected_pool = [i for i in range(100) if i != q][:10]
         assert neighbors == set(expected_pool[:5])
+
+
+def test_semantic_dedup_drops_planted_duplicate_keeps_first(spark):
+    from pyspark_recs.llmops.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0, 0.0]),   # same direction as 1 => cos = 1
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal survivor
+        (4, [-1.0, -0.1, 0.0, 0.0]),  # far from everything
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: r.status
+        for r in semantic_dedup(vecs, threshold=0.95, n_cells=2).collect()
+    }
+    # 1 and 2 collide (cos=1, same cell by construction): lowest id kept.
+    assert got[1] == "keep" and got[2] == "drop"
+    assert got[3] == "keep" and got[4] == "keep"
