@@ -74,6 +74,7 @@ HEADLINE = [
     "s10_recursive_ewma",
     "s11_peak_concurrency",
     "l43_semantic_dedup",
+    "l44_embedding_covariance",
 ]
 
 

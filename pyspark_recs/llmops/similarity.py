@@ -483,6 +483,97 @@ def lsh_topk(
     )
 
 
+def embedding_covariance(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    scale: float = 1e12,
+) -> DataFrame:
+    """Exact d×d covariance of an embedding column in ONE distributed
+    pass — the sufficient statistic for PCA / whitening / Mahalanobis
+    over a corpus (dimensionality reduction before ANN is the classic
+    16× index-size lever next to l25's quantization and l42's MRL).
+
+    Upper triangle only (i ≤ j, 1-based), cov_ij = E[x_i x_j] −
+    E[x_i]E[x_j]. Cross terms are generated JVM-side per row (d²/2
+    structs from one nested transform — no self-join), then fixed-point
+    summed so the matrix is bit-identical across engines and
+    partitionings (the workloads.common discipline; here the moment
+    sums ARE the shuffle, ≤ d²/2 partial aggregates per partition, so
+    shuffle size is independent of row count).
+
+    Precision budget: |x_i·x_j|·scale·N must stay < 2^63 — at the
+    default 1e12 and unit-scale embeddings that is ~10^6 rows per
+    aggregate; drop ``scale`` to 1e9 for billion-row corpora (still
+    nano-exact).
+    """
+    mult = F.lit(scale)
+    terms = vectors.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform({vec_col}, (x, i) ->"
+                f" transform({vec_col}, (y, j) ->"
+                " struct(i + 1 AS i, j + 1 AS j,"
+                " CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)"
+                f" * {scale!r} + 0.5) AS BIGINT) AS q))))"
+            )
+        ).alias("t")
+    ).filter(F.col("t.i") <= F.col("t.j"))
+    moments = terms.groupBy(
+        F.col("t.i").alias("i"), F.col("t.j").alias("j")
+    ).agg(F.sum("t.q").alias("sq"))
+    firsts = vectors.select(
+        F.posexplode(vec_col).alias("i0", "x")
+    ).select(
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("x").cast("double") * mult + F.lit(0.5))
+        .cast("long")
+        .alias("qx"),
+    ).groupBy("i").agg(
+        F.sum("qx").alias("sx"), F.count(F.lit(1)).alias("n")
+    )
+    mi = F.broadcast(firsts.selectExpr("i", "sx AS sxi", "n"))
+    mj = F.broadcast(firsts.selectExpr("i AS j", "sx AS sxj"))
+    nd = F.col("n").cast("double")
+    return (
+        moments.join(mi, "i")
+        .join(mj, "j")
+        .select(
+            "i",
+            "j",
+            "n",
+            (
+                F.col("sq").cast("double") / mult / nd
+                - (F.col("sxi").cast("double") / mult / nd)
+                * (F.col("sxj").cast("double") / mult / nd)
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_projection(cov: DataFrame, top_k: int) -> "list[list[float]]":
+    """Eigendecompose a (i, j, cov) upper-triangle covariance table into
+    the top-``top_k`` principal directions (rows of the returned
+    projection matrix, eigenvalue-descending).
+
+    The d×d matrix is driver-sized by construction (d ≪ 10³ for any
+    embedding model) — collecting it is the correct move, same as
+    k-means centers; the EXPENSIVE pass is `embedding_covariance`,
+    which stays distributed. Apply the projection with a zip_with dot
+    per component (JVM-side), or fold it into `ivf_topk` candidates to
+    shrink vectors before indexing."""
+    import numpy as np
+
+    rows = cov.collect()
+    d = max(r.j for r in rows)
+    m = np.zeros((d, d))
+    for r in rows:
+        m[r.i - 1, r.j - 1] = r.cov
+        m[r.j - 1, r.i - 1] = r.cov
+    vals, vecs = np.linalg.eigh(m)
+    order = np.argsort(vals)[::-1][:top_k]
+    return [[float(x) for x in vecs[:, k]] for k in order]
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     n_cells: int = 16,

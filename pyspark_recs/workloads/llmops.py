@@ -36,6 +36,7 @@ from pyspark_recs.llmops.similarity import (
     ivf_topk,
     lsh_topk,
     semantic_dedup,
+    embedding_covariance,
 )
 from pyspark_recs.llmops.textstats import (
     EN_STOPWORDS,
@@ -1493,6 +1494,45 @@ FROM assigned x LEFT JOIN dropped d ON x.vec_id = d.vec_id
 """
 
 
+# --------------------------------------------------------------------- l44
+def l44_embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact corpus covariance matrix (upper triangle) of the embedding
+    column in one distributed pass — the PCA/whitening sufficient
+    statistic (llmops.similarity.embedding_covariance; eigendecompose
+    with pca_projection). Fixed-point moment sums make the d²/2 numbers
+    bit-identical across engines and partitionings."""
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_covariance(emb)
+
+
+L44_SQL = """
+WITH terms AS (
+  SELECT unnest(flatten(list_transform(embedding, (x, i) ->
+           list_transform(embedding, (y, j) -> {'i': i, 'j': j,
+             'q': CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                             * 1e12 + 0.5) AS BIGINT)})))) AS s
+  FROM embeddings),
+moments AS (
+  SELECT s.i AS i, s.j AS j, sum(s.q) AS sq
+  FROM terms WHERE s.i <= s.j GROUP BY 1, 2),
+firsts AS (
+  SELECT u.i, sum(CAST(floor(CAST(u.x AS DOUBLE) * 1e12 + 0.5)
+                       AS BIGINT)) AS sx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(embedding) AS x,
+               CAST(generate_subscripts(embedding, 1) AS INTEGER) AS i
+        FROM embeddings) u
+  GROUP BY u.i)
+SELECT m.i, m.j, fi.n,
+       CAST(m.sq AS DOUBLE) / 1e12 / CAST(fi.n AS DOUBLE)
+         - (CAST(fi.sx AS DOUBLE) / 1e12 / CAST(fi.n AS DOUBLE))
+           * (CAST(fj.sx AS DOUBLE) / 1e12 / CAST(fj.n AS DOUBLE)) AS cov
+FROM moments m
+JOIN firsts fi ON m.i = fi.i
+JOIN firsts fj ON m.j = fj.i
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -1537,6 +1577,7 @@ QUERIES = {
     "l41_winnow_fingerprints": l41_winnow_fingerprints,
     "l42_matryoshka_energy": l42_matryoshka_energy,
     "l43_semantic_dedup": l43_semantic_dedup,
+    "l44_embedding_covariance": l44_embedding_covariance,
 }
 
 ORACLE = {
@@ -1583,4 +1624,5 @@ ORACLE = {
     "l41_winnow_fingerprints": L41_SQL,
     "l42_matryoshka_energy": L42_SQL,
     "l43_semantic_dedup": L43_SQL,
+    "l44_embedding_covariance": L44_SQL,
 }

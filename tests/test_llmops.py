@@ -645,3 +645,29 @@ def test_semantic_dedup_drops_planted_duplicate_keeps_first(spark):
     # 1 and 2 collide (cos=1, same cell by construction): lowest id kept.
     assert got[1] == "keep" and got[2] == "drop"
     assert got[3] == "keep" and got[4] == "keep"
+
+
+def test_embedding_covariance_and_pca_top_direction(spark):
+    import math
+
+    from pyspark_recs.llmops.similarity import (
+        embedding_covariance,
+        pca_projection,
+    )
+
+    # Variance concentrated on dim 1 (values ±10), noise on dim 2 (±1),
+    # dim 3 constant: PCA's top direction must align with e1.
+    rows = [
+        (1, [10.0, 1.0, 5.0]),
+        (2, [-10.0, -1.0, 5.0]),
+        (3, [10.0, -1.0, 5.0]),
+        (4, [-10.0, 1.0, 5.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cov = embedding_covariance(vecs)
+    got = {(r.i, r.j): r.cov for r in cov.collect()}
+    assert got[(1, 1)] == 100.0 and got[(2, 2)] == 1.0
+    assert got[(3, 3)] == 0.0 and got[(1, 2)] == 0.0
+    top = pca_projection(cov, top_k=1)[0]
+    assert abs(abs(top[0]) - 1.0) < 1e-9
+    assert math.hypot(top[1], top[2]) < 1e-9

@@ -63,6 +63,8 @@ HEADLINE = [
     "r54_nation_trade",
     "r55_mad_outliers",
     "r56_set_ops",
+    "r57_pagerank_trade",  # nation graph is N²-bounded at any fact scale
+    "rs15_association_rules",  # replicas are NEW orders: baskets keep size
     # rs11 deliberately excluded: key-shift replication multiplies edges
     # over a FIXED node set, so the graph densifies quadratically — not
     # the growth shape of a real co-purchase graph (nodes grow too).
