@@ -2248,6 +2248,79 @@ WHERE rn >= 4
 """
 
 
+# --------------------------------------------------------------------- r59
+def r59_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series densification + forward fill: per user, a complete
+    daily grid from first to last activity, carrying each day's closing
+    event value forward across silent days (the observability/finance
+    "gap fill" staple; the inverse of r33's unpivot sparsification).
+
+    Scale: the grid is generated per user from (min, max) bounds —
+    sequence() + explode, no calendar cross join; the closing value is
+    a max(struct) partial aggregate (no window over raw events); the
+    forward fill is one user-partitioned window. Grid size bounds the
+    output: Σ_u span_u days, independent of event volume.
+    """
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        F.date_trunc("DAY", F.col("ts")).alias("day"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.max(F.struct("ts_us", "event_id", "value"))["value"].alias("value")
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left_outer")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.last("value", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("value").isNotNull().alias("is_observed"),
+    )
+
+
+R59_SQL = """
+WITH ev AS (
+  SELECT user_id, date_trunc('day', ts) AS day, ts, event_id, value
+  FROM events),
+daily AS (
+  SELECT user_id, day, value FROM (
+    SELECT user_id, day, value,
+           row_number() OVER (PARTITION BY user_id, day
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev)
+  WHERE rn = 1),
+bounds AS (
+  SELECT user_id, min(day) AS mn, max(day) AS mx FROM ev GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+  FROM bounds)
+SELECT g.user_id, g.day,
+       last_value(d.value IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.day
+               ROWS UNBOUNDED PRECEDING) AS value_filled,
+       d.value IS NOT NULL AS is_observed
+FROM grid g LEFT JOIN daily d
+  ON g.user_id = d.user_id AND g.day = d.day
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -2307,6 +2380,7 @@ QUERIES = {
     "r56_set_ops": r56_set_ops,
     "r57_pagerank_trade": r57_pagerank_trade,
     "r58_ewma_smoothing": r58_ewma_smoothing,
+    "r59_gap_fill": r59_gap_fill,
 }
 
 ORACLE = {
@@ -2367,6 +2441,7 @@ ORACLE = {
     "r56_set_ops": R56_SQL,
     "r57_pagerank_trade": R57_SQL,
     "r58_ewma_smoothing": R58_SQL,
+    "r59_gap_fill": R59_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }
