@@ -75,6 +75,7 @@ HEADLINE = [
     "s11_peak_concurrency",
     "l43_semantic_dedup",
     "l44_embedding_covariance",
+    "r59_gap_fill",
 ]
 
 

@@ -337,3 +337,41 @@ def test_scalable_prefix_sum_matches_single_task_window(spark):
         for r in df.withColumn("running", F.sum("v").over(w)).collect()
     }
     assert got == want
+
+
+def test_gap_fill_carries_closing_value_across_silent_days(spark):
+    from pyspark_recs.workloads.relational import r59_gap_fill  # noqa: F401
+
+    # Inline miniature of the r59 shape: user with events on day 1 and
+    # day 4 -> grid has 4 days, days 2-3 carry day 1's closing value.
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", 5.0),
+            (2, "2024-01-01 18:00:00", 7.0),   # closing value of day 1
+            (3, "2024-01-04 12:00:00", 9.0),
+        ],
+        "event_id long, ts_s string, value double",
+    ).selectExpr(
+        "CAST(1 AS BIGINT) AS user_id",
+        "to_timestamp(ts_s) AS ts",
+        "event_id",
+        "value",
+    )
+    daily = df.groupBy(
+        "user_id", F.date_trunc("DAY", F.col("ts")).alias("day")
+    ).agg(F.max(F.struct(F.unix_micros("ts").alias("u"), "event_id", "value"))["value"].alias("value"))
+    grid = df.groupBy("user_id").agg(
+        F.min(F.date_trunc("DAY", "ts")).alias("mn"),
+        F.max(F.date_trunc("DAY", "ts")).alias("mx"),
+    ).select("user_id", F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("day"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        grid.join(daily, ["user_id", "day"], "left_outer")
+        .select("day", F.last("value", ignorenulls=True).over(w).alias("filled"),
+                F.col("value").isNotNull().alias("obs"))
+        .orderBy("day")
+        .collect()
+    )
+    assert [r.filled for r in out] == [7.0, 7.0, 7.0, 9.0]
+    assert [r.obs for r in out] == [True, False, False, True]
