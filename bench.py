@@ -76,6 +76,7 @@ HEADLINE = [
     "l43_semantic_dedup",
     "l44_embedding_covariance",
     "r59_gap_fill",
+    "l45_hamming_neardup",
 ]
 
 

@@ -11,6 +11,7 @@ required by BASELINE.json's north star, every operator designed for
 from pyspark_recs.llmops.hashing import md5_long, MINHASH_COEFFS, MINHASH_PRIME
 from pyspark_recs.llmops.dedup import (
     exact_dedup_groups,
+    hamming_neardup_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -36,6 +37,7 @@ __all__ = [
     "cosine_topk_bruteforce",
     "embedding_neardup_pairs",
     "exact_dedup_groups",
+    "hamming_neardup_pairs",
     "ivf_topk",
     "lsh_candidate_pairs",
     "md5_long",

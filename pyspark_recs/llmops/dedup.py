@@ -448,3 +448,68 @@ def incremental_lsh_admit(
             (F.coalesce(F.col("n_bands_hit"), F.lit(0)) == 0).alias("admit"),
         )
     )
+
+
+def hamming_neardup_pairs(
+    fingerprints: DataFrame,
+    radius: int = 2,
+    bits: int = 16,
+    n_blocks: int = 4,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """Hamming-ball near-duplicate search over SimHash fingerprints via
+    the multi-index pigeonhole (the HmSearch / multi-index-hashing
+    family): split each ``bits``-wide fingerprint into ``n_blocks``
+    equal blocks — any pair within Hamming distance < n_blocks must
+    agree EXACTLY on at least one block — so candidate generation is an
+    equi-self-join keyed on (block_idx, block_value), never all-pairs,
+    and an exact bit_count(xor) filter confirms distance ≤ radius.
+    Completes the simhash pipeline: l04 computes fingerprints, this
+    finds their neighbors (requires radius < n_blocks for the
+    pigeonhole guarantee — asserted).
+
+    Scale: pair expansion is Σ_bucket n_b² over n_blocks·2^(bits/
+    n_blocks) buckets; for skewed buckets (a common block value), raise
+    n_blocks (more, smaller buckets; guarantee still holds while
+    radius < n_blocks). The fingerprint table is (id, long) — tiny
+    relative to the corpus, so even the dedup'd pair set broadcasts.
+    """
+    if radius >= n_blocks:
+        raise ValueError("pigeonhole needs radius < n_blocks")
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    sides = []
+    for tag in ("a", "b"):
+        sides.append(
+            fingerprints.select(
+                F.col(id_col).alias(f"id_{tag}"),
+                F.col(fp_col).alias(f"fp_{tag}"),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(blk).alias("blk"),
+                                F.shiftright(F.col(fp_col), blk * width)
+                                .bitwiseAND(F.lit(mask))
+                                .alias("key"),
+                            )
+                            for blk in range(n_blocks)
+                        ]
+                    )
+                ).alias("bk"),
+            )
+        )
+    a, b = sides
+    cand = (
+        a.join(b, a.bk == b.bk)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    ham = F.expr("bit_count(fp_a ^ fp_b)")
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= radius)
+        .select("id_a", "id_b", "hamming")
+    )

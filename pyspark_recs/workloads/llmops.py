@@ -19,6 +19,7 @@ from pyspark_recs.llmops import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_fingerprints,
+    hamming_neardup_pairs,
 )
 from pyspark_recs.llmops.multimodal import (
     decode_metadata,
@@ -1494,6 +1495,36 @@ FROM assigned x LEFT JOIN dropped d ON x.vec_id = d.vec_id
 """
 
 
+# --------------------------------------------------------------------- l45
+def l45_hamming_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hamming-ball near-dup pairs over l04's SimHash fingerprints via
+    the multi-index pigeonhole block join (radius 2, 4 blocks of 4
+    bits) — candidate pairs come from block equi-joins, never N²
+    (llmops.dedup.hamming_neardup_pairs)."""
+    fps = simhash_fingerprints(load_table(spark, sf, "documents"), bits=16)
+    return hamming_neardup_pairs(fps, radius=2, bits=16, n_blocks=4)
+
+
+L45_SQL = f"""
+WITH toks AS ({_TOKS}),
+flat AS (SELECT doc_id, unnest(words) AS token FROM toks),
+h AS (SELECT doc_id, {_sql_md5_long('token')} AS h FROM flat),
+v AS (SELECT doc_id, {_BIT_VOTES} FROM h GROUP BY doc_id),
+fps AS (SELECT doc_id, CAST({_FP_SUM} AS BIGINT) AS simhash FROM v),
+blocks AS (
+  SELECT doc_id, simhash, blk.b AS blk,
+         (simhash >> (blk.b * 4)) & 15 AS key
+  FROM fps, (VALUES (0), (1), (2), (3)) blk(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS fa, b.simhash AS fb
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 2
+"""
+
+
 # --------------------------------------------------------------------- l44
 def l44_embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
     """Exact corpus covariance matrix (upper triangle) of the embedding
@@ -1578,6 +1609,7 @@ QUERIES = {
     "l42_matryoshka_energy": l42_matryoshka_energy,
     "l43_semantic_dedup": l43_semantic_dedup,
     "l44_embedding_covariance": l44_embedding_covariance,
+    "l45_hamming_neardup": l45_hamming_neardup,
 }
 
 ORACLE = {
@@ -1625,4 +1657,5 @@ ORACLE = {
     "l42_matryoshka_energy": L42_SQL,
     "l43_semantic_dedup": L43_SQL,
     "l44_embedding_covariance": L44_SQL,
+    "l45_hamming_neardup": L45_SQL,
 }

@@ -671,3 +671,26 @@ def test_embedding_covariance_and_pca_top_direction(spark):
     top = pca_projection(cov, top_k=1)[0]
     assert abs(abs(top[0]) - 1.0) < 1e-9
     assert math.hypot(top[1], top[2]) < 1e-9
+
+
+def test_hamming_neardup_pigeonhole_finds_all_close_pairs(spark):
+    from pyspark_recs.llmops.dedup import hamming_neardup_pairs
+
+    fps = spark.createDataFrame(
+        [
+            (1, 0b1010101010101010),
+            (2, 0b1010101010101011),  # distance 1 from doc 1
+            (3, 0b1010101010100101),  # distance 3 from doc 1 (> radius)
+            (4, 0b0101010101010101),  # distance 16 from doc 1
+        ],
+        "doc_id long, simhash long",
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_neardup_pairs(fps, radius=2).collect()
+    }
+    assert got == {(1, 2): 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hamming_neardup_pairs(fps, radius=4, n_blocks=4)
