@@ -507,17 +507,19 @@ def embedding_covariance(
     nano-exact).
     """
     mult = F.lit(scale)
+    # Inner slice starts AT the outer element, so only the i ≤ j upper
+    # triangle is ever generated — half the explode volume, no filter.
     terms = vectors.select(
         F.explode(
             F.expr(
                 f"flatten(transform({vec_col}, (x, i) ->"
-                f" transform({vec_col}, (y, j) ->"
-                " struct(i + 1 AS i, j + 1 AS j,"
+                f" transform(slice({vec_col}, i + 1, size({vec_col})),"
+                " (y, k) -> struct(i + 1 AS i, i + k + 1 AS j,"
                 " CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)"
                 f" * {scale!r} + 0.5) AS BIGINT) AS q))))"
             )
         ).alias("t")
-    ).filter(F.col("t.i") <= F.col("t.j"))
+    )
     moments = terms.groupBy(
         F.col("t.i").alias("i"), F.col("t.j").alias("j")
     ).agg(F.sum("t.q").alias("sq"))
