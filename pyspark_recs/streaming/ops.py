@@ -249,6 +249,76 @@ def streaming_ewma(
     )
 
 
+def streaming_heavy_hitters(
+    tokens: DataFrame,
+    token_col: str = "token",
+    k: int = 8,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters — the incremental twin of
+    textstats.heavy_hitters (l37's two-phase batch form). Tokens hash
+    into ``n_buckets`` state groups; each group's state is an MG
+    summary of ≤ k (token, lower-bound count) pairs, folded over every
+    micro-batch. Memory is O(n_buckets·k) TOTAL no matter how many
+    distinct tokens stream past — the whole point versus exact
+    per-token counting state, whose key space is unbounded.
+
+    Guarantee (per bucket, N = tokens seen by that bucket): any token
+    with true frequency > N/(k+1) is guaranteed present in the
+    summary, and every reported count is a lower bound within N/(k+1)
+    of truth — the standard MG bound, asserted by the parity test.
+    Output (update mode): one row per surviving (bucket, token) with
+    its lower-bound count after each batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "bucket integer, token string, lb_count long"
+    state_schema = "toks array<string>, cnts array<long>"
+
+    keyed = tokens.select(
+        F.col(token_col).alias("token"),
+        F.pmod(F.xxhash64(F.col(token_col)), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            toks, cnts = state.get
+            summary = dict(zip(toks, cnts))
+        else:
+            summary = {}
+        for pdf in pdfs:
+            for tok in pdf["token"]:
+                tok = str(tok)
+                if tok in summary:
+                    summary[tok] += 1
+                elif len(summary) < k:
+                    summary[tok] = 1
+                else:
+                    summary = {
+                        t: c - 1 for t, c in summary.items() if c > 1
+                    }
+        items = sorted(summary.items())
+        state.update(([t for t, _ in items], [c for _, c in items]))
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(items),
+                "token": [t for t, _ in items],
+                "lb_count": [c for _, c in items],
+            }
+        )
+
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_enrich(
     stream: DataFrame,
     dim: DataFrame,

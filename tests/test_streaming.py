@@ -492,3 +492,30 @@ def test_streaming_restart_from_checkpoint_processes_only_new_data(
     second = run_once("restart_b")
     # state carried: event 3 joins session 2 -> (2 sessions, 3 events)
     assert second[7] == (2, 3)
+
+
+def test_streaming_heavy_hitters_mg_guarantee(spark, tmp_path, tmp_path_factory):
+    """Every token whose true frequency exceeds N_bucket/(k+1) must
+    survive in its bucket's Misra-Gries summary, streamed over two
+    separate micro-batch files."""
+    from pyspark_recs.streaming import streaming_heavy_hitters
+
+    path = str(tmp_path_factory.mktemp("tokens"))
+    # heavy: 30x "alpha", 20x "beta"; tail: 40 singletons
+    rows1 = [("alpha",)] * 18 + [("beta",)] * 8 + [(f"t{i}",) for i in range(20)]
+    rows2 = [("alpha",)] * 12 + [("beta",)] * 12 + [(f"u{i}",) for i in range(20)]
+    spark.createDataFrame(rows1, "token string").write.parquet(path + "/b1")
+    spark.createDataFrame(rows2, "token string").write.parquet(path + "/b2")
+    stream = spark.readStream.schema("token string").parquet(path + "/*")
+    out = _run_stream(
+        streaming_heavy_hitters(stream, k=8, n_buckets=4), tmp_path, mode="update"
+    )
+    # latest state per (bucket, token) = the row with the max lb_count
+    final = {}
+    for r in out.orderBy("lb_count").collect():
+        final[(r.bucket, r.token)] = r.lb_count
+    survivors = {t for (_, t) in final}
+    assert "alpha" in survivors and "beta" in survivors
+    # lower-bound property: reported count never exceeds truth
+    alpha_lb = max(v for (b, t), v in final.items() if t == "alpha")
+    assert alpha_lb <= 30
