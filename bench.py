@@ -77,6 +77,7 @@ HEADLINE = [
     "l44_embedding_covariance",
     "r59_gap_fill",
     "l45_hamming_neardup",
+    "rs16_personalized_pagerank",
 ]
 
 

@@ -155,6 +155,120 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    scale: int = 12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank: the random walk restarts into the SEED
+    set instead of uniformly — the classic graph recommender (Pixie /
+    item-rank style): seed with one user's nodes on the user–item
+    bipartite graph and the stationary mass over item nodes IS the
+    recommendation score. Same fixed-point bit-reproducibility
+    discipline as :func:`pagerank`; the teleport term is
+    (1-d)/|S| on seed nodes and 0 elsewhere, rank_0 is the seed
+    distribution, so unreached nodes stay exactly 0.0 and the frontier
+    grows hop by hop (3 iterations = 3-hop neighborhood — sparse
+    output, not node-count output).
+
+    ``seeds`` is a one-column (node) DataFrame. Scale notes match
+    pagerank; additionally the per-iteration join only carries nodes
+    with non-zero rank, so early iterations touch the seed
+    neighborhood, not the graph.
+    """
+    mult = float(10**scale)
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .cache()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    s = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().cache()
+    n_seeds = s.count()
+    inv_s = 1.0 / float(n_seeds)
+    teleport_val = (1.0 - damping) * inv_s
+    ranks = s.select("node", F.lit(inv_s).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(
+                    (F.col("rank") / F.col("out_deg")) * F.lit(mult)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("q"),
+            )
+            .groupBy("node")
+            .agg(F.sum("q").alias("s"))
+        )
+        # frontier = reached nodes ∪ seeds (teleport keeps seeds alive)
+        ranks = (
+            contrib.join(
+                s.withColumn("_seed", F.lit(1)), "node", "full_outer"
+            )
+            .select(
+                "node",
+                (
+                    F.when(
+                        F.col("_seed").isNotNull(), F.lit(teleport_val)
+                    ).otherwise(F.lit(0.0))
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                        / F.lit(mult)
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
+def personalized_pagerank_oracle_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    iterations: int = 3,
+    damping: float = 0.85,
+    scale: int = 12,
+) -> str:
+    """DuckDB twin of :func:`personalized_pagerank` (unrolled CTEs,
+    identical fixed-point sums). ``seeds_cte`` must select a single
+    ``node`` column, distinct."""
+    mult = float(10**scale)
+    tp = f"({1.0 - damping!r} * (1.0 / ns.n))"
+    parts = [
+        f"WITH edges AS ({edges_cte})",
+        f"seeds AS ({seeds_cte})",
+        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds)",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg"
+        " FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, 1.0 / ns.n AS rank FROM seeds, ns)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, "
+            f"sum(CAST(floor((r.rank / d.out_deg) * {mult!r} + 0.5)"
+            f" AS BIGINT)) AS s "
+            f"FROM edges e JOIN r{i - 1} r ON e.src = r.node "
+            f"JOIN deg d ON e.src = d.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT coalesce(c{i}.node, seeds.node) AS node, "
+            f"(CASE WHEN seeds.node IS NOT NULL THEN {tp} ELSE 0.0 END)"
+            f" + {damping!r} * (CAST(coalesce(c{i}.s, 0) AS DOUBLE)"
+            f" / {mult!r}) AS rank "
+            f"FROM c{i} FULL OUTER JOIN seeds ON c{i}.node = seeds.node, ns)"
+        )
+    return ",\n".join(parts) + f"\nSELECT node, rank FROM r{iterations}"
+
+
 def pagerank_oracle_sql(
     edges_cte: str,
     iterations: int = 3,

@@ -857,6 +857,71 @@ WHERE n_ab >= 10
 """
 
 
+# --------------------------------------------------------------------- rs16
+_ITEM_OFFSET = 1_000_000_000
+
+
+def rs16_personalized_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Graph recommender via personalized PageRank (Pixie-style random
+    walk with restart) on the user–item bipartite graph: seed the walk
+    at users 0-9, 3 iterations, and the mass landing on item nodes is
+    the recommendation score — items reachable through co-purchase
+    paths score higher than popularity alone (graph.
+    personalized_pagerank; bit-reproducible, unrolled-CTE oracle).
+
+    Scale: edges reduce to DISTINCT user–item pairs before iterating;
+    each hop only carries the non-zero frontier (seed neighborhood,
+    not the whole graph). Item ids live at +10^9 so one BIGINT id
+    space holds both sides.
+    """
+    from pyspark_recs.graph import personalized_pagerank
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    ui = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_partkey") + F.lit(_ITEM_OFFSET)).alias("dst"),
+        )
+    )
+    edges = ui.unionByName(
+        ui.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_custkey") < 10)
+        .select(F.col("o_custkey").alias("node"))
+        .distinct()
+    )
+    ranks = personalized_pagerank(edges, seeds, iterations=3, damping=0.85)
+    return ranks.filter(F.col("node") >= _ITEM_OFFSET).select(
+        (F.col("node") - F.lit(_ITEM_OFFSET)).alias("item_id"),
+        F.col("rank").alias("ppr"),
+    )
+
+
+def _rs16_sql() -> str:
+    from pyspark_recs.graph import personalized_pagerank_oracle_sql
+
+    edges = f"""
+  SELECT DISTINCT o_custkey AS src, l_partkey + {_ITEM_OFFSET} AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  UNION
+  SELECT DISTINCT l_partkey + {_ITEM_OFFSET} AS src, o_custkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+    seeds = "SELECT DISTINCT o_custkey AS node FROM orders WHERE o_custkey < 10"
+    ppr = personalized_pagerank_oracle_sql(edges, seeds, iterations=3)
+    return (
+        f"SELECT node - {_ITEM_OFFSET} AS item_id, rank AS ppr "
+        f"FROM ({ppr}) WHERE node >= {_ITEM_OFFSET}"
+    )
+
+
+RS16_SQL = _rs16_sql()
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -873,6 +938,7 @@ QUERIES = {
     "rs13_diversified_topk": rs13_diversified_topk,
     "rs14_retention_cohorts": rs14_retention_cohorts,
     "rs15_association_rules": rs15_association_rules,
+    "rs16_personalized_pagerank": rs16_personalized_pagerank,
 }
 
 ORACLE = {
@@ -891,4 +957,5 @@ ORACLE = {
     "rs13_diversified_topk": RS13_SQL,
     "rs14_retention_cohorts": RS14_SQL,
     "rs15_association_rules": RS15_SQL,
+    "rs16_personalized_pagerank": RS16_SQL,
 }

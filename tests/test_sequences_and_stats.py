@@ -317,3 +317,24 @@ def test_winnow_fingerprints_deterministic_and_bounded(spark):
         rows[2].n_fingerprints, rows[2].min_fp, rows[2].max_fp)
     # set size bounded by number of windows: m - w + 1 = (len-4) - 7
     assert 1 <= rows[1].n_fingerprints <= len(text) - 4 - 7
+
+
+def test_personalized_pagerank_masses_concentrate_near_seed(spark):
+    from pyspark_recs.graph import personalized_pagerank
+
+    # bipartite: user 1 - item A(101), item A - user 2, user 2 - item
+    # B(102); user 3 - item C(103) is disconnected from the seed.
+    ui = [(1, 101), (2, 101), (2, 102), (3, 103)]
+    edges = spark.createDataFrame(
+        ui + [(i, u) for u, i in ui], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r["rank"]
+        for r in personalized_pagerank(edges, seeds, iterations=3).collect()
+    }
+    # hop-1 lands all walk mass on item A; hop-3 spreads to A and B,
+    # with A (adjacent to the seed) strictly ahead; C is unreachable.
+    assert got[101] > got[102] > 0
+    assert 103 not in got
+    assert got[101] < 1.0
