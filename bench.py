@@ -78,6 +78,8 @@ HEADLINE = [
     "r59_gap_fill",
     "l45_hamming_neardup",
     "rs16_personalized_pagerank",
+    "l46_jl_projection",
+    "r60_ks_drift",
 ]
 
 

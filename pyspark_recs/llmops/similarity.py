@@ -483,6 +483,86 @@ def lsh_topk(
     )
 
 
+def rademacher_signs(in_dim: int, out_dim: int, seed: str = "jl") -> list:
+    """Deterministic ±1 Rademacher matrix for :func:`jl_project`,
+    derived from md5 so any engine/language reproduces it — the random
+    projection analog of the Categorify stable-dictionary discipline.
+    Returns ``out_dim`` rows of ``in_dim`` signs."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"{seed}:{k}:{i}".encode()).digest()[0] & 1
+            else -1
+            for i in range(in_dim)
+        ]
+        for k in range(out_dim)
+    ]
+
+
+def jl_project(
+    vectors: DataFrame,
+    out_dim: int = 8,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: d → k dims via a ±1
+    Rademacher matrix, y_k = Σ_i x_i·r_ki / √k — pairwise distances
+    preserved within (1±ε) for k = O(log N / ε²). The third member of
+    the vector-compression trio (l25 scalar quantization shrinks bits
+    per dim, l42 matryoshka truncates trained prefixes, this works on
+    ANY embedding without training). Output is scalar columns y_0..y_k
+    (oracle- and parquet-friendly).
+
+    Scale: pure projection — no shuffle, no UDF; each output dim is a
+    fixed-point ±-sum over the input array (exact integer adds of
+    quantized values, so results are bit-identical across engines; the
+    sign matrix is an md5-derived literal both sides embed). The √k
+    division is one double op at the end.
+    """
+    import math
+
+    signs = rademacher_signs(in_dim, out_dim, seed)
+    inv = 1.0 / math.sqrt(float(out_dim))
+    cols = [F.col(id_col)]
+    for k in range(out_dim):
+        lit = "array(" + ",".join(str(s) for s in signs[k]) + ")"
+        q = (
+            f"aggregate(zip_with({vec_col}, {lit}, (x, s) ->"
+            " CAST(floor(CAST(x AS DOUBLE) * s * 1e12 + 0.5) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+        cols.append(
+            (F.expr(q).cast("double") / F.lit(1e12) * F.lit(inv)).alias(
+                f"y_{k}"
+            )
+        )
+    return vectors.select(*cols)
+
+
+def jl_project_oracle_sql(
+    out_dim: int = 8, in_dim: int = 64, seed: str = "jl"
+) -> str:
+    """DuckDB twin of :func:`jl_project` over the ``embeddings`` view."""
+    import math
+
+    signs = rademacher_signs(in_dim, out_dim, seed)
+    inv = 1.0 / math.sqrt(float(out_dim))
+    cols = ["vec_id"]
+    for k in range(out_dim):
+        lit = "[" + ",".join(str(s) for s in signs[k]) + "]"
+        cols.append(
+            "(CAST(list_sum(list_transform(list_zip(embedding, "
+            f"{lit}), p -> CAST(floor(CAST(p[1] AS DOUBLE) * p[2] * 1e12"
+            " + 0.5) AS BIGINT))) AS DOUBLE) / 1e12 "
+            f"* {inv!r}) AS y_{k}"
+        )
+    return "SELECT " + ", ".join(cols) + " FROM embeddings"
+
+
 def embedding_covariance(
     vectors: DataFrame,
     vec_col: str = "embedding",

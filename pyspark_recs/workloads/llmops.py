@@ -38,6 +38,7 @@ from pyspark_recs.llmops.similarity import (
     lsh_topk,
     semantic_dedup,
     embedding_covariance,
+    jl_project,
 )
 from pyspark_recs.llmops.textstats import (
     EN_STOPWORDS,
@@ -1525,6 +1526,25 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 2
 """
 
 
+# --------------------------------------------------------------------- l46
+def l46_jl_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64→8 random projection of the embedding
+    corpus (llmops.similarity.jl_project): md5-derived Rademacher
+    signs, fixed-point ± sums, scalar y_0..y_7 output — the
+    training-free member of the vector-compression trio (l25/l42)."""
+    emb = load_table(spark, sf, "embeddings")
+    return jl_project(emb, out_dim=8, in_dim=64)
+
+
+def _l46_sql() -> str:
+    from pyspark_recs.llmops.similarity import jl_project_oracle_sql
+
+    return jl_project_oracle_sql(out_dim=8, in_dim=64)
+
+
+L46_SQL = _l46_sql()
+
+
 # --------------------------------------------------------------------- l44
 def l44_embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
     """Exact corpus covariance matrix (upper triangle) of the embedding
@@ -1610,6 +1630,7 @@ QUERIES = {
     "l43_semantic_dedup": l43_semantic_dedup,
     "l44_embedding_covariance": l44_embedding_covariance,
     "l45_hamming_neardup": l45_hamming_neardup,
+    "l46_jl_projection": l46_jl_projection,
 }
 
 ORACLE = {
@@ -1658,4 +1679,5 @@ ORACLE = {
     "l43_semantic_dedup": L43_SQL,
     "l44_embedding_covariance": L44_SQL,
     "l45_hamming_neardup": L45_SQL,
+    "l46_jl_projection": L46_SQL,
 }

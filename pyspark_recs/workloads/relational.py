@@ -2321,6 +2321,123 @@ FROM grid g LEFT JOIN daily d
 """
 
 
+# --------------------------------------------------------------------- r60
+def r60_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift audit between the early and
+    late halves of the order stream (split at the midpoint date, the
+    r56 rule): the full CDF-difference curve over order totals —
+    max(ks_component) IS the KS statistic — the training-data drift
+    gate that decides whether yesterday's distribution still matches
+    today's. Numerators are exact cross-multiplied BIGINTs
+    (|cum_e·n_l − cum_l·n_e|); the only double op is one final
+    division, so the curve is bit-portable.
+
+    Scale: per-value counts aggregate map-side; the two cumulative
+    counts ride ONE range-repartition + per-partition windows + a
+    broadcast offsets table (the scalable_prefix_sum pattern inlined
+    for two columns) — no single-task global window anywhere.
+    """
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    mid = orders.agg(
+        F.to_timestamp(
+            F.floor(
+                (
+                    F.unix_timestamp(F.min("o_orderdate"))
+                    + F.unix_timestamp(F.max("o_orderdate"))
+                )
+                / 2
+            )
+        ).alias("mid")
+    )
+    flagged = orders.crossJoin(F.broadcast(mid)).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderdate") < F.col("mid"), 1)
+        .otherwise(0)
+        .alias("is_early"),
+    )
+    nets = flagged.groupBy("v").agg(
+        F.sum("is_early").alias("c_e"),
+        F.sum(1 - F.col("is_early")).alias("c_l"),
+    )
+    totals = flagged.agg(
+        F.sum("is_early").alias("n_e"),
+        F.sum(1 - F.col("is_early")).alias("n_l"),
+    )
+    parted = nets.repartitionByRange(32, F.col("v")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parted.withColumn(
+        "le", F.sum("c_e").over(w_local)
+    ).withColumn("ll", F.sum("c_l").over(w_local))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        parted.groupBy("_pid")
+        .agg(F.sum("c_e").alias("te"), F.sum("c_l").alias("tl"))
+        .withColumn("oe", F.coalesce(F.sum("te").over(w_off), F.lit(0)))
+        .withColumn("ol", F.coalesce(F.sum("tl").over(w_off), F.lit(0)))
+        .select("_pid", "oe", "ol")
+    )
+    cums = (
+        local.join(F.broadcast(offsets), "_pid")
+        .select(
+            "v",
+            (F.col("le") + F.col("oe")).alias("cum_early"),
+            (F.col("ll") + F.col("ol")).alias("cum_late"),
+        )
+    )
+    return cums.crossJoin(F.broadcast(totals)).select(
+        "v",
+        "cum_early",
+        "cum_late",
+        (
+            F.abs(
+                F.col("cum_early") * F.col("n_l")
+                - F.col("cum_late") * F.col("n_e")
+            ).cast("double")
+            / (F.col("n_e") * F.col("n_l")).cast("double")
+        ).alias("ks_component"),
+    )
+
+
+R60_SQL = """
+WITH mid AS (
+  SELECT to_timestamp(CAST(floor(
+           (epoch(min(o_orderdate)) + epoch(max(o_orderdate))) / 2)
+         AS BIGINT)) AS mid
+  FROM orders),
+flagged AS (
+  SELECT o_totalprice AS v,
+         CASE WHEN o_orderdate < mid THEN 1 ELSE 0 END AS is_early
+  FROM orders, mid),
+nets AS (
+  SELECT v, CAST(sum(is_early) AS BIGINT) AS c_e,
+         CAST(sum(1 - is_early) AS BIGINT) AS c_l
+  FROM flagged GROUP BY v),
+totals AS (
+  SELECT CAST(sum(is_early) AS BIGINT) AS n_e,
+         CAST(sum(1 - is_early) AS BIGINT) AS n_l
+  FROM flagged),
+cums AS (
+  SELECT v,
+         CAST(sum(c_e) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_early,
+         CAST(sum(c_l) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_late
+  FROM nets)
+SELECT v, cum_early, cum_late,
+       CAST(abs(cum_early * n_l - cum_late * n_e) AS DOUBLE)
+         / CAST(n_e * n_l AS DOUBLE) AS ks_component
+FROM cums, totals
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -2381,6 +2498,7 @@ QUERIES = {
     "r57_pagerank_trade": r57_pagerank_trade,
     "r58_ewma_smoothing": r58_ewma_smoothing,
     "r59_gap_fill": r59_gap_fill,
+    "r60_ks_drift": r60_ks_drift,
 }
 
 ORACLE = {
@@ -2442,6 +2560,7 @@ ORACLE = {
     "r57_pagerank_trade": R57_SQL,
     "r58_ewma_smoothing": R58_SQL,
     "r59_gap_fill": R59_SQL,
+    "r60_ks_drift": R60_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }

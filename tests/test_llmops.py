@@ -694,3 +694,18 @@ def test_hamming_neardup_pigeonhole_finds_all_close_pairs(spark):
 
     with _pytest.raises(ValueError):
         hamming_neardup_pairs(fps, radius=4, n_blocks=4)
+
+
+def test_jl_projection_preserves_basis_norms_exactly(spark):
+    """Rademacher rows have |s|=1, so a basis vector's projected norm is
+    exactly 1 (Σ_k s²/k) — a sharp correctness check on the sign
+    matrix, the fixed-point fold, and the √k normalizer at once."""
+    from pyspark_recs.llmops.similarity import jl_project
+
+    d = 16
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(d)]) for j_ in [0] for i in range(4)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = jl_project(vecs, out_dim=4, in_dim=d).collect()
+    for r in out:
+        norm2 = sum(r[f"y_{k}"] ** 2 for k in range(4))
+        assert abs(norm2 - 1.0) < 1e-9

@@ -375,3 +375,32 @@ def test_gap_fill_carries_closing_value_across_silent_days(spark):
     )
     assert [r.filled for r in out] == [7.0, 7.0, 7.0, 9.0]
     assert [r.obs for r in out] == [True, False, False, True]
+
+
+def test_ks_drift_zero_for_identical_and_one_for_disjoint(spark):
+    from pyspark_recs.workloads.relational import r60_ks_drift  # noqa: F401
+
+    # Inline the KS math shape on planted groups: identical -> 0 curve,
+    # disjoint supports -> the max component reaches 1.
+    def ks(rows):
+        df = spark.createDataFrame(rows, "v double, is_early int")
+        nets = df.groupBy("v").agg(
+            F.sum("is_early").alias("c_e"),
+            F.sum(1 - F.col("is_early")).alias("c_l"),
+        )
+        from pyspark.sql import Window
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        tot = df.agg(F.sum("is_early").alias("n_e"),
+                     F.sum(1 - F.col("is_early")).alias("n_l"))
+        cums = nets.withColumn("ce", F.sum("c_e").over(w)).withColumn(
+            "cl", F.sum("c_l").over(w))
+        out = cums.crossJoin(tot).select(
+            (F.abs(F.col("ce") * F.col("n_l") - F.col("cl") * F.col("n_e"))
+             .cast("double") / (F.col("n_e") * F.col("n_l")).cast("double")
+             ).alias("k")).collect()
+        return max(r.k for r in out)
+
+    same = [(float(v), g) for v in (1, 2, 3) for g in (0, 1)]
+    assert ks(same) == 0.0
+    disjoint = [(1.0, 1), (2.0, 1), (10.0, 0), (11.0, 0)]
+    assert ks(disjoint) == 1.0
