@@ -80,6 +80,8 @@ HEADLINE = [
     "rs16_personalized_pagerank",
     "l46_jl_projection",
     "r60_ks_drift",
+    "l47_token_concentration",
+    "r61_seasonal_anomaly",
 ]
 
 

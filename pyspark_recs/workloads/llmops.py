@@ -1526,6 +1526,57 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 2
 """
 
 
+# --------------------------------------------------------------------- l47
+def l47_token_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document token concentration (Simpson index Σcᵢ²/n²): the
+    log-free diversity/spam signal — a doc that repeats one token has
+    index → 1, natural prose sits near 1/vocab (the Rényi-2 companion
+    of l22's bigram repetition and l38's rare-token score; entropy
+    without transcendentals, so bit-portable). ``flag_concentrated``
+    compares in cross-multiplied integers (Σc²·20 > n² ⇔ index > 5%),
+    no float threshold.
+
+    Scale: explode → per-(doc, token) counts → per-doc Σc² rollup, all
+    combiner-friendly; the shuffle carries counts, not tokens twice.
+    """
+    from pyspark_recs.llmops.textstats import tokens
+
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    per_tok = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+        (
+            F.sum(F.col("c") * F.col("c")).cast("double")
+            / (F.sum("c") * F.sum("c")).cast("double")
+        ).alias("simpson"),
+        (
+            F.sum(F.col("c") * F.col("c")) * F.lit(20)
+            > F.sum("c") * F.sum("c")
+        ).alias("flag_concentrated"),
+    )
+
+
+L47_SQL = f"""
+WITH toks AS ({_TOKS}),
+flat AS (SELECT doc_id, unnest(words) AS token FROM toks),
+per_tok AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+  FROM flat GROUP BY doc_id, token)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(c * c) AS BIGINT) AS sum_sq,
+       CAST(sum(c * c) AS DOUBLE) / CAST(sum(c) * sum(c) AS DOUBLE)
+         AS simpson,
+       sum(c * c) * 20 > sum(c) * sum(c) AS flag_concentrated
+FROM per_tok GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------- l46
 def l46_jl_projection(spark: SparkSession, sf: str) -> DataFrame:
     """Johnson-Lindenstrauss 64→8 random projection of the embedding
@@ -1631,6 +1682,7 @@ QUERIES = {
     "l44_embedding_covariance": l44_embedding_covariance,
     "l45_hamming_neardup": l45_hamming_neardup,
     "l46_jl_projection": l46_jl_projection,
+    "l47_token_concentration": l47_token_concentration,
 }
 
 ORACLE = {
@@ -1680,4 +1732,5 @@ ORACLE = {
     "l44_embedding_covariance": L44_SQL,
     "l45_hamming_neardup": L45_SQL,
     "l46_jl_projection": L46_SQL,
+    "l47_token_concentration": L47_SQL,
 }

@@ -2438,6 +2438,101 @@ FROM cums, totals
 """
 
 
+# --------------------------------------------------------------------- r61
+def r61_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series anomaly detection on the event stream: per event
+    type, daily counts vs the seasonal-naive forecast (same weekday
+    last week, lag-7), residuals gated by the r55 robust rule —
+    |resid − median| · 6745 > 35000 · MAD, everything in exact
+    integers (counts, rank-selected medians, cross-multiplied
+    comparison), so the flags are bit-portable. The pipeline-health
+    twin of r60's KS drift: r60 asks "did the distribution move",
+    this asks "which days broke the weekly pattern".
+
+    Scale: daily rollup is a combiner-friendly count; lag/median
+    windows partition by event_type (series are day-grain — thousands
+    of rows per type per decade, never fact-sized).
+    """
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        F.col("event_type"),
+        F.date_trunc("DAY", F.col("ts")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    resid = (
+        daily.withColumn("lag7", F.lag("n", 7).over(w))
+        .filter(F.col("lag7").isNotNull())
+        .withColumn("resid", F.col("n") - F.col("lag7"))
+    )
+    wr = Window.partitionBy("event_type").orderBy("resid", "day")
+    wn = Window.partitionBy("event_type")
+    med = (
+        resid.withColumn("rn", F.row_number().over(wr))
+        .withColumn("cnt", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        .select("event_type", F.col("resid").alias("med"))
+    )
+    dev = resid.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("resid") - F.col("med"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("adev", "day")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wd))
+        .withColumn("cnt", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        .select("event_type", F.col("adev").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            "resid",
+            (
+                F.col("adev") * F.lit(6745) > F.lit(25000) * F.col("mad")
+            ).alias("flag_anomaly"),
+        )
+    )
+
+
+R61_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+resid AS (
+  SELECT event_type, day, n,
+         n - lag(n, 7) OVER (PARTITION BY event_type ORDER BY day)
+           AS resid
+  FROM daily
+  QUALIFY resid IS NOT NULL),
+med AS (
+  SELECT event_type, resid AS med FROM (
+    SELECT event_type, resid,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY resid, day) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS cnt
+    FROM resid)
+  WHERE rn = floor((cnt + 1) / 2)),
+dev AS (
+  SELECT r.event_type, r.day, r.n, r.resid,
+         abs(r.resid - m.med) AS adev
+  FROM resid r JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, adev AS mad FROM (
+    SELECT event_type, adev,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY adev, day) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS cnt
+    FROM dev)
+  WHERE rn = floor((cnt + 1) / 2))
+SELECT d.event_type, d.day, d.n, d.resid,
+       d.adev * 6745 > 25000 * md.mad AS flag_anomaly
+FROM dev d JOIN mad md USING (event_type)
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -2499,6 +2594,7 @@ QUERIES = {
     "r58_ewma_smoothing": r58_ewma_smoothing,
     "r59_gap_fill": r59_gap_fill,
     "r60_ks_drift": r60_ks_drift,
+    "r61_seasonal_anomaly": r61_seasonal_anomaly,
 }
 
 ORACLE = {
@@ -2561,6 +2657,7 @@ ORACLE = {
     "r58_ewma_smoothing": R58_SQL,
     "r59_gap_fill": R59_SQL,
     "r60_ks_drift": R60_SQL,
+    "r61_seasonal_anomaly": R61_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }
