@@ -253,3 +253,40 @@ def test_diversified_topk_double_window_group_limit(spark):
     # (WindowGroupLimit x2) — no full per-user candidate sort survives.
     plan = plan_of(QUERIES["rs13_diversified_topk"](spark, SF_DIR))
     assert len(re.findall(r"WindowGroupLimit", plan)) >= 2
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """With broadcast off (the 100 TB fact⋈filtered-dim case), the
+    optimizer must inject a runtime bloom filter: the creation side
+    aggregates a bloom_filter_agg over the filtered dim keys and the
+    fact scan probes might_contain BEFORE the shuffle — rows that can't
+    join never leave the map side."""
+    from pyspark.sql import functions as F
+    from pyspark_recs.io import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = plan_of(j)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
