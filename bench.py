@@ -82,6 +82,7 @@ HEADLINE = [
     "r60_ks_drift",
     "l47_token_concentration",
     "r61_seasonal_anomaly",
+    "rs17_rfm_segments",
 ]
 
 

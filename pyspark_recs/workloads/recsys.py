@@ -922,6 +922,65 @@ def _rs16_sql() -> str:
 RS16_SQL = _rs16_sql()
 
 
+# --------------------------------------------------------------------- rs17
+def rs17_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation — the marketing-analytics staple:
+    tercile scores for Recency (last order date), Frequency (order
+    count) and Monetary (fixed-point spend sum), combined into a
+    3-digit segment code (333 = best). ntile ties broken by custkey so
+    the terciles are a total order both engines reproduce.
+
+    Scale: one aggregate per customer, then three global ntile windows
+    — exact terciles are the verification harness; at 100 TB swap the
+    global windows for approx_percentile cutoffs broadcast as a
+    boundary table (the r50 sketch-vs-exact discipline).
+    """
+    orders = load_table(spark, sf, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    from pyspark.sql import Window
+
+    wr = Window.orderBy("last_order", "custkey")
+    wf = Window.orderBy("n_orders", "custkey")
+    wm = Window.orderBy("monetary", "custkey")
+    return per_cust.select(
+        "custkey",
+        "n_orders",
+        "monetary",
+        F.ntile(3).over(wr).alias("r_score"),
+        F.ntile(3).over(wf).alias("f_score"),
+        F.ntile(3).over(wm).alias("m_score"),
+    ).withColumn(
+        "segment",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("int"),
+    )
+
+
+RS17_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey AS custkey, max(o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         {sql_dsum('o_totalprice')} AS monetary
+  FROM orders GROUP BY o_custkey)
+SELECT custkey, n_orders, monetary,
+       CAST(r_score AS INTEGER) AS r_score,
+       CAST(f_score AS INTEGER) AS f_score,
+       CAST(m_score AS INTEGER) AS m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS segment
+FROM (
+  SELECT custkey, n_orders, monetary,
+         ntile(3) OVER (ORDER BY last_order, custkey) AS r_score,
+         ntile(3) OVER (ORDER BY n_orders, custkey) AS f_score,
+         ntile(3) OVER (ORDER BY monetary, custkey) AS m_score
+  FROM per_cust)
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -939,6 +998,7 @@ QUERIES = {
     "rs14_retention_cohorts": rs14_retention_cohorts,
     "rs15_association_rules": rs15_association_rules,
     "rs16_personalized_pagerank": rs16_personalized_pagerank,
+    "rs17_rfm_segments": rs17_rfm_segments,
 }
 
 ORACLE = {
@@ -958,4 +1018,5 @@ ORACLE = {
     "rs14_retention_cohorts": RS14_SQL,
     "rs15_association_rules": RS15_SQL,
     "rs16_personalized_pagerank": RS16_SQL,
+    "rs17_rfm_segments": RS17_SQL,
 }
