@@ -25,27 +25,37 @@ for _mod in (_relational, _llmops, _recsys, _streaming):
     _ALL_QUERIES.update(_mod.QUERIES)
     _ALL_ORACLE.update(getattr(_mod, "ORACLE", {}))
 
-# Round-3 rotation. Tier 1: new-this-round + round-2-errored-now-fixed,
-# family-interleaved so even a tiny window samples every family.
-# Tier 2: last verified in round 1 (stale — rotate back in to catch
-# drift). Tier 3 (the trailing loop below): round-2 greens.
+# Round-3 rotation. Tier 1: the 51 queries with NO green driver row yet —
+# 46 added after round 2's verification window closed, plus the 5 whose
+# round-2 row errored and has since been fixed (s02/s04 NTZ, l13/l25/l29
+# array canonicalization) — family-interleaved (l/r/rs/s round-robin) so
+# even a tiny window samples every family. Tier 2: last verified in
+# round 1, unchecked since (drift watch — the round-2 NTZ regression
+# proved drift is real). Tier 3 (the trailing loop below): round-2 greens.
 _PRIORITY = [
-    # tier 1 — new (l31-33, r47-50, s07) + fixed (s02/s04, l13/l25/l29,
-    # r45/r46), round-robin llmops / relational / streaming
-    "l36_fuzzy_edit_dedup", "rs09_next_item_pairs", "r51_grouping_sets",
-    "l37_heavy_hitters", "rs10_funnel", "r52_mode_per_group",
-    "l38_rare_token_score", "rs11_copurchase_triangles",
-    "l39_bpe_pair_counts", "r53_sketch_rollup", "r54_nation_trade",
-    "r55_mad_outliers", "l40_incremental_lsh", "rs12_item_transitions",
-    "l41_winnow_fingerprints", "s09_user_profile", "rs13_diversified_topk",
-    "r56_set_ops", "l42_matryoshka_energy", "rs14_retention_cohorts",
-    "l31_pii_redaction", "r47_salted_join", "s07_hopping_windows",
-    "l34_boilerplate_grams", "l35_novelty_gate", "s08_new_user_events",
-    "l32_decontaminate", "r48_range_join", "s02_sessionize",
-    "l33_bm25_search", "r49_grouped_ols", "s04_user_gap_stats",
-    "l13_multimodal_features", "r50_quantile_bounds", "l25_scalar_quantize",
-    "r45_dominant_suppliers", "l29_image_fetch_encode", "r46_idle_rich_customers",
-    # tier 2 — round-1-verified, unchecked since (drift watch)
+    # tier 1 — never driver-verified, round-robin l / r / rs / s
+    "l36_fuzzy_edit_dedup", "r51_grouping_sets", "rs09_next_item_pairs",
+    "s09_user_profile", "l37_heavy_hitters", "r52_mode_per_group",
+    "rs10_funnel", "s07_hopping_windows", "l38_rare_token_score",
+    "r53_sketch_rollup", "rs11_copurchase_triangles", "s08_new_user_events",
+    "l39_bpe_pair_counts", "r54_nation_trade", "rs12_item_transitions",
+    "s10_recursive_ewma", "l40_incremental_lsh", "r55_mad_outliers",
+    "rs13_diversified_topk", "s11_peak_concurrency",
+    "l41_winnow_fingerprints", "r56_set_ops", "rs14_retention_cohorts",
+    "s02_sessionize", "l42_matryoshka_energy", "r47_salted_join",
+    "rs15_association_rules", "s04_user_gap_stats", "l31_pii_redaction",
+    "r48_range_join", "rs16_personalized_pagerank", "l34_boilerplate_grams",
+    "r49_grouped_ols", "rs17_rfm_segments", "l35_novelty_gate",
+    "r50_quantile_bounds", "l32_decontaminate", "r57_pagerank_trade",
+    "l33_bm25_search", "r58_ewma_smoothing", "l43_semantic_dedup",
+    "r59_gap_fill", "l44_embedding_covariance", "r60_ks_drift",
+    "l45_hamming_neardup", "r61_seasonal_anomaly", "l46_jl_projection",
+    "l47_token_concentration", "l13_multimodal_features",
+    "l25_scalar_quantize", "l29_image_fetch_encode",
+    # tier 2 — round-1-verified, unchecked since (drift watch);
+    # r45/r46 were green in round 2 but reworked since (de-vacuated
+    # constants) so they rotate forward with this tier
+    "r45_dominant_suppliers", "r46_idle_rich_customers",
     "r02_frequent_customers", "r03_frequent_customer_orders", "r04_dedup_exact",
     "r05_dedup_last_value", "r06_latest_batch", "r07_json_extract",
     "r08_url_synthesis", "r09_left_join_defaults", "r10_three_way_join",
