@@ -2533,6 +2533,294 @@ FROM dev d JOIN mad md USING (event_type)
 """
 
 
+# --------------------------------------------------------------------- r62
+def r62_chisq_independence(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square test of independence between two categoricals
+    (customer market segment × order priority): the categorical
+    counterpart of r60's numeric KS drift — the standard gate for "did
+    the mix shift" in pipeline monitoring and A/B sanity checks.
+
+    Everything is derived from the contingency cell counts: one
+    fact-side shuffle (groupBy segment × priority), then row totals,
+    column totals and N come from re-aggregating the ~|seg|·|prio| cell
+    table (tiny, broadcast). The per-cell statistic is computed from
+    exact BIGINT cross products — contrib = (n·N − row·col)² / (N·row·col)
+    with the difference formed in integer space (bit-portable) and only
+    the final square/division in double. Overflow budget: |n·N| ≤ N², so
+    exact up to N ≈ 3·10⁹ observations; past that, pre-scale the counts.
+
+    Scale: the only input-sized operation is the first combiner-friendly
+    count; every later step runs on the cell table.
+    """
+    orders = load_table(spark, sf, "orders").select("o_custkey", "o_orderpriority")
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows_t = cells.groupBy("segment").agg(F.sum("n").alias("row_tot"))
+    cols_t = cells.groupBy("priority").agg(F.sum("n").alias("col_tot"))
+    total = cells.agg(F.sum("n").alias("grand_tot"))
+    diff = F.col("n") * F.col("grand_tot") - F.col("row_tot") * F.col("col_tot")
+    return (
+        cells.join(F.broadcast(rows_t), "segment")
+        .join(F.broadcast(cols_t), "priority")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "segment",
+            "priority",
+            "n",
+            (
+                (F.col("row_tot") * F.col("col_tot")).cast("double")
+                / F.col("grand_tot").cast("double")
+            ).alias("expected"),
+            (
+                diff.cast("double")
+                * diff.cast("double")
+                / (
+                    F.col("grand_tot").cast("double")
+                    * F.col("row_tot").cast("double")
+                    * F.col("col_tot").cast("double")
+                )
+            ).alias("chi2_contrib"),
+        )
+    )
+
+
+R62_SQL = """
+WITH cells AS (
+  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+rt AS (SELECT segment, CAST(sum(n) AS BIGINT) AS row_tot FROM cells GROUP BY 1),
+ct AS (SELECT priority, CAST(sum(n) AS BIGINT) AS col_tot FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS grand_tot FROM cells)
+SELECT segment, priority, n,
+       CAST(row_tot * col_tot AS DOUBLE) / CAST(grand_tot AS DOUBLE)
+         AS expected,
+       CAST(n * grand_tot - row_tot * col_tot AS DOUBLE)
+         * CAST(n * grand_tot - row_tot * col_tot AS DOUBLE)
+         / (CAST(grand_tot AS DOUBLE) * CAST(row_tot AS DOUBLE)
+            * CAST(col_tot AS DOUBLE)) AS chi2_contrib
+FROM cells JOIN rt USING (segment) JOIN ct USING (priority), tot
+"""
+
+
+# --------------------------------------------------------------------- r63
+def r63_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC snapshot diff: classify every key across two table snapshots
+    as INSERT / DELETE / UPDATE / UNCHANGED via one full-outer join —
+    the change-capture primitive feeding r34's SCD2 apply (this detects
+    the deltas; r34 chains them into validity intervals).
+
+    Snapshots are carved deterministically from ``orders``: snapshot A
+    is the book before 2001-07-01; snapshot B extends the horizon one
+    year (new keys → INSERT), drops status-'P' legacy rows (→ DELETE)
+    and re-prices open ('O') orders (→ UPDATE). Prices compare in exact
+    cents (BIGINT), so UPDATE detection is bit-portable.
+
+    Scale: one shuffle on the join key for both sides; the classifying
+    projection is codegen'd. At 100 TB both snapshot scans prune to the
+    key + compared columns, and bucketing both snapshots on the key
+    (io/sinks.py:write_bucketed) removes the exchange entirely — the
+    nightly-diff production layout.
+    """
+    orders = load_table(spark, sf, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100) + F.lit(0.5)).cast("long")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", cents.alias("price_c")
+    )
+    snap_a = base.filter(F.col("o_orderdate") < F.lit("2001-07-01")).select(
+        F.col("o_orderkey").alias("key_a"), F.col("price_c").alias("old_price_c")
+    )
+    snap_b = (
+        base.filter(
+            (F.col("o_orderdate") < F.lit("2002-07-01"))
+            & (F.col("o_orderstatus") != F.lit("P"))
+        )
+        .select(
+            F.col("o_orderkey").alias("key_b"),
+            F.when(
+                F.col("o_orderstatus") == F.lit("O"),
+                F.col("price_c") + F.lit(500),
+            )
+            .otherwise(F.col("price_c"))
+            .alias("new_price_c"),
+        )
+    )
+    joined = snap_a.join(
+        snap_b, snap_a.key_a == snap_b.key_b, "full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("key_a"), F.col("key_b")).alias("o_orderkey"),
+        "old_price_c",
+        "new_price_c",
+        F.when(F.col("key_a").isNull(), F.lit("INSERT"))
+        .when(F.col("key_b").isNull(), F.lit("DELETE"))
+        .when(F.col("old_price_c") != F.col("new_price_c"), F.lit("UPDATE"))
+        .otherwise(F.lit("UNCHANGED"))
+        .alias("change_type"),
+    )
+
+
+R63_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_orderdate,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders),
+snap_a AS (
+  SELECT o_orderkey AS key_a, price_c AS old_price_c
+  FROM base WHERE o_orderdate < '2001-07-01'),
+snap_b AS (
+  SELECT o_orderkey AS key_b,
+         CASE WHEN o_orderstatus = 'O' THEN price_c + 500
+              ELSE price_c END AS new_price_c
+  FROM base
+  WHERE o_orderdate < '2002-07-01' AND o_orderstatus <> 'P')
+SELECT coalesce(key_a, key_b) AS o_orderkey, old_price_c, new_price_c,
+       CASE WHEN key_a IS NULL THEN 'INSERT'
+            WHEN key_b IS NULL THEN 'DELETE'
+            WHEN old_price_c <> new_price_c THEN 'UPDATE'
+            ELSE 'UNCHANGED' END AS change_type
+FROM snap_a FULL OUTER JOIN snap_b ON key_a = key_b
+"""
+
+
+# --------------------------------------------------------------------- r64
+def r64_disjunctive_pushdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Disjunctive OR-of-ANDs predicate aggregation (TPC-H Q19 shape):
+    three alternative (flag, range) branches OR'd into one filter, then
+    revenue per surviving flag. The point at 100 TB is WHERE the
+    disjunction runs: Spark pushes the whole Or tree into the parquet
+    scan (row-group min/max pruning on l_quantity/l_discount — asserted
+    as PushedFilters in tests/test_plans.py), so non-matching row
+    groups never decompress. Revenue is the r43 fixed-point sum.
+    """
+    li = load_table(spark, sf, "lineitem")
+    pred = (
+        ((F.col("l_returnflag") == "R") & (F.col("l_quantity") < 10))
+        | ((F.col("l_returnflag") == "A") & (F.col("l_quantity") > 40))
+        | ((F.col("l_returnflag") == "N") & (F.col("l_discount") > 0.08))
+    )
+    rev_q = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.filter(pred)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(rev_q).cast("double") / F.lit(1e6)).alias("revenue"),
+        )
+    )
+
+
+R64_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0
+                           + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue
+FROM lineitem
+WHERE (l_returnflag = 'R' AND l_quantity < 10)
+   OR (l_returnflag = 'A' AND l_quantity > 40)
+   OR (l_returnflag = 'N' AND l_discount > 0.08)
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------- r65
+def r65_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass data-profiling summary of a wide table (null count,
+    exact distinct count, canonical min/max per column) in long format —
+    the ingest-gate report every pipeline runs before accepting a new
+    drop, and the per-column stats a catalog/optimizer records.
+
+    One SELECT computes all columns' aggregates; the multi-distinct is
+    planned through ONE Expand (k× the input fed into a single shuffle
+    of partial aggregates — k small and fixed by the schema, never the
+    data). Min/max are canonicalized engine-portably: numerics as
+    scaled-integer strings (double repr differs between engines), dates
+    as ISO strings. The long format comes from a 4-row stack of the
+    1-row aggregate — no second pass.
+    """
+    orders = load_table(spark, sf, "orders")
+    price_c = F.floor(F.col("o_totalprice") * F.lit(100) + F.lit(0.5)).cast(
+        "long"
+    )
+    agg = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", price_c.alias("price_c")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").cast("string").alias("mn_cust"),
+        F.max("o_custkey").cast("string").alias("mx_cust"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.min("o_orderstatus").alias("mn_status"),
+        F.max("o_orderstatus").alias("mx_status"),
+        F.count("o_orderdate").alias("nn_date"),
+        F.countDistinct("o_orderdate").alias("nd_date"),
+        F.min("o_orderdate").cast("date").cast("string").alias("mn_date"),
+        F.max("o_orderdate").cast("date").cast("string").alias("mx_date"),
+        F.count("price_c").alias("nn_price"),
+        F.countDistinct("price_c").alias("nd_price"),
+        F.min("price_c").cast("string").alias("mn_price"),
+        F.max("price_c").cast("string").alias("mx_price"),
+    )
+    return agg.selectExpr(
+        """stack(4,
+           'o_custkey',     n_rows, n_rows - nn_cust,   nd_cust,   mn_cust,   mx_cust,
+           'o_orderstatus', n_rows, n_rows - nn_status, nd_status, mn_status, mx_status,
+           'o_orderdate',   n_rows, n_rows - nn_date,   nd_date,   mn_date,   mx_date,
+           'o_totalprice_cents', n_rows, n_rows - nn_price, nd_price, mn_price, mx_price)
+           AS (col_name, n_rows, n_null, n_distinct, min_repr, max_repr)"""
+    )
+
+
+R65_SQL = """
+WITH base AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM orders),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(o_custkey) AS BIGINT) AS nn_cust,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_cust,
+         CAST(min(o_custkey) AS VARCHAR) AS mn_cust,
+         CAST(max(o_custkey) AS VARCHAR) AS mx_cust,
+         CAST(count(o_orderstatus) AS BIGINT) AS nn_status,
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+         min(o_orderstatus) AS mn_status,
+         max(o_orderstatus) AS mx_status,
+         CAST(count(o_orderdate) AS BIGINT) AS nn_date,
+         CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd_date,
+         CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS mn_date,
+         CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS mx_date,
+         CAST(count(price_c) AS BIGINT) AS nn_price,
+         CAST(count(DISTINCT price_c) AS BIGINT) AS nd_price,
+         CAST(min(price_c) AS VARCHAR) AS mn_price,
+         CAST(max(price_c) AS VARCHAR) AS mx_price
+  FROM base)
+SELECT 'o_custkey' AS col_name, n_rows, n_rows - nn_cust AS n_null,
+       nd_cust AS n_distinct, mn_cust AS min_repr, mx_cust AS max_repr FROM a
+UNION ALL
+SELECT 'o_orderstatus', n_rows, n_rows - nn_status, nd_status,
+       mn_status, mx_status FROM a
+UNION ALL
+SELECT 'o_orderdate', n_rows, n_rows - nn_date, nd_date,
+       mn_date, mx_date FROM a
+UNION ALL
+SELECT 'o_totalprice_cents', n_rows, n_rows - nn_price, nd_price,
+       mn_price, mx_price FROM a
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -2595,6 +2883,10 @@ QUERIES = {
     "r59_gap_fill": r59_gap_fill,
     "r60_ks_drift": r60_ks_drift,
     "r61_seasonal_anomaly": r61_seasonal_anomaly,
+    "r62_chisq_independence": r62_chisq_independence,
+    "r63_snapshot_diff": r63_snapshot_diff,
+    "r64_disjunctive_pushdown": r64_disjunctive_pushdown,
+    "r65_table_profile": r65_table_profile,
 }
 
 ORACLE = {
@@ -2658,6 +2950,10 @@ ORACLE = {
     "r59_gap_fill": R59_SQL,
     "r60_ks_drift": R60_SQL,
     "r61_seasonal_anomaly": R61_SQL,
+    "r62_chisq_independence": R62_SQL,
+    "r63_snapshot_diff": R63_SQL,
+    "r64_disjunctive_pushdown": R64_SQL,
+    "r65_table_profile": R65_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }

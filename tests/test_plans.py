@@ -290,3 +290,28 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
             "spark.sql.optimizer.runtime.bloomFilter."
             "applicationSideScanSizeThreshold"
         )
+
+
+def test_disjunctive_predicate_pushes_whole_or_tree(spark):
+    # r64's OR-of-ANDs must reach the parquet scan as one Or filter so
+    # row-group min/max pruning applies to every branch — the Q19
+    # pushdown behavior the query exists to pin down.
+    plan = plan_of(QUERIES["r64_disjunctive_pushdown"](spark, SF_DIR))
+    assert re.search(r"PushedFilters: \[[^\]]*Or\(", plan)
+    assert "l_quantity" in plan and "l_discount" in plan
+
+
+def test_snapshot_diff_single_join_no_broadcast_facts(spark):
+    # r63 full-outer diff: exactly one join of the two snapshot scans,
+    # shuffled on the key — a fact-sized side must never broadcast.
+    plan = plan_of(QUERIES["r63_snapshot_diff"](spark, SF_DIR), "simple")
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+    assert "FullOuter" in plan
+
+
+def test_chisq_only_fact_shuffle_is_cell_count(spark):
+    # r62: the contingency aggregation is the single input-sized
+    # exchange; totals re-aggregate the tiny cell table and join back
+    # broadcast, so no second fact-scale shuffle exists.
+    plan = plan_of(QUERIES["r62_chisq_independence"](spark, SF_DIR), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
