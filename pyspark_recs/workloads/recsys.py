@@ -981,6 +981,228 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------- rs18
+def rs18_decayed_covisitation(spark: SparkSession, sf: str) -> DataFrame:
+    """Recency-weighted co-visitation over the event stream: the
+    candidate-generation matrix modern session recommenders build
+    nightly (the "covisitation matrix" of the OTTO/Kaggle lineage),
+    with freshness favored by an EXACT integer decay — a visit's weight
+    halves per week of age relative to the corpus horizon,
+    w = 2^(7 − min(7, age_weeks)) ∈ {1 … 128}, so scores are BIGINTs
+    and the result is bit-portable (no pow/exp doubles).
+
+    Shape: per-user distinct items keep their freshest weight (max), a
+    top-20-by-(weight, item) history cap bounds the quadratic pair
+    fan-out (rs05 discipline — the cap happens inside a collect/slice
+    aggregation, pairs are generated JVM-side from the bounded array,
+    never via a self-join shuffle), pair weight = min(w_a, w_b), and
+    the final score sums exactly. Output: top-5 co-visit neighbors per
+    item with integer scores.
+
+    Scale: two aggregations + one bounded explode; the horizon is a
+    1-row broadcast. At 100 TB the cap keeps pair volume ≤ 190·users
+    regardless of power-law browsing histories.
+    """
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        F.expr("CAST(get_json_object(props, '$.k') AS BIGINT)").alias("item"),
+        F.date_trunc("DAY", F.col("ts")).alias("day"),
+    )
+    horizon = ev.agg(F.max("day").alias("horizon"))
+    weighted = (
+        ev.crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            "item",
+            F.expr(
+                "CAST(shiftleft(1, 7 - least(7, CAST(floor("
+                "datediff(horizon, day) / 7) AS INT))) AS BIGINT)"
+            ).alias("w"),
+        )
+        .groupBy("user_id", "item")
+        .agg(F.max("w").alias("w"))
+    )
+    # rs05-style cap: sort by (-w, item), slice to 20, pair JVM-side.
+    top_items = F.slice(
+        F.sort_array(
+            F.collect_list(
+                F.struct((-F.col("w")).alias("neg"), F.col("item").alias("item"))
+            )
+        ),
+        1,
+        20,
+    )
+    lists = weighted.groupBy("user_id").agg(top_items.alias("hist"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("hist"),
+            lambda x, i: F.transform(
+                F.slice(F.col("hist"), i + 2, F.size(F.col("hist"))),
+                lambda y: F.struct(
+                    F.least(x["item"], y["item"]).alias("item_a"),
+                    F.greatest(x["item"], y["item"]).alias("item_b"),
+                    F.least(-x["neg"], -y["neg"]).alias("pw"),
+                ),
+            ),
+        )
+    )
+    canon = (
+        lists.select(F.explode(pair_structs).alias("p"))
+        .select("p.item_a", "p.item_b", "p.pw")
+        .groupBy("item_a", "item_b")
+        .agg(F.sum("pw").alias("score"))
+    )
+    sym = canon.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("item_a"), F.col("item_b"), F.col("score")),
+                F.struct(
+                    F.col("item_b").alias("item_a"),
+                    F.col("item_a").alias("item_b"),
+                    F.col("score"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.item_a", "p.item_b", "p.score")
+    return top_k_per_group(
+        sym,
+        partition_cols=["item_a"],
+        order_cols=[F.desc("score"), F.asc("item_b")],
+        k=5,
+        rank_alias="rank",
+    )
+
+
+RS18_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         date_trunc('day', ts) AS day
+  FROM events),
+hz AS (SELECT max(day) AS horizon FROM ev),
+weighted AS (
+  SELECT user_id, item,
+         CAST(max(1 << (7 - least(7, CAST(floor(
+               date_diff('day', day, horizon) / 7) AS INTEGER))))
+              AS BIGINT) AS w
+  FROM ev, hz GROUP BY user_id, item),
+hist AS (
+  SELECT user_id, item, w FROM (
+    SELECT user_id, item, w,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY w DESC, item) AS hr
+    FROM weighted)
+  WHERE hr <= 20),
+co AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(sum(least(a.w, b.w)) AS BIGINT) AS score
+  FROM hist a JOIN hist b
+    ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY a.item, b.item),
+sym AS (
+  SELECT item_a, item_b, score FROM co
+  UNION ALL
+  SELECT item_b AS item_a, item_a AS item_b, score FROM co)
+SELECT item_a, item_b, score, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT item_a, item_b, score,
+         row_number() OVER (PARTITION BY item_a
+                            ORDER BY score DESC, item_b) AS rank
+  FROM sym)
+WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------- rs19
+def rs19_bias_baseline(spark: SparkSession, sf: str) -> DataFrame:
+    """Closed-form baseline predictors (Koren's b_ui = μ + b_i + b_u,
+    the Netflix-Prize bias model): global mean rating, then regularized
+    item biases against μ, then user biases against μ + b_i — each a
+    single aggregation, no iteration, which makes this the one "model"
+    in the suite that is EXACTLY oracle-checkable (ALS rs04 is
+    rows-only by nature). Ratings are quantity-valued implicit
+    strengths. λ = 10 damps rare entities toward 0 (cold-start
+    shrinkage).
+
+    Determinism: every mean is an exact fixed-point BIGINT sum divided
+    in double, and the subtraction cascade re-quantizes at each stage
+    (see workloads/common.py) — both engines run the identical IEEE
+    expression sequence, so biases match bit-for-bit.
+
+    Scale: three combiner-friendly aggregations (global scalar → item →
+    user) + one item-keyed join of per-interaction rows against the
+    item-bias table; nothing shuffles more than the interaction matrix.
+    Output: one row per entity ('item' | 'user') with its bias.
+    """
+    inter = _interactions(spark, sf).select(
+        "user_id", "item_id", F.col("total_qty").alias("rating")
+    )
+    q = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")  # noqa: E731
+    g = inter.agg(
+        (F.sum(q(F.col("rating"))).cast("double") / F.lit(1e6) / F.count(F.lit(1)))
+        .alias("mu")
+    )
+    with_mu = inter.crossJoin(F.broadcast(g))
+    item_bias = with_mu.groupBy("item_id").agg(
+        (
+            F.sum(q(F.col("rating") - F.col("mu"))).cast("double")
+            / F.lit(1e6)
+            / (F.lit(10) + F.count(F.lit(1)))
+        ).alias("b_i")
+    )
+    user_bias = (
+        with_mu.join(item_bias, "item_id")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(q(F.col("rating") - F.col("mu") - F.col("b_i"))).cast(
+                    "double"
+                )
+                / F.lit(1e6)
+                / (F.lit(10) + F.count(F.lit(1)))
+            ).alias("b_u")
+        )
+    )
+    return item_bias.select(
+        F.lit("item").alias("entity"),
+        F.col("item_id").alias("entity_id"),
+        F.col("b_i").alias("bias"),
+    ).unionAll(
+        user_bias.select(
+            F.lit("user").alias("entity"),
+            F.col("user_id").alias("entity_id"),
+            F.col("b_u").alias("bias"),
+        )
+    )
+
+
+RS19_SQL = """
+WITH inter AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id,
+         CAST(sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1000000.0 AS rating
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_partkey),
+g AS (
+  SELECT CAST(sum(CAST(floor(rating * 1000000.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1000000.0 / count(*) AS mu
+  FROM inter),
+ib AS (
+  SELECT item_id,
+         CAST(sum(CAST(floor((rating - mu) * 1000000.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1000000.0 / (10 + count(*)) AS b_i
+  FROM inter, g GROUP BY item_id),
+ub AS (
+  SELECT user_id,
+         CAST(sum(CAST(floor((rating - mu - b_i) * 1000000.0 + 0.5)
+                       AS BIGINT))
+              AS DOUBLE) / 1000000.0 / (10 + count(*)) AS b_u
+  FROM inter JOIN ib USING (item_id), g GROUP BY user_id)
+SELECT 'item' AS entity, item_id AS entity_id, b_i AS bias FROM ib
+UNION ALL
+SELECT 'user' AS entity, user_id AS entity_id, b_u AS bias FROM ub
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -999,6 +1221,8 @@ QUERIES = {
     "rs15_association_rules": rs15_association_rules,
     "rs16_personalized_pagerank": rs16_personalized_pagerank,
     "rs17_rfm_segments": rs17_rfm_segments,
+    "rs18_decayed_covisitation": rs18_decayed_covisitation,
+    "rs19_bias_baseline": rs19_bias_baseline,
 }
 
 ORACLE = {
@@ -1019,4 +1243,6 @@ ORACLE = {
     "rs15_association_rules": RS15_SQL,
     "rs16_personalized_pagerank": RS16_SQL,
     "rs17_rfm_segments": RS17_SQL,
+    "rs18_decayed_covisitation": RS18_SQL,
+    "rs19_bias_baseline": RS19_SQL,
 }

@@ -338,3 +338,50 @@ def test_personalized_pagerank_masses_concentrate_near_seed(spark):
     assert got[101] > got[102] > 0
     assert 103 not in got
     assert got[101] < 1.0
+
+
+def test_decayed_covisitation_weights_and_symmetry(spark):
+    # Weights are powers of two in [1, 128]; the neighbor matrix is
+    # symmetric (a lists b iff b lists a when both survive top-5).
+    from pyspark_recs.workloads.recsys import rs18_decayed_covisitation
+
+    out = rs18_decayed_covisitation(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows, "non-empty at smallest sf"
+    scores = {(r.item_a, r.item_b): r.score for r in rows}
+    assert all(s >= 1 for s in scores.values())
+    # symmetry of the underlying pair score (rank cut can differ)
+    for (a, b), s in list(scores.items())[:50]:
+        if (b, a) in scores:
+            assert scores[(b, a)] == s
+
+
+def test_bias_baseline_shrinks_rare_entities(spark):
+    # One heavy item (many ratings above mu) gets a larger |bias| than
+    # a single-rating item with the same deviation — the lambda
+    # denominator is the point.
+    from pyspark.sql import functions as F
+
+    from pyspark_recs.workloads import recsys as R
+
+    inter = spark.createDataFrame(
+        [(u, 1, 10.0) for u in range(20)]
+        + [(100, 2, 10.0)]
+        + [(u, 3, 1.0) for u in range(20)]
+        + [(100 + u, 4, 1.0) for u in range(5)],
+        "user_id long, item_id long, rating double",
+    )
+    orig = R._interactions
+    try:
+        R._interactions = lambda spark, sf: inter.select(
+            "user_id", "item_id", F.col("rating").alias("total_qty")
+        )
+        out = {
+            (r.entity, r.entity_id): r.bias
+            for r in R.rs19_bias_baseline(spark, "ignored").collect()
+        }
+    finally:
+        R._interactions = orig
+    # items 1 and 2 deviate equally per-rating, but item 1 has 20 votes
+    assert out[("item", 1)] > out[("item", 2)] > 0
+    assert abs(out[("item", 2)]) < abs(out[("item", 1)])
