@@ -513,3 +513,92 @@ def hamming_neardup_pairs(
         .filter(F.col("hamming") <= radius)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    seg_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide duplicate-segment accounting (the C4/RefinedWeb
+    "remove repeated lines/paragraphs across documents" pass, on a
+    deterministic fixed-width segmenter): documents are cut into
+    non-overlapping ``seg_tokens``-token segments, a segment is a
+    duplicate iff an identical segment appeared earlier in corpus order
+    (keep-first by (doc_id, seg_idx)), and each document reports how
+    much of it survives — the retained_ratio both gates documents
+    (heavily-boilerplate docs drop below a threshold) and measures
+    corpus-level redundancy.
+
+    Exact dedup at sub-document granularity complements l01 (whole-doc
+    digests catch only full copies) and l34 (gram document-frequency
+    flags common grams but keeps no first occurrence).
+
+    Scale: segments shuffle as 32-byte md5 digests keyed by segment
+    hash (text never leaves the map side after hashing); the
+    first-occurrence is a min(struct) partial aggregate, not a window;
+    the per-document rollup is combiner-friendly. Total shuffle =
+    2 × (segment count) small rows regardless of document sizes.
+    """
+    words = tokens(F.col(text_col))
+    n = F.size(words)
+    segs = (
+        docs.select(F.col(id_col), words.alias("words"))
+        .filter(n >= 1)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("words") / F.lit(seg_tokens)).cast("int")
+                        - F.lit(1),
+                    ),
+                    lambda i: F.struct(
+                        i.alias("seg_idx"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(
+                                    F.col("words"),
+                                    i * seg_tokens + 1,
+                                    seg_tokens,
+                                ),
+                                " ",
+                            )
+                        ).alias("h"),
+                        F.least(
+                            F.lit(seg_tokens),
+                            F.size("words") - i * seg_tokens,
+                        ).alias("seg_toks"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select(id_col, "s.seg_idx", "s.h", "s.seg_toks")
+    )
+    firsts = segs.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("first")
+    )
+    flagged = segs.join(firsts, "h").select(
+        id_col,
+        "seg_toks",
+        (
+            (F.col(f"first.{id_col}") != F.col(id_col))
+            | (F.col("first.seg_idx") != F.col("seg_idx"))
+        ).alias("is_dup"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup_segments"),
+        F.sum("seg_toks").alias("n_tokens"),
+        F.sum(
+            F.when(~F.col("is_dup"), F.col("seg_toks")).otherwise(F.lit(0))
+        ).alias("retained_tokens"),
+        (
+            F.sum(
+                F.when(~F.col("is_dup"), F.col("seg_toks")).otherwise(F.lit(0))
+            ).cast("double")
+            / F.sum("seg_toks").cast("double")
+        ).alias("retained_ratio"),
+    )

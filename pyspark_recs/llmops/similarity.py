@@ -720,3 +720,125 @@ def scalar_quantize(
         vmax.alias("vmax"),
         codes.alias("codes"),
     )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Product quantization encode (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011): split each vector into
+    ``n_subspaces`` contiguous sub-vectors, assign each sub-vector to
+    its nearest codebook entry, and emit one small integer code per
+    subspace plus the total quantization error. With 4 subspaces × 16
+    codes a 64-dim float vector compresses 256 B → 2 B (128×), and ANN
+    scans compare against precomputed asymmetric-distance tables
+    instead of raw floats — the memory-bound trick behind IVF-PQ
+    indexes (the l15 IVF lists store exactly these codes at scale).
+
+    Codebooks default to the deterministic lowest-id corpus vectors
+    (same stand-in as semantic_dedup/ivf_topk, keeping the operator
+    oracle-checkable); pass per-subspace ``kmeans_centroids`` output
+    for production quality.
+
+    Determinism: sub-distances are per-term fixed-point quantized
+    BIGINTs (floor((a−b)²·1e12 + 0.5), summed exactly), and argmin
+    tie-breaks on the smaller code id via min(struct) — bit-identical
+    across engines and partitionings.
+
+    Scale: the candidate expansion is N × (n_subspaces · n_codes) rows
+    against a BROADCAST codebook, collapsed by ONE map-side-combined
+    groupBy(id) carrying 4 struct aggregates — no window, no second
+    shuffle; at 10⁹ vectors the exchange moves one ~40-byte row per
+    vector.
+    """
+    if centroids is None:
+        from pyspark.sql import Window
+
+        # code_id = rank of the centroid's source id (deterministic);
+        # the codebook is n_codes rows, so the single-task window is a
+        # driver-trivial sort, not a scale concern.
+        centroids = (
+            vectors.orderBy(F.asc(id_col))
+            .limit(n_codes)
+            .select(
+                F.col(vec_col).alias("cvec"),
+                (F.row_number().over(Window.orderBy(F.asc(id_col))) - 1).alias(
+                    "code_id"
+                ),
+            )
+        )
+    cents = centroids.select(
+        "code_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+                lambda m: F.struct(
+                    m.alias("m"),
+                    F.slice(
+                        F.col("cvec"),
+                        m * (F.size("cvec") / F.lit(n_subspaces)).cast("int")
+                        + 1,
+                        (F.size("cvec") / F.lit(n_subspaces)).cast("int"),
+                    ).alias("csub"),
+                ),
+            )
+        ).alias("cs"),
+    ).select("code_id", "cs.m", "cs.csub")
+    vecs = vectors.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+                lambda m: F.struct(
+                    m.alias("m"),
+                    F.slice(
+                        F.col(vec_col),
+                        m * (F.size(vec_col) / F.lit(n_subspaces)).cast("int")
+                        + 1,
+                        (F.size(vec_col) / F.lit(n_subspaces)).cast("int"),
+                    ).alias("vsub"),
+                ),
+            )
+        ).alias("vs"),
+    ).select(id_col, "vs.m", "vs.vsub")
+    dist_q = F.aggregate(
+        F.zip_with(
+            F.col("vsub"),
+            F.col("csub"),
+            lambda x, y: F.floor(
+                (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+                * F.lit(1e12)
+                + F.lit(0.5)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    scored = vecs.join(F.broadcast(cents), "m").select(
+        id_col, "m", "code_id", dist_q.alias("dist_q")
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("m") == m, F.struct(F.col("dist_q"), F.col("code_id"))
+            )
+        ).alias(f"b{m}")
+        for m in range(n_subspaces)
+    ]
+    collapsed = scored.groupBy(id_col).agg(*aggs)
+    code_cols = [
+        F.col(f"b{m}.code_id").alias(f"code_{m}") for m in range(n_subspaces)
+    ]
+    err = sum(
+        (F.col(f"b{m}.dist_q") for m in range(n_subspaces)),
+        F.lit(0).cast("long"),
+    )
+    return collapsed.select(
+        id_col, *code_cols, (err.cast("double") / F.lit(1e12)).alias("sq_error")
+    )

@@ -1635,6 +1635,91 @@ JOIN firsts fj ON m.j = fj.i
 """
 
 
+# --------------------------------------------------------------------- l48
+def l48_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide duplicate-segment accounting: per document, how many
+    8-token segments survive keep-first exact dedup across the whole
+    corpus (llmops/dedup.py:segment_dedup) — the sub-document sibling
+    of l01's whole-doc digests and the filter C4/RefinedWeb run to
+    strip boilerplate paragraphs before training."""
+    from pyspark_recs.llmops.dedup import segment_dedup
+
+    return segment_dedup(load_table(spark, sf, "documents"), seg_tokens=8)
+
+
+L48_SQL = f"""
+WITH toks AS ({_TOKS}),
+segs AS (
+  SELECT doc_id,
+         CAST(s // 8 AS INTEGER) AS seg_idx,
+         md5(array_to_string(list_slice(words, s + 1, s + 8), ' ')) AS h,
+         CAST(least(8, len(words) - s) AS BIGINT) AS seg_toks
+  FROM (SELECT doc_id, words, unnest(range(0, len(words), 8)) AS s
+        FROM toks WHERE len(words) >= 1)),
+flagged AS (
+  SELECT doc_id, seg_toks,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, seg_idx) > 1
+           AS is_dup
+  FROM segs)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_segments,
+       CAST(sum(seg_toks) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN is_dup THEN 0 ELSE seg_toks END) AS BIGINT)
+         AS retained_tokens,
+       CAST(sum(CASE WHEN is_dup THEN 0 ELSE seg_toks END) AS DOUBLE)
+         / CAST(sum(seg_toks) AS DOUBLE) AS retained_ratio
+FROM flagged GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------- l49
+def l49_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization codes for every embedding (4 subspaces × 16
+    codes: 64-dim float32 → 2 B, 128×) plus the per-vector quantization
+    error — llmops/similarity.py:pq_encode, the storage format IVF-PQ
+    ANN indexes scan at billion-vector scale."""
+    from pyspark_recs.llmops.similarity import pq_encode
+
+    return pq_encode(load_table(spark, sf, "embeddings"))
+
+
+_PQ_SQDIST = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(floor((CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * 1e12 + 0.5)"
+    " AS BIGINT))) AS BIGINT)"
+)
+
+L49_SQL = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, embedding AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+ms AS (SELECT unnest(range(0, 4)) AS m),
+scored AS (
+  SELECT v.vec_id, ms.m, c.code_id,
+         {_PQ_SQDIST.format(
+             a="list_slice(v.embedding, ms.m * 16 + 1, ms.m * 16 + 16)",
+             b="list_slice(c.cv, ms.m * 16 + 1, ms.m * 16 + 16)")} AS dist_q
+  FROM embeddings v CROSS JOIN ms CROSS JOIN cents c),
+best AS (
+  SELECT vec_id, m, code_id, dist_q FROM (
+    SELECT vec_id, m, code_id, dist_q,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist_q, code_id) AS rn
+    FROM scored)
+  WHERE rn = 1)
+SELECT vec_id,
+       CAST(max(CASE WHEN m = 0 THEN code_id END) AS INTEGER) AS code_0,
+       CAST(max(CASE WHEN m = 1 THEN code_id END) AS INTEGER) AS code_1,
+       CAST(max(CASE WHEN m = 2 THEN code_id END) AS INTEGER) AS code_2,
+       CAST(max(CASE WHEN m = 3 THEN code_id END) AS INTEGER) AS code_3,
+       CAST(sum(dist_q) AS DOUBLE) / 1e12 AS sq_error
+FROM best GROUP BY vec_id
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -1683,6 +1768,8 @@ QUERIES = {
     "l45_hamming_neardup": l45_hamming_neardup,
     "l46_jl_projection": l46_jl_projection,
     "l47_token_concentration": l47_token_concentration,
+    "l48_segment_dedup": l48_segment_dedup,
+    "l49_pq_encode": l49_pq_encode,
 }
 
 ORACLE = {
@@ -1733,4 +1820,6 @@ ORACLE = {
     "l45_hamming_neardup": L45_SQL,
     "l46_jl_projection": L46_SQL,
     "l47_token_concentration": L47_SQL,
+    "l48_segment_dedup": L48_SQL,
+    "l49_pq_encode": L49_SQL,
 }

@@ -709,3 +709,39 @@ def test_jl_projection_preserves_basis_norms_exactly(spark):
     for r in out:
         norm2 = sum(r[f"y_{k}"] ** 2 for k in range(4))
         assert abs(norm2 - 1.0) < 1e-9
+
+
+def test_segment_dedup_keeps_first_and_drops_copies(spark):
+    from pyspark_recs.llmops.dedup import segment_dedup
+
+    seg = "a b c d e f g h"          # exactly one 8-token segment
+    uniq = "p q r s t u v w"
+    docs = spark.createDataFrame(
+        [
+            (1, seg + " " + uniq),    # first occurrence of both segments
+            (2, seg),                 # exact copy of doc 1's first segment
+            (3, "x y z"),             # short doc, 3-token segment
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in segment_dedup(docs).collect()}
+    assert out[1].n_dup_segments == 0 and out[1].retained_ratio == 1.0
+    assert out[2].n_dup_segments == 1 and out[2].retained_tokens == 0
+    assert out[3].n_segments == 1 and out[3].n_tokens == 3
+    assert out[2].retained_ratio == 0.0
+
+
+def test_pq_encode_codebook_vectors_have_zero_error(spark):
+    # The 16 lowest-id vectors ARE the codebook, so each must encode to
+    # itself (sq_error == 0) and codes must be a valid [0, 16) index.
+    from pyspark_recs.io import load_table
+    from pyspark_recs.llmops.similarity import pq_encode
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = pq_encode(emb).collect()
+    ids16 = sorted(r.vec_id for r in out)[:16]
+    for r in out:
+        for m in range(4):
+            assert 0 <= r[f"code_{m}"] < 16
+        if r.vec_id in ids16:
+            assert r.sq_error == 0.0, r
