@@ -598,3 +598,69 @@ def streaming_funnel(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_debounce(
+    events: DataFrame,
+    gap_us: int = 3600 * 1_000_000,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Stateful per-key debounce (rate limiter): emit an event only if
+    at least ``gap_us`` has elapsed since the LAST EMITTED event of the
+    same key — the alerting/notification-throttle primitive, and a
+    different beast from dropDuplicates (which keys on identity) or
+    sessionization (which only observes gaps): whether an event
+    survives depends on the previously-surviving event, so the
+    computation is inherently a fold, not a window.
+
+    Ties/ordering use the composite clock k = ts_us·4096 + event_id%4096
+    (strictly increasing within a key for distinct events), matching
+    the batch twin ``workloads.streaming.s12_debounce`` bit-for-bit.
+
+    Per-key state is ONE long (last emitted k). Output mode ``append``:
+    each surviving event is emitted exactly once, in arrival order.
+    Same in-order-arrival caveat as streaming_sessionize.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, event_id long, ts_us long"
+    state_schema = "last_k long"
+
+    with_us = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+    )
+    gap_k = gap_us * 4096
+
+    def update(key, pdfs, state):
+        (last_k,) = state.get if state.exists else (None,)
+        kept_ids, kept_ts = [], []
+        for pdf in pdfs:
+            for _, row in (
+                pdf.sort_values(["ts_us", "event_id"]).iterrows()
+            ):
+                k = int(row.ts_us) * 4096 + int(row.event_id) % 4096
+                if last_k is None or k - last_k >= gap_k:
+                    kept_ids.append(int(row.event_id))
+                    kept_ts.append(int(row.ts_us))
+                    last_k = k
+        state.update((last_k,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(kept_ids),
+                "event_id": kept_ids,
+                "ts_us": kept_ts,
+            }
+        )
+
+    return with_us.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

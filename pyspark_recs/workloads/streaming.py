@@ -484,6 +484,91 @@ FROM nets
 """
 
 
+# --------------------------------------------------------------------- s12
+DEBOUNCE_GAP_US = 3600 * 1_000_000  # 1 hour
+
+
+def s12_debounce(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user debounce (notification rate-limit): an event is EMITTED
+    only if ≥1 h has elapsed since the last EMITTED event of that user
+    — a fold, not a window: whether an event survives depends on the
+    previously-surviving event, so lag()/session tricks can't express
+    it (the same reason the streaming twin
+    ``streaming.ops.streaming_debounce`` carries explicit state). This
+    batch form collects each user's ordered composite clock
+    k = ts_us·4096 + event_id%4096 (strictly increasing, tie-free) and
+    left-folds it JVM-side; DuckDB mirrors with ``list_reduce`` over a
+    struct accumulator, so (n_kept, last_kept_k) agree bit-for-bit.
+
+    Output per user: event count, surviving count, last surviving k.
+
+    Scale: one shuffle on user_id; per-key memory is the user's history
+    — the bound that motivates the O(1)-state streaming operator (same
+    trade as s10's recursive EWMA).
+    """
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        (
+            F.unix_micros("ts") * F.lit(4096)
+            + F.col("event_id") % F.lit(4096)
+        ).alias("k"),
+    )
+    gap_k = DEBOUNCE_GAP_US * 4096
+    folded = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_sort(F.collect_list("k")).alias("ks"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.expr(
+                "aggregate(slice(ks, 2, size(ks) - 1),"
+                " named_struct('last', ks[0], 'n', CAST(1 AS BIGINT)),"
+                f" (acc, x) -> IF(x - acc.last >= {gap_k}L,"
+                " named_struct('last', x, 'n', acc.n + 1L), acc))"
+            ).alias("st"),
+        )
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        F.col("st.n").alias("n_kept"),
+        F.col("st.last").alias("last_kept_k"),
+    )
+
+
+# NOTE: the fold accumulator is a 2-element LIST [last, n], not a
+# STRUCT — DuckDB 1.0's list_reduce with a struct-typed accumulator
+# returns wrong folds when evaluated over many group rows at once
+# (verified: struct form yields n_kept=70 vs the correct 67 on the
+# same per-group list; the LIST-typed accumulator and Python both give
+# 67, matching Spark's named_struct fold).
+S12_SQL = f"""
+WITH ev AS (
+  SELECT user_id,
+         epoch_us(ts) * 4096 + event_id % 4096 AS k
+  FROM events),
+lists AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         list(k ORDER BY k) AS ks
+  FROM ev GROUP BY user_id),
+folded AS (
+  SELECT user_id, n_events,
+         list_reduce(
+           list_transform(ks, x -> [x, CAST(1 AS BIGINT)]),
+           (acc, x) -> CASE WHEN x[1] - acc[1] >= {DEBOUNCE_GAP_US * 4096}
+                            THEN [x[1], acc[2] + 1]
+                            ELSE acc END) AS st
+  FROM lists)
+SELECT user_id, n_events,
+       CAST(st[2] AS BIGINT) AS n_kept,
+       CAST(st[1] AS BIGINT) AS last_kept_k
+FROM folded
+"""
+
+
 QUERIES = {
     "s01_tumbling_daily": s01_tumbling_daily,
     "s02_sessionize": s02_sessionize,
@@ -496,6 +581,7 @@ QUERIES = {
     "s09_user_profile": s09_user_profile,
     "s10_recursive_ewma": s10_recursive_ewma,
     "s11_peak_concurrency": s11_peak_concurrency,
+    "s12_debounce": s12_debounce,
 }
 
 ORACLE = {
@@ -510,4 +596,5 @@ ORACLE = {
     "s09_user_profile": S09_SQL,
     "s10_recursive_ewma": S10_SQL,
     "s11_peak_concurrency": S11_SQL,
+    "s12_debounce": S12_SQL,
 }

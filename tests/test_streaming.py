@@ -519,3 +519,47 @@ def test_streaming_heavy_hitters_mg_guarantee(spark, tmp_path, tmp_path_factory)
     # lower-bound property: reported count never exceeds truth
     alpha_lb = max(v for (b, t), v in final.items() if t == "alpha")
     assert alpha_lb <= 30
+
+
+def test_streaming_debounce_matches_batch_fold(spark, event_dir, tmp_path):
+    from pyspark_recs.streaming.ops import streaming_debounce
+
+    path, schema = event_dir
+    stream = read_event_stream(spark, path, schema)
+    # 1h gap: user 7 events at 00:00:05, 10:00, 00:30×2 (next day).
+    # Ordered by ts: 00:00:05 kept, 10:00 kept (9h59m later), next-day
+    # 00:30 kept (14h30m later), its dup at the same ts dropped (k-gap
+    # below threshold). user 8: single event kept.
+    out = _run_stream(streaming_debounce(stream), tmp_path, mode="append")
+    kept = {(r.user_id, r.event_id) for r in out.collect()}
+    assert kept == {(7, 1), (7, 2), (7, 4), (8, 3)}
+
+
+def test_debounce_batch_fold_hand_computed(spark):
+    from pyspark_recs.workloads.streaming import s12_debounce
+    import pyspark_recs.io.loaders as L
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7),
+            (2, "2024-01-01 00:30:00", 7),   # dropped: 30 min after kept #1
+            (3, "2024-01-01 01:00:00", 7),   # kept: exactly 1 h after #1
+            (4, "2024-01-01 01:59:00", 7),   # dropped: 59 min after #3
+            (5, "2024-01-01 03:00:00", 7),   # kept: 2 h after #3
+        ],
+        "event_id long, ts_s string, user_id long",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    orig = L.load_table
+    try:
+        L.load_table = lambda spark, sf, name: df
+        import pyspark_recs.workloads.streaming as ws
+
+        orig_ws = ws.load_table
+        ws.load_table = L.load_table
+        try:
+            row = s12_debounce(spark, "ignored").collect()[0]
+        finally:
+            ws.load_table = orig_ws
+    finally:
+        L.load_table = orig
+    assert (row.n_events, row.n_kept) == (5, 3)
