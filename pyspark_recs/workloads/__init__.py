@@ -52,6 +52,10 @@ _PRIORITY = [
     "l45_hamming_neardup", "r61_seasonal_anomaly", "l46_jl_projection",
     "l47_token_concentration", "l13_multimodal_features",
     "l25_scalar_quantize", "l29_image_fetch_encode",
+    # tier 1b — added mid-round-3 (also never driver-verified)
+    "l48_segment_dedup", "r62_chisq_independence", "rs18_decayed_covisitation",
+    "s12_debounce", "l49_pq_encode", "r63_snapshot_diff", "rs19_bias_baseline",
+    "r64_disjunctive_pushdown", "r65_table_profile",
     # tier 2 — round-1-verified, unchecked since (drift watch);
     # r45/r46 were green in round 2 but reworked since (de-vacuated
     # constants) so they rotate forward with this tier
