@@ -163,6 +163,19 @@ _FP_SUM = " + ".join(
     f"CASE WHEN bit_{b} > 0 THEN {2**b} ELSE 0 END" for b in range(16)
 )
 
+# 32-bit variants for l45: the Hamming search wants wider fingerprints
+# than l04's display query — 4-bit blocks give only 16 buckets per
+# block (every bucket holds 1/16th of the corpus and the candidate set
+# degenerates toward all-pairs), while 8-bit blocks over 32 bits give
+# 256, cutting sf0.1 candidates ~16x for the same pigeonhole guarantee.
+_BIT_VOTES32 = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bit_{b}"
+    for b in range(32)
+)
+_FP_SUM32 = " + ".join(
+    f"CASE WHEN bit_{b} > 0 THEN {2**b} ELSE 0 END" for b in range(32)
+)
+
 L04_SQL = f"""
 WITH toks AS ({_TOKS}),
 flat AS (SELECT doc_id, unnest(words) AS token FROM toks),
@@ -1498,23 +1511,25 @@ FROM assigned x LEFT JOIN dropped d ON x.vec_id = d.vec_id
 
 # --------------------------------------------------------------------- l45
 def l45_hamming_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    """Hamming-ball near-dup pairs over l04's SimHash fingerprints via
-    the multi-index pigeonhole block join (radius 2, 4 blocks of 4
-    bits) — candidate pairs come from block equi-joins, never N²
-    (llmops.dedup.hamming_neardup_pairs)."""
-    fps = simhash_fingerprints(load_table(spark, sf, "documents"), bits=16)
-    return hamming_neardup_pairs(fps, radius=2, bits=16, n_blocks=4)
+    """Hamming-ball near-dup pairs over SimHash fingerprints via the
+    multi-index pigeonhole block join (radius 2, 4 blocks of 8 bits
+    over a 32-bit fingerprint — wider than l04's 16-bit display
+    fingerprint so each block keys 256 buckets, not 16; see the
+    _BIT_VOTES32 note) — candidate pairs come from block equi-joins,
+    never N² (llmops.dedup.hamming_neardup_pairs)."""
+    fps = simhash_fingerprints(load_table(spark, sf, "documents"), bits=32)
+    return hamming_neardup_pairs(fps, radius=2, bits=32, n_blocks=4)
 
 
 L45_SQL = f"""
 WITH toks AS ({_TOKS}),
 flat AS (SELECT doc_id, unnest(words) AS token FROM toks),
 h AS (SELECT doc_id, {_sql_md5_long('token')} AS h FROM flat),
-v AS (SELECT doc_id, {_BIT_VOTES} FROM h GROUP BY doc_id),
-fps AS (SELECT doc_id, CAST({_FP_SUM} AS BIGINT) AS simhash FROM v),
+v AS (SELECT doc_id, {_BIT_VOTES32} FROM h GROUP BY doc_id),
+fps AS (SELECT doc_id, CAST({_FP_SUM32} AS BIGINT) AS simhash FROM v),
 blocks AS (
   SELECT doc_id, simhash, blk.b AS blk,
-         (simhash >> (blk.b * 4)) & 15 AS key
+         (simhash >> (blk.b * 8)) & 255 AS key
   FROM fps, (VALUES (0), (1), (2), (3)) blk(b)),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
