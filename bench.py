@@ -83,6 +83,17 @@ HEADLINE = [
     "l47_token_concentration",
     "r61_seasonal_anomaly",
     "rs17_rfm_segments",
+    # round-3 continuation: stats/CDC/profile, decayed recsys, segment
+    # dedup, PQ, debounce
+    "r62_chisq_independence",
+    "r63_snapshot_diff",
+    "r64_disjunctive_pushdown",
+    "r65_table_profile",
+    "rs18_decayed_covisitation",
+    "rs19_bias_baseline",
+    "l48_segment_dedup",
+    "l49_pq_encode",
+    "s12_debounce",
 ]
 
 
