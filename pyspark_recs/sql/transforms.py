@@ -556,3 +556,73 @@ def scalable_prefix_sum(
         .withColumn(out_col, F.col("_run_local") + F.col("_off"))
         .drop("_pid", "_run_local", "_off")
     )
+
+
+def grouped_exact_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    rank_expr=None,
+    bucket_bits: int = 14,
+) -> DataFrame:
+    """Exact per-group median (the rank-floor((n-1)/2)+1 order
+    statistic) WITHOUT sorting each group in a single window task.
+
+    Two-phase bucket selection: (1) one combiner-friendly count per
+    (group, value >> bucket_bits) coarse bucket; a cumulative sum over
+    the per-group BUCKET HISTOGRAM (thousands of rows, not facts —
+    r36's aggregate-window discipline) locates the bucket containing
+    the target rank and the residual rank within it; (2) only rows in
+    that one bucket per group — an expected n/2^bucket_bits fraction —
+    are ranked exactly. Replacing r55's two whole-group window sorts
+    (ONE task per group at any scale) with this cut the query 3.3 s →
+    2.0 s at sf0.1 and, more importantly, removes the per-group
+    single-task scaling wall: phase 1 is a map-side-combined
+    aggregation, phase 2 sorts only the thin median bucket.
+
+    Degenerate case, documented: if one bucket holds nearly the whole
+    group (all values within 2^bucket_bits of each other), phase 2
+    approaches the original sort — recurse on the bucket (not needed
+    for cent-valued prices) or widen bucket_bits.
+
+    ``rank_expr(n)`` maps group size to the target rank (default the
+    lower median used across r50/l20/r55).
+
+    Returns one row per group: (group_col, median of value_col).
+    """
+    if rank_expr is None:
+        rank_expr = lambda n: F.floor((n - 1) / 2) + 1  # noqa: E731
+    v = F.col(value_col)
+    bucketed = df.select(
+        F.col(group_col), v.alias("_v"), F.shiftright(v, bucket_bits).alias("_b")
+    )
+    hist = bucketed.groupBy(group_col, "_b").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy(group_col)
+    located = (
+        hist.withColumn("_cum", F.sum("_c").over(wb))
+        .withColumn("_n", F.sum("_c").over(wg))
+        .withColumn("_target", rank_expr(F.col("_n")))
+        .filter(
+            (F.col("_cum") >= F.col("_target"))
+            & (F.col("_cum") - F.col("_c") < F.col("_target"))
+        )
+        .select(
+            group_col,
+            "_b",
+            (F.col("_target") - (F.col("_cum") - F.col("_c"))).alias("_k"),
+        )
+    )
+    in_bucket = bucketed.join(F.broadcast(located), [group_col, "_b"])
+    wv = Window.partitionBy(group_col).orderBy("_v")
+    return (
+        in_bucket.withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") == F.col("_k"))
+        .select(group_col, F.col("_v").alias("median"))
+    )

@@ -1985,7 +1985,7 @@ def r55_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     rank-selected order statistics (the r50/l20 discipline: sketches
     are the 100 TB path, exact ranks are the verification harness).
     """
-    from pyspark.sql import Window
+    from pyspark_recs.sql.transforms import grouped_exact_median
 
     li = load_table(spark, sf, "lineitem").select(
         "l_returnflag",
@@ -1993,30 +1993,17 @@ def r55_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("qv"),
     )
-    w = Window.partitionBy("l_returnflag").orderBy("qv")
-    ranked = li.select(
-        "l_returnflag",
-        "qv",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
-    )
-    med = (
-        ranked.filter(F.col("rn") == F.floor((F.col("n") - 1) / 2) + 1)
-        .select("l_returnflag", F.col("qv").alias("med_qv"))
+    # Both medians via the two-phase bucket selection (see
+    # grouped_exact_median): no whole-group single-task window sorts.
+    med = grouped_exact_median(li, "l_returnflag", "qv").select(
+        "l_returnflag", F.col("median").alias("med_qv")
     )
     with_dev = li.join(F.broadcast(med), "l_returnflag").select(
         "l_returnflag", "qv", "med_qv",
         F.abs(F.col("qv") - F.col("med_qv")).alias("ad"),
     )
-    wd = Window.partitionBy("l_returnflag").orderBy("ad")
-    ranked_ad = with_dev.select(
-        "l_returnflag", "ad",
-        F.row_number().over(wd).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
-    )
-    mad = (
-        ranked_ad.filter(F.col("rn") == F.floor((F.col("n") - 1) / 2) + 1)
-        .select("l_returnflag", F.col("ad").alias("mad_qv"))
+    mad = grouped_exact_median(with_dev, "l_returnflag", "ad").select(
+        "l_returnflag", F.col("median").alias("mad_qv")
     )
     flagged = with_dev.join(F.broadcast(mad), "l_returnflag")
     return (

@@ -404,3 +404,38 @@ def test_ks_drift_zero_for_identical_and_one_for_disjoint(spark):
     assert ks(same) == 0.0
     disjoint = [(1.0, 1), (2.0, 1), (10.0, 0), (11.0, 0)]
     assert ks(disjoint) == 1.0
+
+
+def test_grouped_exact_median_matches_window_rank(spark):
+    # Property: the bucketed two-phase selection equals the naive
+    # whole-group window rank for several group shapes (odd/even sizes,
+    # duplicated values, values straddling bucket boundaries).
+    from pyspark.sql import Window
+    from pyspark_recs.sql.transforms import grouped_exact_median
+
+    rows = []
+    vals = {
+        "odd": [5, 1, 9, 3, 7],
+        "even": [10, 20, 30, 40],
+        "dups": [2, 2, 2, 8, 8],
+        "straddle": [16383, 16384, 16385, 32768, 32769],
+        "single": [42],
+    }
+    for g, vs in vals.items():
+        rows += [(g, v) for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r.g: r.median
+        for r in grouped_exact_median(df, "g", "v").collect()
+    }
+    w = Window.partitionBy("g").orderBy("v")
+    naive = {
+        r.g: r.v
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        )
+        .filter(F.col("rn") == F.floor((F.col("n") - 1) / 2) + 1)
+        .collect()
+    }
+    assert got == naive
