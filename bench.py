@@ -94,6 +94,9 @@ HEADLINE = [
     "l48_segment_dedup",
     "l49_pq_encode",
     "s12_debounce",
+    "l50_hybrid_search",
+    "l51_minhash_jaccard_audit",
+    "rs20_rec_coverage",
 ]
 
 

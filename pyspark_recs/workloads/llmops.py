@@ -1735,6 +1735,218 @@ FROM best GROUP BY vec_id
 """
 
 
+# --------------------------------------------------------------------- l50
+def l50_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval (the standard RAG serving shape): BM25 keyword
+    candidates re-ranked by embedding cosine, blended 50/50 after
+    max-normalizing the lexical score — keyword recall + semantic
+    precision in one query. Composes l33's log-free BM25 with l06's
+    fixed-point cosine; documents pair with embeddings by id (the
+    testdata's doc_id ↔ vec_id correspondence), the query embedding is
+    vector 0 (the l06 query-side convention).
+
+    Scale: BM25 narrows to top-20 BEFORE any vector work (the cheap
+    lexical stage gates the expensive semantic stage — the whole point
+    of hybrid serving); the re-rank then touches 20 vectors via an
+    id equi-join, and the max-normalizer is a 1-row broadcast.
+    """
+    from pyspark_recs.llmops.search import bm25_topk
+    from pyspark_recs.llmops.similarity import _fixed_dot
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    cand = bm25_topk(docs, _BM25_TERMS, k=20).select("doc_id", "score")
+    mx = cand.agg(F.max("score").alias("maxs"))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    hy = (
+        cand.join(emb, cand.doc_id == emb.vec_id)
+        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "doc_id",
+            "score",
+            (
+                _fixed_dot(F.col("embedding"), F.col("qv"))
+                / (
+                    F.sqrt(_fixed_dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(_fixed_dot(F.col("qv"), F.col("qv")))
+                )
+            ).alias("cosine"),
+            "maxs",
+        )
+        .select(
+            "doc_id",
+            "score",
+            "cosine",
+            (
+                F.lit(0.5) * (F.col("score") / F.col("maxs"))
+                + F.lit(0.5) * F.col("cosine")
+            ).alias("hybrid"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("hybrid"), F.asc("doc_id"))
+    return (
+        hy.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "doc_id", "score", "cosine", "hybrid")
+    )
+
+
+L50_SQL = f"""
+WITH toks AS ({_TOKS}),
+lens AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM toks),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM lens),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter(words, w -> w IN ({_BM25_IN}))) AS term
+        FROM toks)
+  GROUP BY doc_id, term),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT t.doc_id,
+         CAST(floor(
+           ((s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * ((t.tf * 2.2)
+              / (t.tf + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl)))
+           * 1000000000.0 + 0.5) AS BIGINT) AS c
+  FROM tf t
+  JOIN dft d USING (term)
+  JOIN lens l USING (doc_id)
+  CROSS JOIN stats s),
+scores AS (
+  SELECT doc_id, CAST(sum(c) AS DOUBLE) / 1000000000.0 AS score
+  FROM contrib GROUP BY doc_id),
+cand AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id LIMIT 20),
+mx AS (SELECT max(score) AS maxs FROM cand),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+hy AS (
+  SELECT c.doc_id, c.score,
+         ({_FIXED_DOT.format(a='e.embedding', b='q.qv')})
+           / (sqrt({_FIXED_DOT.format(a='e.embedding', b='e.embedding')})
+              * sqrt({_FIXED_DOT.format(a='q.qv', b='q.qv')})) AS cosine,
+         mx.maxs
+  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id, q, mx)
+SELECT CAST(row_number() OVER (ORDER BY hybrid DESC, doc_id) AS INTEGER)
+         AS rank,
+       doc_id, score, cosine, hybrid
+FROM (SELECT doc_id, score, cosine,
+             0.5 * (score / maxs) + 0.5 * cosine AS hybrid
+      FROM hy)
+ORDER BY hybrid DESC, doc_id LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------- l51
+def l51_minhash_jaccard_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-quality audit for the MinHash pipeline (the r27/r50
+    bounded-check discipline applied to l02/l03): for every LSH
+    candidate pair, the signature-agreement estimate of Jaccard
+    (matching permutations / k) side by side with the EXACT Jaccard
+    over the integer shingle-hash sets, plus the absolute error. This
+    is the measurement that justifies banding thresholds in production
+    — k=8 permutations give a coarse (1/8-granular) estimator, which
+    is exactly what the audit exposes.
+
+    Scale: estimates need only the (id, 8 ints) signature rows for the
+    CANDIDATE pairs (never all pairs); the exact side joins the
+    distinct shingle-hash arrays for those same candidates only.
+    """
+    from pyspark_recs.llmops.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_hashes,
+    )
+    from pyspark_recs.llmops.hashing import MINHASH_COEFFS
+
+    docs = load_table(spark, sf, "documents")
+    k = len(MINHASH_COEFFS)
+    sigs = minhash_signatures(docs)
+    cand = lsh_candidate_pairs(sigs, rows_per_band=2)
+    sig_a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{i}").alias(f"sa_{i}") for i in range(k)],
+    )
+    sig_b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{i}").alias(f"sb_{i}") for i in range(k)],
+    )
+    matches = sum(
+        (
+            (F.col(f"sa_{i}") == F.col(f"sb_{i}")).cast("int")
+            for i in range(k)
+        ),
+        F.lit(0),
+    )
+    grams = docs.filter(F.size(tokens(F.col("text"))) >= 3).select(
+        "doc_id", F.array_distinct(shingle_hashes(F.col("text"))).alias("hs")
+    )
+    g_a = grams.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    g_b = grams.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    return (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .join(g_a, "doc_a")
+        .join(g_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / F.lit(float(k))).alias("est_jaccard"),
+            (
+                F.size(F.array_intersect("ha", "hb")).cast("double")
+                / F.size(F.array_union("ha", "hb")).cast("double")
+            ).alias("exact_jaccard"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            "exact_jaccard",
+            F.abs(F.col("est_jaccard") - F.col("exact_jaccard")).alias(
+                "abs_err"
+            ),
+        )
+    )
+
+
+_SIG_MATCHES = " + ".join(
+    f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END" for i in range(8)
+)
+
+L51_SQL = f"""
+WITH toks AS ({_TOKS}),
+{_INT_SHINGLE_CTES.strip()},
+sigs AS (SELECT doc_id, {_SIG_SELECTS} FROM ihs),
+buckets AS (
+  SELECT doc_id, unnest([{_BAND_KEYS}]) AS band_key FROM sigs),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM buckets x JOIN buckets y
+    ON x.band_key = y.band_key AND x.doc_id < y.doc_id)
+SELECT c.doc_a, c.doc_b,
+       CAST({_SIG_MATCHES} AS DOUBLE) / 8.0 AS est_jaccard,
+       CAST(len(list_intersect(ga.hs, gb.hs)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(ga.hs, gb.hs))) AS DOUBLE)
+         AS exact_jaccard,
+       abs(CAST({_SIG_MATCHES} AS DOUBLE) / 8.0
+           - CAST(len(list_intersect(ga.hs, gb.hs)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(ga.hs, gb.hs))) AS DOUBLE))
+         AS abs_err
+FROM cand c
+JOIN sigs a ON a.doc_id = c.doc_a
+JOIN sigs b ON b.doc_id = c.doc_b
+JOIN ihs ga ON ga.doc_id = c.doc_a
+JOIN ihs gb ON gb.doc_id = c.doc_b
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -1785,6 +1997,8 @@ QUERIES = {
     "l47_token_concentration": l47_token_concentration,
     "l48_segment_dedup": l48_segment_dedup,
     "l49_pq_encode": l49_pq_encode,
+    "l50_hybrid_search": l50_hybrid_search,
+    "l51_minhash_jaccard_audit": l51_minhash_jaccard_audit,
 }
 
 ORACLE = {
@@ -1837,4 +2051,6 @@ ORACLE = {
     "l47_token_concentration": L47_SQL,
     "l48_segment_dedup": L48_SQL,
     "l49_pq_encode": L49_SQL,
+    "l50_hybrid_search": L50_SQL,
+    "l51_minhash_jaccard_audit": L51_SQL,
 }

@@ -1203,6 +1203,68 @@ SELECT 'user' AS entity, user_id AS entity_id, b_u AS bias FROM ub
 """
 
 
+# --------------------------------------------------------------------- rs20
+def rs20_rec_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Recommender evaluation beyond accuracy: catalog coverage and
+    concentration of the rs05 item-item top-5 lists — the two health
+    metrics that catch a recommender collapsing onto its head items
+    (high recall, useless assortment). coverage = recommended distinct
+    items / catalog items; top_item_share = the most-recommended
+    item's fraction of all recommendation slots. Exact integer counts,
+    one final double division each.
+
+    Scale: reuses the bounded rs05 pipeline; the metrics are two
+    combiner-friendly aggregations over its (≤ 5·items)-row output and
+    a distinct over the interaction items.
+    """
+    recs = rs05_item_cooccurrence(spark, sf)
+    catalog = _interactions(spark, sf).agg(
+        F.countDistinct("item_id").alias("n_catalog")
+    )
+    per_item = recs.groupBy("item_b").agg(F.count(F.lit(1)).alias("n_slots"))
+    return (
+        per_item.agg(
+            F.count(F.lit(1)).alias("n_recommended"),
+            F.sum("n_slots").alias("n_slots_total"),
+            F.max("n_slots").alias("max_slots"),
+        )
+        .crossJoin(F.broadcast(catalog))
+        .select(
+            "n_catalog",
+            "n_recommended",
+            (
+                F.col("n_recommended").cast("double")
+                / F.col("n_catalog").cast("double")
+            ).alias("coverage"),
+            (
+                F.col("max_slots").cast("double")
+                / F.col("n_slots_total").cast("double")
+            ).alias("top_item_share"),
+        )
+    )
+
+
+RS20_SQL = f"""
+WITH recs AS ({RS05_SQL}),
+catalog AS (
+  SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_catalog
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+per_item AS (
+  SELECT item_b, CAST(count(*) AS BIGINT) AS n_slots
+  FROM recs GROUP BY item_b),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_recommended,
+         CAST(sum(n_slots) AS BIGINT) AS n_slots_total,
+         CAST(max(n_slots) AS BIGINT) AS max_slots
+  FROM per_item)
+SELECT n_catalog, n_recommended,
+       CAST(n_recommended AS DOUBLE) / CAST(n_catalog AS DOUBLE) AS coverage,
+       CAST(max_slots AS DOUBLE) / CAST(n_slots_total AS DOUBLE)
+         AS top_item_share
+FROM m, catalog
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -1223,6 +1285,7 @@ QUERIES = {
     "rs17_rfm_segments": rs17_rfm_segments,
     "rs18_decayed_covisitation": rs18_decayed_covisitation,
     "rs19_bias_baseline": rs19_bias_baseline,
+    "rs20_rec_coverage": rs20_rec_coverage,
 }
 
 ORACLE = {
@@ -1245,4 +1308,5 @@ ORACLE = {
     "rs17_rfm_segments": RS17_SQL,
     "rs18_decayed_covisitation": RS18_SQL,
     "rs19_bias_baseline": RS19_SQL,
+    "rs20_rec_coverage": RS20_SQL,
 }
