@@ -97,6 +97,8 @@ HEADLINE = [
     "l50_hybrid_search",
     "l51_minhash_jaccard_audit",
     "rs20_rec_coverage",
+    "l52_weighted_sample",
+    "r66_trimmed_mean",
 ]
 
 

@@ -1947,6 +1947,57 @@ JOIN ihs gb ON gb.doc_id = c.doc_b
 """
 
 
+# --------------------------------------------------------------------- l52
+def l52_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted systematic sampling of the corpus (sample documents
+    proportional to an integer weight — here n_chars, in production a
+    quality score): walk the cumulative-weight line and take one
+    document per ``step = total/target`` of mass, i.e. keep a row iff
+    its weight interval (cum−w, cum] contains a step tick. The
+    training-data mixing primitive behind "sample 10 B tokens
+    proportional to quality": exact BIGINT arithmetic end to end — no
+    RNG, no pow/log — so the SAME sample comes out on any engine,
+    partitioning or cluster size (l24's hash-sampling guarantee, but
+    weight-proportional).
+
+    Scale: the cumulative line rides ``scalable_prefix_sum`` (range
+    partition + parallel local cumsums + broadcast offsets — no
+    single-task global window), the total is a 1-row broadcast, and
+    selection is a codegen'd filter.
+    """
+    from pyspark_recs.sql.transforms import scalable_prefix_sum
+
+    target = 100
+    docs = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    cum = scalable_prefix_sum(docs, "doc_id", "n_chars", out_col="cum")
+    total = docs.agg(F.sum("n_chars").alias("total"))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .withColumn("step", F.expr(f"total div {target}"))
+        .filter(
+            F.expr("cum div step") > F.expr("(cum - n_chars) div step")
+        )
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            F.expr("CAST(cum div step AS BIGINT)").alias("tick"),
+        )
+    )
+
+
+L52_SQL = """
+WITH w AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents),
+t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total FROM documents),
+s AS (SELECT doc_id, n_chars, cum, total // 100 AS step FROM w, t)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       CAST(cum // step AS BIGINT) AS tick
+FROM s WHERE cum // step > (cum - n_chars) // step
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -1999,6 +2050,7 @@ QUERIES = {
     "l49_pq_encode": l49_pq_encode,
     "l50_hybrid_search": l50_hybrid_search,
     "l51_minhash_jaccard_audit": l51_minhash_jaccard_audit,
+    "l52_weighted_sample": l52_weighted_sample,
 }
 
 ORACLE = {
@@ -2053,4 +2105,5 @@ ORACLE = {
     "l49_pq_encode": L49_SQL,
     "l50_hybrid_search": L50_SQL,
     "l51_minhash_jaccard_audit": L51_SQL,
+    "l52_weighted_sample": L52_SQL,
 }

@@ -2808,6 +2808,65 @@ SELECT 'o_totalprice_cents', n_rows, n_rows - nn_price, nd_price,
 """
 
 
+# --------------------------------------------------------------------- r66
+def r66_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group 10% trimmed mean via a GROUPED_AGG pandas UDF — the
+    robust-location statistic, and deliberately the one §2.8 UDF
+    flavor the suite hadn't exercised yet (scalar pandas_udf,
+    mapInPandas, grouped-map, stateful, and UDTF all have queries;
+    this is the Arrow-vectorized custom AGGREGATE). The trim drops the
+    k = ⌊n/10⌋ smallest and largest values; because trimming is by
+    VALUE rank, the retained multiset — hence the mean — is
+    deterministic regardless of row order, and the sum is int64 so the
+    single final division matches the SQL twin bit-for-bit.
+
+    Scale: grouped-agg buffers ONE GROUP's column in memory
+    (Arrow-batched) — fine for per-source statistics (groups ≪ rows);
+    for billion-row groups use the r50 sketch path instead. The oracle
+    twin is the relational rank-filter form, which is also the pure-SQL
+    fallback when group sizes are unbounded.
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType given explicitly: this module runs under
+    # `from __future__ import annotations`, which stringifies the
+    # pd.Series annotations the inference path needs.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(v):
+        vals = v.sort_values().to_numpy()
+        k = len(vals) // 10
+        kept = vals[k : len(vals) - k]
+        return float(int(kept.sum()) / len(kept))
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        # Spark disallows mixing pandas and JVM aggregates in one agg
+        # (INVALID_PANDAS_UDF_PLACEMENT), so the count rides Arrow too.
+        return len(v)
+
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        n_rows("n_chars").alias("n_docs"),
+        trimmed_mean("n_chars").alias("trimmed_mean_chars"),
+    )
+
+
+R66_SQL = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents),
+kept AS (
+  SELECT source, n_chars, n FROM ranked
+  WHERE rn > n // 10 AND rn <= n - n // 10)
+SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS trimmed_mean_chars
+FROM kept GROUP BY source
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -2874,6 +2933,7 @@ QUERIES = {
     "r63_snapshot_diff": r63_snapshot_diff,
     "r64_disjunctive_pushdown": r64_disjunctive_pushdown,
     "r65_table_profile": r65_table_profile,
+    "r66_trimmed_mean": r66_trimmed_mean,
 }
 
 ORACLE = {
@@ -2941,6 +3001,7 @@ ORACLE = {
     "r63_snapshot_diff": R63_SQL,
     "r64_disjunctive_pushdown": R64_SQL,
     "r65_table_profile": R65_SQL,
+    "r66_trimmed_mean": R66_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }

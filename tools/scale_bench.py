@@ -65,6 +65,14 @@ HEADLINE = [
     "r56_set_ops",
     "r57_pagerank_trade",  # nation graph is N²-bounded at any fact scale
     "rs15_association_rules",  # replicas are NEW orders: baskets keep size
+    # round-3 continuation fact-table queries (event/document-family
+    # additions rs18/s12/l48-l51 excluded: their tables aren't replicated)
+    "r62_chisq_independence",
+    "r63_snapshot_diff",
+    "r64_disjunctive_pushdown",
+    "r65_table_profile",
+    "rs19_bias_baseline",
+    "rs20_rec_coverage",
     # rs11 deliberately excluded: key-shift replication multiplies edges
     # over a FIXED node set, so the graph densifies quadratically — not
     # the growth shape of a real co-purchase graph (nodes grow too).
