@@ -745,3 +745,20 @@ def test_pq_encode_codebook_vectors_have_zero_error(spark):
             assert 0 <= r[f"code_{m}"] < 16
         if r.vec_id in ids16:
             assert r.sq_error == 0.0, r
+
+
+def test_weighted_sample_covers_heavy_docs_and_hits_target(spark):
+    from pyspark_recs.workloads.llmops import l52_weighted_sample
+
+    out = l52_weighted_sample(spark, "/root/testdata/sf0.001").collect()
+    # systematic sampling takes ~target rows (one per step of mass);
+    # a row can carry several ticks, so <= target + slack, >= target/2
+    assert 50 <= len(out) <= 110
+    # determinism: same sample on a differently-partitioned rerun
+    again = {
+        r.doc_id
+        for r in l52_weighted_sample(spark, "/root/testdata/sf0.001")
+        .repartition(7)
+        .collect()
+    }
+    assert {r.doc_id for r in out} == again
