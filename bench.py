@@ -99,6 +99,7 @@ HEADLINE = [
     "rs20_rec_coverage",
     "l52_weighted_sample",
     "r66_trimmed_mean",
+    "rs21_coldstart_fallback",
 ]
 
 

@@ -664,3 +664,52 @@ def streaming_debounce(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_idempotent_window_sink(
+    events: DataFrame,
+    out_dir: str,
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "2 days",
+):
+    """Exactly-once-by-idempotence streaming sink: the watermarked
+    tumbling aggregate lands in a parquet table PARTITIONED BY window
+    start, written via foreachBatch with DYNAMIC partition overwrite —
+    re-processing a micro-batch (failure/restart replay) rewrites the
+    same partitions with the same content instead of appending
+    duplicates. This is the production pattern for streaming aggregates
+    into a lake table when the sink has no transactional upsert: the
+    (window) partition is the idempotency key.
+
+    Returns ``(aggregate, foreachBatch_fn)``; the caller wires them:
+    ``agg.writeStream.outputMode("update").foreachBatch(fn).start()``.
+    The companion reader is a plain ``spark.read.parquet(out_dir)``.
+
+    Scale: each micro-batch overwrites only the partitions it touches
+    (dynamic mode); closed windows stop changing once the watermark
+    passes, so steady-state batches rewrite a bounded set of recent
+    partitions.
+    """
+    agg = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).start.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.sparkSession.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+        )
+        (
+            batch.write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(out_dir)
+        )
+
+    return agg, write_batch

@@ -1265,6 +1265,124 @@ FROM m, catalog
 """
 
 
+# --------------------------------------------------------------------- rs21
+def rs21_coldstart_fallback(spark: SparkSession, sf: str) -> DataFrame:
+    """Serving-time fallback chain: every catalog item gets exactly
+    up-to-5 similar items — collaborative (rs05 co-occurrence)
+    neighbors first, topped up from same-brand popularity when CF is
+    thin — the production answer to cold-start items that rs20's
+    coverage metric exposes. Dedup keeps the CF edge when both sources
+    propose the same pair (min(struct(priority, rank)) — no window),
+    and the final per-item cut is one WindowGroupLimit.
+
+    Scale: CF input is already ≤5 rows/item; brand candidates are
+    capped to the top-10 popular items per brand BEFORE the item-level
+    join fans out (cap-then-expand, the rs05 discipline), so fallback
+    volume is ≤10·items regardless of brand skew.
+    """
+    cf = rs05_item_cooccurrence(spark, sf).select(
+        "item_a",
+        "item_b",
+        F.lit(0).alias("priority"),
+        F.col("rank").cast("long").alias("src_rank"),
+    )
+    inter = _interactions(spark, sf)
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    pop = (
+        inter.groupBy("item_id")
+        .agg(F.sum("n_purchases").alias("n_total"))
+        .join(F.broadcast(part), F.col("item_id") == F.col("p_partkey"))
+        .select("item_id", "p_brand", "n_total")
+    )
+    brand_top = top_k_per_group(
+        pop,
+        partition_cols=["p_brand"],
+        order_cols=[F.desc("n_total"), F.asc("item_id")],
+        k=10,
+        rank_alias="brank",
+    )
+    brand_cand = (
+        pop.select("item_id", "p_brand")
+        .join(
+            brand_top.select(
+                F.col("p_brand"),
+                F.col("item_id").alias("cand"),
+                F.col("brank").cast("long").alias("src_rank"),
+            ),
+            "p_brand",
+        )
+        .filter(F.col("item_id") != F.col("cand"))
+        .select(
+            F.col("item_id").alias("item_a"),
+            F.col("cand").alias("item_b"),
+            F.lit(1).alias("priority"),
+            "src_rank",
+        )
+    )
+    merged = (
+        cf.unionByName(brand_cand)
+        .groupBy("item_a", "item_b")
+        .agg(F.min(F.struct("priority", "src_rank")).alias("best"))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("best.priority").alias("priority"),
+            F.col("best.src_rank").alias("src_rank"),
+        )
+    )
+    return top_k_per_group(
+        merged,
+        partition_cols=["item_a"],
+        order_cols=[
+            F.asc("priority"),
+            F.asc("src_rank"),
+            F.asc("item_b"),
+        ],
+        k=5,
+        rank_alias="rank",
+    ).select("item_a", "item_b", "priority", "rank")
+
+
+RS21_SQL = f"""
+WITH cf AS ({RS05_SQL}),
+inter AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id,
+         CAST(count(*) AS BIGINT) AS n_purchases
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_partkey),
+pop AS (
+  SELECT i.item_id, p.p_brand, CAST(sum(i.n_purchases) AS BIGINT) AS n_total
+  FROM inter i JOIN part p ON i.item_id = p.p_partkey
+  GROUP BY i.item_id, p.p_brand),
+brand_top AS (
+  SELECT p_brand, item_id AS cand, brank FROM (
+    SELECT p_brand, item_id,
+           row_number() OVER (PARTITION BY p_brand
+                              ORDER BY n_total DESC, item_id) AS brank
+    FROM pop)
+  WHERE brank <= 10),
+cand AS (
+  SELECT item_a, item_b, 0 AS priority, CAST(rank AS BIGINT) AS src_rank
+  FROM cf
+  UNION ALL
+  SELECT p.item_id AS item_a, b.cand AS item_b, 1 AS priority,
+         CAST(b.brank AS BIGINT) AS src_rank
+  FROM pop p JOIN brand_top b USING (p_brand)
+  WHERE p.item_id <> b.cand),
+merged AS (
+  SELECT item_a, item_b,
+         min(priority * 1000000 + src_rank) AS pk
+  FROM cand GROUP BY item_a, item_b)
+SELECT item_a, item_b, priority, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT item_a, item_b,
+         CAST(pk // 1000000 AS INTEGER) AS priority,
+         row_number() OVER (PARTITION BY item_a
+                            ORDER BY pk, item_b) AS rank
+  FROM merged)
+WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -1286,6 +1404,7 @@ QUERIES = {
     "rs18_decayed_covisitation": rs18_decayed_covisitation,
     "rs19_bias_baseline": rs19_bias_baseline,
     "rs20_rec_coverage": rs20_rec_coverage,
+    "rs21_coldstart_fallback": rs21_coldstart_fallback,
 }
 
 ORACLE = {
@@ -1309,4 +1428,5 @@ ORACLE = {
     "rs18_decayed_covisitation": RS18_SQL,
     "rs19_bias_baseline": RS19_SQL,
     "rs20_rec_coverage": RS20_SQL,
+    "rs21_coldstart_fallback": RS21_SQL,
 }

@@ -2727,39 +2727,54 @@ def r65_table_profile(spark: SparkSession, sf: str) -> DataFrame:
     the ingest-gate report every pipeline runs before accepting a new
     drop, and the per-column stats a catalog/optimizer records.
 
-    One SELECT computes all columns' aggregates; the multi-distinct is
-    planned through ONE Expand (k× the input fed into a single shuffle
-    of partial aggregates — k small and fixed by the schema, never the
-    data). Min/max are canonicalized engine-portably: numerics as
-    scaled-integer strings (double repr differs between engines), dates
-    as ISO strings. The long format comes from a 4-row stack of the
-    1-row aggregate — no second pass.
+    The counts/min/max for ALL columns come from one hash-aggregate
+    scan; each exact distinct count is its OWN two-stage hash
+    aggregation (partial distinct map-side) crossJoined back as a
+    1-row broadcast. Packing the four distincts into a single SELECT
+    reads nicer but plans as Expand (k× the rows) feeding a
+    SORT-aggregate with first()-FILTER combiners — measured 4× slower
+    at sf0.1 and 8.3 s vs 0.75 s at 10× facts; four pruned
+    single-column scans beat one k-fold row expansion. Min/max are
+    canonicalized engine-portably: numerics as scaled-integer strings
+    (double repr differs between engines), dates as ISO strings. The
+    long format comes from a 4-row stack of the 1-row aggregate — no
+    second pass.
     """
     orders = load_table(spark, sf, "orders")
     price_c = F.floor(F.col("o_totalprice") * F.lit(100) + F.lit(0.5)).cast(
         "long"
     )
-    agg = orders.select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", price_c.alias("price_c")
-    ).agg(
+    base = orders.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        price_c.alias("price_c"),
+    )
+    plain = base.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("o_custkey").alias("nn_cust"),
-        F.countDistinct("o_custkey").alias("nd_cust"),
         F.min("o_custkey").cast("string").alias("mn_cust"),
         F.max("o_custkey").cast("string").alias("mx_cust"),
         F.count("o_orderstatus").alias("nn_status"),
-        F.countDistinct("o_orderstatus").alias("nd_status"),
         F.min("o_orderstatus").alias("mn_status"),
         F.max("o_orderstatus").alias("mx_status"),
         F.count("o_orderdate").alias("nn_date"),
-        F.countDistinct("o_orderdate").alias("nd_date"),
         F.min("o_orderdate").cast("date").cast("string").alias("mn_date"),
         F.max("o_orderdate").cast("date").cast("string").alias("mx_date"),
         F.count("price_c").alias("nn_price"),
-        F.countDistinct("price_c").alias("nd_price"),
         F.min("price_c").cast("string").alias("mn_price"),
         F.max("price_c").cast("string").alias("mx_price"),
     )
+    agg = plain
+    for col, alias in (
+        ("o_custkey", "nd_cust"),
+        ("o_orderstatus", "nd_status"),
+        ("o_orderdate", "nd_date"),
+        ("price_c", "nd_price"),
+    ):
+        agg = agg.crossJoin(
+            F.broadcast(base.agg(F.countDistinct(col).alias(alias)))
+        )
     return agg.selectExpr(
         """stack(4,
            'o_custkey',     n_rows, n_rows - nn_cust,   nd_cust,   mn_cust,   mx_cust,

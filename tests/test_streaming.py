@@ -563,3 +563,38 @@ def test_debounce_batch_fold_hand_computed(spark):
     finally:
         L.load_table = orig
     assert (row.n_events, row.n_kept) == (5, 3)
+
+
+def test_idempotent_window_sink_replay_safe(spark, event_dir, tmp_path):
+    # Restarting the stream from scratch (new checkpoint, same input)
+    # must NOT duplicate rows in the sink: dynamic partition overwrite
+    # rewrites the same day-partitions idempotently.
+    from pyspark_recs.streaming.ops import streaming_idempotent_window_sink
+
+    path, schema = event_dir
+    out_dir = str(tmp_path / "sink")
+
+    def run_once(ckpt):
+        stream = read_event_stream(spark, path, schema)
+        agg, fn = streaming_idempotent_window_sink(stream, out_dir)
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(fn)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once("ckpt1")
+    first = sorted(
+        (str(r.day), r.n_events, r.total_value)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    run_once("ckpt2")  # full replay — same partitions rewritten
+    second = sorted(
+        (str(r.day), r.n_events, r.total_value)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert first == second
+    assert len(first) == 2  # two distinct days in the fixture
