@@ -100,6 +100,8 @@ HEADLINE = [
     "l52_weighted_sample",
     "r66_trimmed_mean",
     "rs21_coldstart_fallback",
+    "s13_late_arrival_audit",
+    "r67_min_cost_supplier",
 ]
 
 

@@ -10,6 +10,7 @@ are attached per operator. Reference-parity citations point into
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -528,13 +529,16 @@ def scalable_prefix_sum(
 
     The result is row-identical to the single-task window for any
     boundary placement (offsets absorb whatever the sampler chose), so
-    correctness does not depend on the nondeterministic range split.
-    Requires ``order_col`` values to be unique (pre-aggregate ties
-    first — a sweep line groups simultaneous events anyway).
+    correctness does not depend on where the splits land — but the
+    bucket ids themselves must be CONSISTENT between the local-window
+    branch and the offsets branch, which is why the split uses
+    :func:`_order_bucketed` (deterministic projection) rather than
+    ``repartitionByRange`` + ``spark_partition_id`` (boundaries
+    re-sampled per exchange execution).  Requires ``order_col`` values
+    to be unique (pre-aggregate ties first — a sweep line groups
+    simultaneous events anyway).
     """
-    parted = df.repartitionByRange(num_ranges, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    parted = _order_bucketed(df, order_col, num_ranges)
     w_local = (
         Window.partitionBy("_pid")
         .orderBy(order_col)
@@ -625,4 +629,86 @@ def grouped_exact_median(
         in_bucket.withColumn("_rn", F.row_number().over(wv))
         .filter(F.col("_rn") == F.col("_k"))
         .select(group_col, F.col("_v").alias("median"))
+    )
+
+
+def _order_bucketed(
+    df: DataFrame, order_col: str, num_ranges: int
+) -> DataFrame:
+    """Assign a DETERMINISTIC range-bucket id ``_pid`` to every row.
+
+    ``repartitionByRange`` + ``spark_partition_id`` is the obvious way to
+    split an ordered sweep into parallel ranges, but its boundaries are
+    re-SAMPLED on every physical execution of the exchange: when a plan
+    references the partitioned frame twice (local windows + offsets) and
+    the optimizer does not reuse the exchange, the two branches can see
+    DIFFERENT pid assignments and the broadcast offsets land on the wrong
+    ranges (observed as a nondeterministic s13 oracle mismatch).  Instead
+    we pick split points once via ``approxQuantile`` (one tiny extra scan
+    of the order column — driver holds ≤ num_ranges floats) and derive
+    the bucket id as a pure projection, ``Σ 1[order ≥ split]``, so every
+    branch computes the identical id from the data itself.
+    """
+    qs = [i / num_ranges for i in range(1, num_ranges)]
+    # approxQuantile only speaks numeric; cast timestamps/dates through
+    # double (monotone, so bucket ORDER is preserved — exact boundary
+    # placement is irrelevant by construction).
+    shadowed = df.withColumn("_ordnum", F.col(order_col).cast("double"))
+    splits = shadowed.stat.approxQuantile("_ordnum", qs, 0.001)
+    uniq: list = []
+    for s in splits:
+        if not uniq or s > uniq[-1]:
+            uniq.append(s)
+    pid = reduce(
+        lambda acc, s: acc + (F.col("_ordnum") >= F.lit(s)).cast("int"),
+        uniq,
+        F.lit(0),
+    )
+    return (
+        shadowed.withColumn("_pid", pid)
+        .drop("_ordnum")
+        .repartition(max(len(uniq) + 1, 1), "_pid")
+    )
+
+
+def scalable_prefix_max(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_max",
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Globally-ordered running MAX without a single-task window — the
+    max-monoid sibling of :func:`scalable_prefix_sum` (same two-phase
+    shape: deterministic range buckets, parallel local running max,
+    per-bucket grand maxes prefix-maxed and broadcast back as starting
+    offsets).  Powers arrival-order sweep analytics (s13's late-data
+    audit: running max of event time over arrival order).
+
+    Same uniqueness requirement on ``order_col``; correctness is
+    independent of where the quantile sampler puts the splits for the
+    same reason as the sum variant (offsets absorb the split).
+    """
+    parted = _order_bucketed(df, order_col, num_ranges)
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parted.withColumn("_run_local", F.max(value_col).over(w_local))
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        parted.groupBy("_pid")
+        .agg(F.max(value_col).alias("_tot"))
+        .withColumn("_off", F.max("_tot").over(w_off))
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            out_col, F.greatest(F.col("_run_local"), F.coalesce(F.col("_off"), F.col("_run_local")))
+        )
+        .drop("_pid", "_run_local", "_off")
     )

@@ -57,7 +57,8 @@ _PRIORITY = [
     "s12_debounce", "l49_pq_encode", "r63_snapshot_diff", "rs19_bias_baseline",
     "r64_disjunctive_pushdown", "r65_table_profile", "l50_hybrid_search",
     "l51_minhash_jaccard_audit", "rs20_rec_coverage", "l52_weighted_sample",
-    "r66_trimmed_mean", "rs21_coldstart_fallback",
+    "r66_trimmed_mean", "rs21_coldstart_fallback", "s13_late_arrival_audit",
+    "r67_min_cost_supplier",
     # tier 2 — round-1-verified, unchecked since (drift watch);
     # r45/r46 were green in round 2 but reworked since (de-vacuated
     # constants) so they rotate forward with this tier

@@ -2320,9 +2320,11 @@ def r60_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
     division, so the curve is bit-portable.
 
     Scale: per-value counts aggregate map-side; the two cumulative
-    counts ride ONE range-repartition + per-partition windows + a
-    broadcast offsets table (the scalable_prefix_sum pattern inlined
-    for two columns) — no single-task global window anywhere.
+    counts ride ONE deterministic range-bucketing + per-partition
+    windows + a broadcast offsets table (the scalable_prefix_sum
+    pattern inlined for two columns) — no single-task global window
+    anywhere, and the bucket ids are a pure projection so the local
+    and offsets branches can never disagree on the split.
     """
     orders = load_table(spark, sf, "orders").select(
         "o_orderdate", "o_totalprice"
@@ -2352,9 +2354,9 @@ def r60_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("is_early").alias("n_e"),
         F.sum(1 - F.col("is_early")).alias("n_l"),
     )
-    parted = nets.repartitionByRange(32, F.col("v")).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    from pyspark_recs.sql.transforms import _order_bucketed
+
+    parted = _order_bucketed(nets, "v", 32)
     w_local = (
         Window.partitionBy("_pid")
         .orderBy("v")
@@ -2882,6 +2884,87 @@ FROM kept GROUP BY source
 """
 
 
+# --------------------------------------------------------------------- r67
+def r67_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Minimum-cost supplier per part within a region, PRESERVING ties
+    (TPC-H Q2's defining semantics — r18's max_by/argmax returns one
+    winner, Q2 returns every supplier achieving the minimum): one
+    region-filtered aggregation finds the per-part min cost in exact
+    cents, then an equality join-back keeps all achieving rows. The
+    two-step min-then-join-back is the relational idiom Catalyst can't
+    fuse into max_by when ties must survive.
+
+    Scale: the supplier⋈nation⋈region reduction broadcasts (dims); the
+    min table is part-keyed (bounded by catalog size) and joins back
+    broadcast; the fact scans twice but prunes to 4 columns — at rest,
+    bucketing lineitem on l_partkey co-locates both passes.
+    """
+    li = load_table(spark, sf, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cost_c"),
+    )
+    supplier = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    eu_supp = (
+        supplier.join(
+            F.broadcast(nation),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    offers = li.join(F.broadcast(eu_supp), li.l_suppkey == F.col("s_suppkey"))
+    mins = (
+        offers.groupBy("l_partkey")
+        .agg(F.min("cost_c").alias("min_cost_c"))
+        .withColumnRenamed("l_partkey", "m_partkey")
+    )
+    return (
+        offers.join(
+            F.broadcast(mins),
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("cost_c") == F.col("min_cost_c")),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "n_name",
+            (F.col("min_cost_c").cast("double") / F.lit(100.0)).alias(
+                "min_cost"
+            ),
+        )
+        .distinct()
+    )
+
+
+R67_SQL = """
+WITH eu_supp AS (
+  SELECT s_suppkey, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+offers AS (
+  SELECT l_partkey, s_suppkey, n_name,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cost_c
+  FROM lineitem JOIN eu_supp ON l_suppkey = s_suppkey),
+mins AS (
+  SELECT l_partkey, min(cost_c) AS min_cost_c
+  FROM offers GROUP BY l_partkey)
+SELECT DISTINCT o.l_partkey AS p_partkey, o.s_suppkey, o.n_name,
+       CAST(m.min_cost_c AS DOUBLE) / 100.0 AS min_cost
+FROM offers o JOIN mins m
+  ON o.l_partkey = m.l_partkey AND o.cost_c = m.min_cost_c
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -2949,6 +3032,7 @@ QUERIES = {
     "r64_disjunctive_pushdown": r64_disjunctive_pushdown,
     "r65_table_profile": r65_table_profile,
     "r66_trimmed_mean": r66_trimmed_mean,
+    "r67_min_cost_supplier": r67_min_cost_supplier,
 }
 
 ORACLE = {
@@ -3017,6 +3101,7 @@ ORACLE = {
     "r64_disjunctive_pushdown": R64_SQL,
     "r65_table_profile": R65_SQL,
     "r66_trimmed_mean": R66_SQL,
+    "r67_min_cost_supplier": R67_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }

@@ -569,6 +569,50 @@ FROM folded
 """
 
 
+# --------------------------------------------------------------------- s13
+LATE_THRESHOLD_US = 1800 * 1_000_000  # 30 min
+
+
+def s13_late_arrival_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Late-data audit (the measurement behind every watermark choice):
+    treating event_id as arrival order, each event's lateness is how
+    far event time lags the maximum event time already seen —
+    lateness = running_max(ts) − ts over arrival order. The lateness
+    distribution tells you what `withWatermark` horizon loses which
+    fraction of events; is_late flags the 30-min horizon used by the
+    streaming twins.
+
+    Scale: the running max rides ``transforms.scalable_prefix_max``
+    (range partition + parallel local maxes + broadcast offsets — no
+    single-task global window), exactly the s11 sweep-line discipline
+    applied to the max monoid.
+    """
+    from pyspark_recs.sql.transforms import scalable_prefix_max
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    run = scalable_prefix_max(ev, "event_id", "ts_us", out_col="seen_max")
+    return run.select(
+        "event_id",
+        "user_id",
+        (F.col("seen_max") - F.col("ts_us")).alias("lateness_us"),
+        (
+            F.col("seen_max") - F.col("ts_us") > F.lit(LATE_THRESHOLD_US)
+        ).alias("is_late"),
+    )
+
+
+S13_SQL = f"""
+SELECT event_id, user_id,
+       max(epoch_us(ts)) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+         - epoch_us(ts) AS lateness_us,
+       max(epoch_us(ts)) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+         - epoch_us(ts) > {LATE_THRESHOLD_US} AS is_late
+FROM events
+"""
+
+
 QUERIES = {
     "s01_tumbling_daily": s01_tumbling_daily,
     "s02_sessionize": s02_sessionize,
@@ -582,6 +626,7 @@ QUERIES = {
     "s10_recursive_ewma": s10_recursive_ewma,
     "s11_peak_concurrency": s11_peak_concurrency,
     "s12_debounce": s12_debounce,
+    "s13_late_arrival_audit": s13_late_arrival_audit,
 }
 
 ORACLE = {
@@ -597,4 +642,5 @@ ORACLE = {
     "s10_recursive_ewma": S10_SQL,
     "s11_peak_concurrency": S11_SQL,
     "s12_debounce": S12_SQL,
+    "s13_late_arrival_audit": S13_SQL,
 }
