@@ -102,6 +102,9 @@ HEADLINE = [
     "rs21_coldstart_fallback",
     "s13_late_arrival_audit",
     "r67_min_cost_supplier",
+    "r68_big_spender_orders",
+    "l53_weighted_reservoir",
+    "s14_utouch_attribution",
 ]
 
 

@@ -177,6 +177,30 @@ def compact_parquet(
     return n_files
 
 
+def write_columnar(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    **options,
+) -> None:
+    """Format-agnostic columnar sink (S6 generalized): parquet by
+    default, ORC for ecosystems standardized on Hive/ORC. Both formats
+    keep the two scan properties every query here relies on — column
+    pruning (ReadSchema) and min/max + filter PUSHDOWN into the reader
+    (PushedFilters) — so swapping the at-rest format never changes a
+    plan's shape, only its codec (asserted in tests/test_layout.py).
+    """
+    df.write.format(fmt).mode(mode).options(**options).save(path)
+
+
+def read_columnar(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Source twin of :func:`write_columnar`."""
+    return spark.read.format(fmt).load(path)
+
+
 def predictions_json_log(predictions: DataFrame, path: str) -> None:
     """Experiment-tracking asset (S10, my_merlin_flow.py:376-411): the
     predictions log as JSON lines."""

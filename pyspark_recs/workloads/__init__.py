@@ -58,7 +58,8 @@ _PRIORITY = [
     "r64_disjunctive_pushdown", "r65_table_profile", "l50_hybrid_search",
     "l51_minhash_jaccard_audit", "rs20_rec_coverage", "l52_weighted_sample",
     "r66_trimmed_mean", "rs21_coldstart_fallback", "s13_late_arrival_audit",
-    "r67_min_cost_supplier",
+    "r67_min_cost_supplier", "r68_big_spender_orders",
+    "l53_weighted_reservoir", "s14_utouch_attribution",
     # tier 2 — round-1-verified, unchecked since (drift watch);
     # r45/r46 were green in round 2 but reworked since (de-vacuated
     # constants) so they rotate forward with this tier

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_recs.io import load_table
-from pyspark_recs.llmops.hashing import SHINGLE_BASE
+from pyspark_recs.llmops.hashing import SHINGLE_BASE, md5_long, sql_md5_long
 from pyspark_recs.llmops import (
     MINHASH_COEFFS,
     MINHASH_PRIME,
@@ -1998,6 +1998,54 @@ FROM s WHERE cum // step > (cum - n_chars) // step
 """
 
 
+# --------------------------------------------------------------------- l53
+def l53_weighted_reservoir(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
+    one-pass reservoir (each row draws a uniform u and keeps key
+    u^(1/w); the global top-k by key is exactly a weight-proportional
+    sample without replacement — the textbook distributed weighted
+    sampler, e.g. Spark's own RDD ``takeSample`` lineage). l52 is the
+    systematic (stratified-ticks) sampler; this is its independent-draw
+    sibling, the one you want when the sample must not inherit the
+    corpus's sort order. The uniform is md5-derived, so the SAME sample
+    comes out on any engine or cluster size; the key is compared as
+    ln(u)/w (monotone in u^(1/w), one log + one division — fewer
+    float roundings than pow, and both engines' libm agree far beyond
+    the 60-bit spacing of distinct u's).
+
+    Scale: pure projection + global top-k (TakeOrderedAndProject —
+    per-partition heaps of k, no global sort), the O1 discipline; no
+    shuffle beyond the k-row gather.
+    """
+    docs = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    u = (
+        (md5_long(F.concat(F.lit("l53:"), F.col("doc_id"))) + 1).cast(
+            "double"
+        )
+        / F.lit(float(2**60 + 1))
+    )
+    keyed = docs.withColumn(
+        "es_key", F.log(u) / F.col("n_chars").cast("double")
+    )
+    return (
+        keyed.orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(100)
+        .select("doc_id", F.col("n_chars").cast("long").alias("weight"))
+    )
+
+
+L53_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ln(CAST({sql_md5_long("'l53:' || CAST(doc_id AS VARCHAR)")} + 1
+                 AS DOUBLE) / {float(2**60 + 1)!r})
+           / CAST(n_chars AS DOUBLE) AS es_key
+  FROM documents)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight
+FROM keyed ORDER BY es_key DESC, doc_id LIMIT 100
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -2051,6 +2099,7 @@ QUERIES = {
     "l50_hybrid_search": l50_hybrid_search,
     "l51_minhash_jaccard_audit": l51_minhash_jaccard_audit,
     "l52_weighted_sample": l52_weighted_sample,
+    "l53_weighted_reservoir": l53_weighted_reservoir,
 }
 
 ORACLE = {
@@ -2106,4 +2155,5 @@ ORACLE = {
     "l50_hybrid_search": L50_SQL,
     "l51_minhash_jaccard_audit": L51_SQL,
     "l52_weighted_sample": L52_SQL,
+    "l53_weighted_reservoir": L53_SQL,
 }

@@ -2965,6 +2965,66 @@ FROM offers o JOIN mins m
 """
 
 
+# --------------------------------------------------------------------- r68
+def r68_big_spender_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Large-volume order report (TPC-H Q18 shape): orders whose total
+    line quantity exceeds a threshold, with their customer attached.
+    Q18's defining idiom is the IN-subquery over a HAVING aggregate on
+    the FACT key — here expressed as aggregate → filter → join-back,
+    the form Catalyst executes as one fact aggregation plus a join
+    against the (tiny) surviving key set; r67 filters facts by a
+    per-group *minimum*, this filters by a group *total*.
+
+    Scale: the quantity rollup aggregates map-side on l_orderkey; the
+    HAVING filter collapses it to a sliver (215 of 15 K orders at
+    sf0.01), which then BROADCASTS to both the orders probe and the
+    detail join — the big fact table is never shuffled on the join key.
+    """
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") >= 250)
+    )
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    customer = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        F.broadcast(
+            orders.join(
+                F.broadcast(big), orders.o_orderkey == big.l_orderkey
+            )
+        )
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+R68_SQL = """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) >= 250)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_totalprice,
+       total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -3033,6 +3093,7 @@ QUERIES = {
     "r65_table_profile": r65_table_profile,
     "r66_trimmed_mean": r66_trimmed_mean,
     "r67_min_cost_supplier": r67_min_cost_supplier,
+    "r68_big_spender_orders": r68_big_spender_orders,
 }
 
 ORACLE = {
@@ -3102,6 +3163,7 @@ ORACLE = {
     "r65_table_profile": R65_SQL,
     "r66_trimmed_mean": R66_SQL,
     "r67_min_cost_supplier": R67_SQL,
+    "r68_big_spender_orders": R68_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }

@@ -613,6 +613,126 @@ FROM events
 """
 
 
+# --------------------------------------------------------------------- s14
+def s14_utouch_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: every
+    purchase's credit is split over the click/view touches since the
+    user's previous purchase — 40 % to the first touch, 40 % to the
+    last, the middle 20 % divided over interior touches (1-touch
+    journeys take 100 %, 2-touch 50/50). Credits are exact integer
+    ppm — interior shares use integer division with the remainder
+    assigned to the LAST interior touch, so the per-conversion total is
+    exactly 1 000 000 on any engine and the whole allocation is
+    hash-comparable (no float division anywhere).
+
+    Journey assembly is pure windows: conv_id = running count of
+    purchases strictly before the row (per user, event-time order) maps
+    each touch to the purchase that closes its journey; touches after
+    a user's final purchase drop out in the inner join (no conversion
+    to credit).
+
+    Scale: both windows and the join are user-partitioned — state per
+    user is one journey, never the full stream; no global window, no
+    skewed key (users are the natural even partitioning of event
+    streams). The streaming twin is per-user state carrying (journey
+    touches since last purchase), the s02/s09 discipline.
+    """
+    ev = (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_type").isin("click", "view", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    is_p = (F.col("event_type") == "purchase").cast("long")
+    seq = ev.withColumn(
+        "conv_id",
+        F.coalesce(
+            F.sum(is_p).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    purchases = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "conv_id",
+        F.col("event_id").alias("conv_event_id"),
+    )
+    touches = seq.filter(F.col("event_type") != "purchase")
+    wt = Window.partitionBy("user_id", "conv_id").orderBy(
+        "ts_us", "event_id"
+    )
+    positioned = touches.withColumn("pos", F.row_number().over(wt)).withColumn(
+        "n_touches",
+        F.count(F.lit(1)).over(
+            Window.partitionBy("user_id", "conv_id")
+        ),
+    )
+    n = F.col("n_touches")
+    pos = F.col("pos")
+    mid_each = F.floor(F.lit(200_000) / (n - 2)).cast("long")
+    mid_last = F.lit(200_000) - (n - 3) * mid_each
+    credit = (
+        F.when(n == 1, F.lit(1_000_000))
+        .when(n == 2, F.lit(500_000))
+        .when((pos == 1) | (pos == n), F.lit(400_000))
+        .when(pos == n - 1, mid_last)
+        .otherwise(mid_each)
+    ).cast("long")
+    return (
+        positioned.join(purchases, ["user_id", "conv_id"])
+        .select(
+            "user_id",
+            "conv_event_id",
+            F.col("event_id").alias("touch_event_id"),
+            F.col("event_type").alias("touch_type"),
+            pos.cast("long").alias("pos"),
+            n.cast("long").alias("n_touches"),
+            credit.alias("credit_ppm"),
+        )
+    )
+
+
+S14_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+seq AS (
+  SELECT *, COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 END)
+         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS conv_id
+  FROM ev),
+purchases AS (
+  SELECT user_id, conv_id, event_id AS conv_event_id
+  FROM seq WHERE event_type = 'purchase'),
+positioned AS (
+  SELECT user_id, conv_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id, conv_id
+                            ORDER BY ts_us, event_id) AS pos,
+         count(*) OVER (PARTITION BY user_id, conv_id) AS n_touches
+  FROM seq WHERE event_type <> 'purchase')
+SELECT t.user_id, p.conv_event_id, t.event_id AS touch_event_id,
+       t.event_type AS touch_type,
+       CAST(t.pos AS BIGINT) AS pos,
+       CAST(t.n_touches AS BIGINT) AS n_touches,
+       CAST(CASE WHEN t.n_touches = 1 THEN 1000000
+                 WHEN t.n_touches = 2 THEN 500000
+                 WHEN t.pos = 1 OR t.pos = t.n_touches THEN 400000
+                 WHEN t.pos = t.n_touches - 1
+                   THEN 200000 - (t.n_touches - 3) * (200000 // (t.n_touches - 2))
+                 ELSE 200000 // (t.n_touches - 2) END AS BIGINT)
+         AS credit_ppm
+FROM positioned t
+JOIN purchases p ON t.user_id = p.user_id AND t.conv_id = p.conv_id
+"""
+
+
 QUERIES = {
     "s01_tumbling_daily": s01_tumbling_daily,
     "s02_sessionize": s02_sessionize,
@@ -627,6 +747,7 @@ QUERIES = {
     "s11_peak_concurrency": s11_peak_concurrency,
     "s12_debounce": s12_debounce,
     "s13_late_arrival_audit": s13_late_arrival_audit,
+    "s14_utouch_attribution": s14_utouch_attribution,
 }
 
 ORACLE = {
@@ -643,4 +764,5 @@ ORACLE = {
     "s11_peak_concurrency": S11_SQL,
     "s12_debounce": S12_SQL,
     "s13_late_arrival_audit": S13_SQL,
+    "s14_utouch_attribution": S14_SQL,
 }

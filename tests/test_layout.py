@@ -89,3 +89,32 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(df.columns) == {"id", "x", "score"}
     rows = {r.id: r.score for r in df.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def test_orc_roundtrip_preserves_pushdown(spark, tmp_path):
+    """write_columnar(fmt='orc') round-trips values exactly and the ORC
+    scan still gets column pruning + predicate pushdown — the two plan
+    properties that make the at-rest format swappable."""
+    from pyspark_recs.io.sinks import read_columnar, write_columnar
+
+    src = load_table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "orders_orc")
+    write_columnar(src, path, fmt="orc")
+
+    back = read_columnar(spark, path, fmt="orc")
+    assert back.count() == src.count()
+    filtered = back.filter(F.col("o_custkey") == 7).select(
+        "o_orderkey", "o_totalprice"
+    )
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,7)" in plan
+    # column pruning: the scan reads only the 3 referenced columns
+    assert "o_orderpriority" not in plan.split("ReadSchema")[1][:200]
+    want = {
+        (r.o_orderkey, r.o_totalprice)
+        for r in src.filter(F.col("o_custkey") == 7)
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    }
+    got = {(r.o_orderkey, r.o_totalprice) for r in filtered.collect()}
+    assert got == want and got
