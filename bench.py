@@ -105,6 +105,10 @@ HEADLINE = [
     "r68_big_spender_orders",
     "l53_weighted_reservoir",
     "s14_utouch_attribution",
+    "rs22_item_lift",
+    "r69_mann_whitney",
+    "l54_countmin_sketch",
+    "l55_containment_pairs",
 ]
 
 

@@ -10,6 +10,7 @@ required by BASELINE.json's north star, every operator designed for
 
 from pyspark_recs.llmops.hashing import md5_long, MINHASH_COEFFS, MINHASH_PRIME
 from pyspark_recs.llmops.dedup import (
+    containment_pairs,
     exact_dedup_groups,
     hamming_neardup_pairs,
     lsh_candidate_pairs,

@@ -229,6 +229,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold_ppm: int = 600_000,
+) -> DataFrame:
+    """ASYMMETRIC containment C(A,B) = |A∩B| / |A| over blocked
+    candidate pairs — the subsumption test Jaccard misses: a short doc
+    fully quoted inside a long one has containment ≈ 1 while Jaccard
+    ≈ |A|/|B| ≈ 0 (the criterion CCNet/Dolma-style pipelines use to
+    drop subsumed documents rather than near-identical twins). Both
+    directions are emitted in exact integer ppm (BIGINT
+    cross-multiplied division) so the keep-the-superset decision is
+    bit-deterministic; a pair survives when EITHER direction clears
+    ``threshold_ppm``.
+
+    Scale: identical blocking discipline to :func:`ngram_jaccard_pairs`
+    — equi-join on the block key, quadratic only within blocks, set
+    ops JVM-side on bounded gram arrays.
+    """
+    with_sets = df.select(
+        *group_cols,
+        F.col("doc_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("grams"),
+    )
+    a = with_sets.alias("a")
+    b = with_sets.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    for g in group_cols:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.cast("long").alias("n_common"),
+            F.size(F.col("a.grams")).cast("long").alias("n_a"),
+            F.size(F.col("b.grams")).cast("long").alias("n_b"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.expr("(1000000L * n_common) div n_a").alias("contain_a_ppm"),
+            F.expr("(1000000L * n_common) div n_b").alias("contain_b_ppm"),
+        )
+        .filter(
+            (F.col("contain_a_ppm") >= threshold_ppm)
+            | (F.col("contain_b_ppm") >= threshold_ppm)
+        )
+    )
+
+
 def verified_neardup_edges(
     df: DataFrame,
     text_col: str = "text",

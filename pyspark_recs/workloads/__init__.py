@@ -60,6 +60,8 @@ _PRIORITY = [
     "r66_trimmed_mean", "rs21_coldstart_fallback", "s13_late_arrival_audit",
     "r67_min_cost_supplier", "r68_big_spender_orders",
     "l53_weighted_reservoir", "s14_utouch_attribution",
+    "rs22_item_lift", "r69_mann_whitney", "l54_countmin_sketch",
+    "l55_containment_pairs",
     # tier 2 — round-1-verified, unchecked since (drift watch);
     # r45/r46 were green in round 2 but reworked since (de-vacuated
     # constants) so they rotate forward with this tier

@@ -13,6 +13,7 @@ from pyspark_recs.llmops.hashing import SHINGLE_BASE, md5_long, sql_md5_long
 from pyspark_recs.llmops import (
     MINHASH_COEFFS,
     MINHASH_PRIME,
+    containment_pairs,
     cosine_topk_bruteforce,
     exact_dedup_groups,
     lsh_candidate_pairs,
@@ -2046,6 +2047,137 @@ FROM keyed ORDER BY es_key DESC, doc_id LIMIT 100
 """
 
 
+# --------------------------------------------------------------------- l55
+def l55_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment dedup (the subsumption criterion): pairs
+    where one document's unigram set is ≥ 60 % inside the other's —
+    catches short-doc-quoted-in-long-doc duplication that l05's
+    symmetric Jaccard scores near zero. Exact ppm both directions.
+    """
+    docs = load_table(spark, sf, "documents")
+    return containment_pairs(
+        docs,
+        group_cols=["lang", "source"],
+        shingle_n=1,
+        threshold_ppm=600_000,
+    )
+
+
+L55_SQL = f"""
+WITH toks AS ({_TOKS}),
+g AS (SELECT doc_id, lang, source, list_distinct(words) AS grams
+      FROM toks WHERE len(words) >= 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_common,
+         CAST(len(a.grams) AS BIGINT) AS n_a,
+         CAST(len(b.grams) AS BIGINT) AS n_b
+  FROM g a JOIN g b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, n_common,
+       (1000000 * n_common) // n_a AS contain_a_ppm,
+       (1000000 * n_common) // n_b AS contain_b_ppm
+FROM pairs
+WHERE (1000000 * n_common) // n_a >= 600000
+   OR (1000000 * n_common) // n_b >= 600000
+"""
+
+
+# --------------------------------------------------------------------- l54
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def l54_countmin_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch over the corpus vocabulary: 4×256 cells of
+    summed token counts (md5-derived row hashes), probed for the top-50
+    exact tokens — emitting (token, exact count, CMS estimate) so the
+    overcount is visible. l37's Misra-Gries answers "who are the heavy
+    hitters"; CMS answers POINT queries over the whole vocabulary in
+    O(depth) per probe with state fixed at depth·width cells no matter
+    how many distinct tokens stream past — and cells are pure sums, so
+    per-partition (or per-day) sketches MERGE by cell-wise addition,
+    the property that makes it the standard distributed/streaming
+    frequency structure. Hashes are md5-deterministic, so the sketch —
+    and every estimate — is bit-identical on any engine: the oracle
+    twin rebuilds the sketch and must agree exactly.
+
+    Scale: token counts aggregate map-side; the sketch build is a
+    1024-cell aggregation; probes broadcast-join the sketch. Nothing
+    is vocabulary-sized except the (prunable) exact count input.
+    """
+    docs = load_table(spark, sf, "documents").select("text")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    ii = F.explode(
+        F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+    ).alias("i")
+    bucket = F.pmod(
+        md5_long(
+            F.concat(
+                F.lit("cms"),
+                F.col("i").cast("string"),
+                F.lit(":"),
+                F.col("token"),
+            )
+        ),
+        F.lit(CMS_WIDTH),
+    ).alias("bucket")
+    sketch = (
+        counts.select("token", "exact_cnt", ii)
+        .select("exact_cnt", "i", bucket)
+        .groupBy("i", "bucket")
+        .agg(F.sum("exact_cnt").alias("cell"))
+    )
+    top50 = counts.orderBy(
+        F.desc("exact_cnt"), F.asc("token")
+    ).limit(50)
+    probes = top50.select("token", "exact_cnt", ii).select(
+        "token", "exact_cnt", "i", bucket
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cell").alias("cms_est"))
+        .select("token", "exact_cnt", "cms_est")
+    )
+
+
+L54_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+           AS token
+  FROM documents),
+counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM toks GROUP BY token),
+depths AS (SELECT unnest(range({CMS_DEPTH})) AS i),
+hashed AS (
+  SELECT token, exact_cnt, i,
+         ({sql_md5_long("'cms' || CAST(i AS VARCHAR) || ':' || token")})
+           % {CMS_WIDTH} AS bucket
+  FROM counts, depths),
+sketch AS (
+  SELECT i, bucket, CAST(sum(exact_cnt) AS BIGINT) AS cell
+  FROM hashed GROUP BY i, bucket),
+top50 AS (
+  SELECT token, exact_cnt FROM counts
+  ORDER BY exact_cnt DESC, token LIMIT 50),
+probes AS (
+  SELECT t.token, t.exact_cnt, d.i,
+         ({sql_md5_long("'cms' || CAST(d.i AS VARCHAR) || ':' || t.token")})
+           % {CMS_WIDTH} AS bucket
+  FROM top50 t, depths d)
+SELECT p.token, p.exact_cnt, CAST(min(s.cell) AS BIGINT) AS cms_est
+FROM probes p JOIN sketch s ON p.i = s.i AND p.bucket = s.bucket
+GROUP BY p.token, p.exact_cnt
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -2100,6 +2232,8 @@ QUERIES = {
     "l51_minhash_jaccard_audit": l51_minhash_jaccard_audit,
     "l52_weighted_sample": l52_weighted_sample,
     "l53_weighted_reservoir": l53_weighted_reservoir,
+    "l54_countmin_sketch": l54_countmin_sketch,
+    "l55_containment_pairs": l55_containment_pairs,
 }
 
 ORACLE = {
@@ -2156,4 +2290,6 @@ ORACLE = {
     "l51_minhash_jaccard_audit": L51_SQL,
     "l52_weighted_sample": L52_SQL,
     "l53_weighted_reservoir": L53_SQL,
+    "l54_countmin_sketch": L54_SQL,
+    "l55_containment_pairs": L55_SQL,
 }

@@ -1383,6 +1383,123 @@ WHERE rank <= 5
 """
 
 
+# --------------------------------------------------------------------- rs22
+def rs22_item_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Item-item LIFT (PMI's exponential): how much more often two
+    items co-occur in user histories than independence predicts,
+    lift = N·c_ab / (c_a·c_b). rs05 ranks neighbors by raw co-count,
+    which drowns everything under the popular head; lift is the
+    normalization that surfaces genuinely-associated niche pairs (the
+    same support/lift discipline as rs15's basket rules, applied to
+    the whole interaction matrix). Marginals are counted over the SAME
+    capped histories as the pair counts, so the ratio is internally
+    consistent; output is exact integer ppm — one BIGINT
+    cross-multiplication, no float division (max product ≈ 10^6·N·c_ab
+    stays far inside int64 at any N where c_a·c_b fits memory).
+
+    Scale: rs05's cap-then-expand bounds pairs at 190/user before the
+    shuffle; marginals are item-keyed (catalog-bounded) and broadcast
+    back onto the pair table; support ≥ 3 prunes the long noise tail
+    before the joins.
+    """
+    inter = _interactions(spark, sf)
+    top_items = F.array_sort(
+        F.transform(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("n_purchases")).alias("neg"),
+                            F.col("item_id").alias("item"),
+                        )
+                    )
+                ),
+                1,
+                20,
+            ),
+            lambda t: t["item"],
+        )
+    )
+    lists = inter.groupBy("user_id").agg(top_items.alias("items"))
+    n_total = lists.agg(F.count(F.lit(1)).alias("n_users_total"))
+    marginals = (
+        lists.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    pairs = (
+        lists.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.item_a"), F.col("p.item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    ma = marginals.select(
+        F.col("item").alias("item_a"), F.col("c").alias("n_a")
+    )
+    mb = marginals.select(
+        F.col("item").alias("item_b"), F.col("c").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ma), "item_a")
+        .join(F.broadcast(mb), "item_b")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(
+                "(1000000L * n_ab * n_users_total) div (n_a * n_b)"
+            )
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )
+
+
+RS22_SQL = """
+WITH inter AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id,
+         CAST(count(*) AS BIGINT) AS n_purchases
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_partkey),
+hist AS (
+  SELECT user_id, item_id FROM (
+    SELECT user_id, item_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY n_purchases DESC, item_id) AS hr
+    FROM inter)
+  WHERE hr <= 20),
+n_total AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM hist),
+marg AS (
+  SELECT item_id, CAST(count(*) AS BIGINT) AS c FROM hist GROUP BY item_id),
+pairs AS (
+  SELECT a.item_id AS item_a, b.item_id AS item_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM hist a JOIN hist b
+    ON a.user_id = b.user_id AND a.item_id < b.item_id
+  GROUP BY a.item_id, b.item_id
+  HAVING count(*) >= 3)
+SELECT p.item_a, p.item_b, p.n_ab, ma.c AS n_a, mb.c AS n_b,
+       CAST((1000000 * p.n_ab * t.n) // (ma.c * mb.c) AS BIGINT)
+         AS lift_ppm
+FROM pairs p
+JOIN marg ma ON p.item_a = ma.item_id
+JOIN marg mb ON p.item_b = mb.item_id, n_total t
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -1405,6 +1522,7 @@ QUERIES = {
     "rs19_bias_baseline": rs19_bias_baseline,
     "rs20_rec_coverage": rs20_rec_coverage,
     "rs21_coldstart_fallback": rs21_coldstart_fallback,
+    "rs22_item_lift": rs22_item_lift,
 }
 
 ORACLE = {
@@ -1429,4 +1547,5 @@ ORACLE = {
     "rs19_bias_baseline": RS19_SQL,
     "rs20_rec_coverage": RS20_SQL,
     "rs21_coldstart_fallback": RS21_SQL,
+    "rs22_item_lift": RS22_SQL,
 }

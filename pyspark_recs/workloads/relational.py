@@ -2965,6 +2965,107 @@ FROM offers o JOIN mins m
 """
 
 
+# --------------------------------------------------------------------- r69
+def r69_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) between the early and
+    late halves of the order stream — the rank-based drift test that
+    complements r60's KS (distribution shape) and r62's chi-square
+    (categorical): U detects a LOCATION shift without assuming any
+    distribution. Everything stays integer: ranks are midranks doubled
+    (2·avgrank = min+max of the tie run, an integer), so rank sums and
+    both U statistics are exact BIGINTs on any engine — no float
+    enters at all (z-normalization is the caller's one division).
+
+    Scale: per-value counts aggregate map-side (cardinality of the
+    value domain, not row count); the single ordered pass over DISTINCT
+    values rides ``scalable_prefix_sum`` (deterministic range buckets,
+    no single-task window); the final reduce is one row.
+    """
+    from pyspark_recs.sql.transforms import scalable_prefix_sum
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderdate", "o_totalprice"
+    )
+    mid = orders.agg(
+        F.to_timestamp(
+            F.floor(
+                (
+                    F.unix_timestamp(F.min("o_orderdate"))
+                    + F.unix_timestamp(F.max("o_orderdate"))
+                )
+                / 2
+            )
+        ).alias("mid")
+    )
+    flagged = orders.crossJoin(F.broadcast(mid)).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderdate") < F.col("mid"), 1)
+        .otherwise(0)
+        .alias("is_early"),
+    )
+    per_v = flagged.groupBy("v").agg(
+        F.sum("is_early").alias("c_e"),
+        F.sum(1 - F.col("is_early")).alias("c_l"),
+    )
+    cum = scalable_prefix_sum(
+        per_v.withColumn("n_v", F.col("c_e") + F.col("c_l")),
+        "v",
+        "n_v",
+        out_col="cum",
+    )
+    s = cum.agg(
+        F.sum("c_e").alias("n_e"),
+        F.sum("c_l").alias("n_l"),
+        F.sum(
+            F.col("c_e") * (2 * F.col("cum") - F.col("n_v") + 1)
+        ).alias("r2_e"),
+    )
+    return s.select(
+        F.col("n_e").cast("long").alias("n_early"),
+        F.col("n_l").cast("long").alias("n_late"),
+        F.col("r2_e").cast("long").alias("r2_early"),
+        (F.col("r2_e") - F.col("n_e") * (F.col("n_e") + 1))
+        .cast("long")
+        .alias("u2_early"),
+        (
+            2 * F.col("n_e") * F.col("n_l")
+            - (F.col("r2_e") - F.col("n_e") * (F.col("n_e") + 1))
+        )
+        .cast("long")
+        .alias("u2_late"),
+    )
+
+
+R69_SQL = """
+WITH mid AS (
+  SELECT to_timestamp(CAST(floor(
+           (epoch(min(o_orderdate)) + epoch(max(o_orderdate))) / 2)
+         AS BIGINT)) AS mid
+  FROM orders),
+flagged AS (
+  SELECT o_totalprice AS v,
+         CASE WHEN o_orderdate < mid THEN 1 ELSE 0 END AS is_early
+  FROM orders, mid),
+per_v AS (
+  SELECT v, CAST(sum(is_early) AS BIGINT) AS c_e,
+         CAST(sum(1 - is_early) AS BIGINT) AS c_l
+  FROM flagged GROUP BY v),
+cumv AS (
+  SELECT c_e, c_l, c_e + c_l AS n_v,
+         sum(c_e + c_l) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM per_v),
+s AS (
+  SELECT CAST(sum(c_e) AS BIGINT) AS n_e,
+         CAST(sum(c_l) AS BIGINT) AS n_l,
+         CAST(sum(c_e * (2 * cum - n_v + 1)) AS BIGINT) AS r2_e
+  FROM cumv)
+SELECT n_e AS n_early, n_l AS n_late, r2_e AS r2_early,
+       r2_e - n_e * (n_e + 1) AS u2_early,
+       2 * n_e * n_l - (r2_e - n_e * (n_e + 1)) AS u2_late
+FROM s
+"""
+
+
 # --------------------------------------------------------------------- r68
 def r68_big_spender_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Large-volume order report (TPC-H Q18 shape): orders whose total
@@ -3094,6 +3195,7 @@ QUERIES = {
     "r66_trimmed_mean": r66_trimmed_mean,
     "r67_min_cost_supplier": r67_min_cost_supplier,
     "r68_big_spender_orders": r68_big_spender_orders,
+    "r69_mann_whitney": r69_mann_whitney,
 }
 
 ORACLE = {
@@ -3164,6 +3266,7 @@ ORACLE = {
     "r66_trimmed_mean": R66_SQL,
     "r67_min_cost_supplier": R67_SQL,
     "r68_big_spender_orders": R68_SQL,
+    "r69_mann_whitney": R69_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }
