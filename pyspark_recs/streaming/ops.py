@@ -249,6 +249,95 @@ def streaming_ewma(
     )
 
 
+def streaming_attribution(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Incremental U-shaped multi-touch attribution — the streaming twin
+    of workloads/streaming.s14_utouch_attribution. Per-user state is the
+    OPEN journey (touches since the last purchase, as parallel arrays);
+    a purchase closes the journey, emits one exactly-allocated credit
+    row per touch (same integer-ppm 40/40/20 split, remainder to the
+    last interior touch — bit-identical to the batch windows), and
+    resets the buffer. Touches after a user's final purchase stay
+    buffered, matching the batch inner join that drops unconverted
+    tails. Output mode ``append``: credits are final the moment the
+    conversion arrives.
+
+    Scale: state per user is one open journey (bounded by touch volume
+    between purchases — cap the arrays in production), partitioned by
+    user across the state stores; cross-batch correctness relies on
+    in-order arrival per user, the s02 caveat.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, conv_event_id long, touch_event_id long, "
+        "touch_type string, pos long, n_touches long, credit_ppm long"
+    )
+    state_schema = "ids array<long>, types array<string>"
+
+    rows = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.col(type_col).alias("event_type"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+    ).filter(F.col("event_type").isin("click", "view", "purchase"))
+
+    def credits(n: int, pos: int) -> int:
+        if n == 1:
+            return 1_000_000
+        if n == 2:
+            return 500_000
+        if pos == 1 or pos == n:
+            return 400_000
+        each = 200_000 // (n - 2)
+        if pos == n - 1:
+            return 200_000 - (n - 3) * each
+        return each
+
+    def update(key, pdfs, state):
+        ids, types = state.get if state.exists else ([], [])
+        ids, types = list(ids), list(types)
+        out = {c: [] for c in (
+            "user_id", "conv_event_id", "touch_event_id",
+            "touch_type", "pos", "n_touches", "credit_ppm",
+        )}
+        for pdf in pdfs:
+            ordered = pdf.sort_values(["ts_us", "event_id"])
+            for eid, etype in zip(ordered["event_id"], ordered["event_type"]):
+                if etype == "purchase":
+                    n = len(ids)
+                    for pos, (tid, ttype) in enumerate(
+                        zip(ids, types), start=1
+                    ):
+                        out["user_id"].append(key[0])
+                        out["conv_event_id"].append(int(eid))
+                        out["touch_event_id"].append(int(tid))
+                        out["touch_type"].append(ttype)
+                        out["pos"].append(pos)
+                        out["n_touches"].append(n)
+                        out["credit_ppm"].append(credits(n, pos))
+                    ids, types = [], []
+                else:
+                    ids.append(int(eid))
+                    types.append(etype)
+        state.update((ids, types))
+        yield pd.DataFrame(out)
+
+    return rows.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_heavy_hitters(
     tokens: DataFrame,
     token_col: str = "token",

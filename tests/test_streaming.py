@@ -598,3 +598,31 @@ def test_idempotent_window_sink_replay_safe(spark, event_dir, tmp_path):
     )
     assert first == second
     assert len(first) == 2  # two distinct days in the fixture
+
+
+def test_streaming_attribution_matches_batch(spark, tmp_path_factory, tmp_path):
+    # The stateful journey operator must allocate the exact same
+    # integer-ppm credits as the batch window form (s14) over the real
+    # sf0.001 events table, streamed as one file drop.
+    from pyspark_recs.io import load_table
+    from pyspark_recs.streaming import streaming_attribution
+    from pyspark_recs.workloads.streaming import s14_utouch_attribution
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path_factory.mktemp("attr_events"))
+    ev.write.parquet(src, mode="overwrite")
+
+    stream = read_event_stream(spark, src, ev.schema)
+    out = _run_stream(streaming_attribution(stream), tmp_path, mode="append")
+    got = {
+        (r.user_id, r.conv_event_id, r.touch_event_id, r.touch_type,
+         r.pos, r.n_touches, r.credit_ppm)
+        for r in out.collect()
+    }
+    want = {
+        (r.user_id, r.conv_event_id, r.touch_event_id, r.touch_type,
+         r.pos, r.n_touches, r.credit_ppm)
+        for r in s14_utouch_attribution(spark, sf).collect()
+    }
+    assert got == want and want
