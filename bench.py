@@ -109,6 +109,9 @@ HEADLINE = [
     "r69_mann_whitney",
     "l54_countmin_sketch",
     "l55_containment_pairs",
+    "r70_bitmap_distinct",
+    "r71_rolling_distinct",
+    "l56_linear_model_score",
 ]
 
 

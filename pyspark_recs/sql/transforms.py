@@ -651,9 +651,15 @@ def _order_bucketed(
     """
     qs = [i / num_ranges for i in range(1, num_ranges)]
     # approxQuantile only speaks numeric; cast timestamps/dates through
-    # double (monotone, so bucket ORDER is preserved — exact boundary
-    # placement is irrelevant by construction).
-    shadowed = df.withColumn("_ordnum", F.col(order_col).cast("double"))
+    # a monotone numeric shadow (bucket ORDER is preserved — exact
+    # boundary placement is irrelevant by construction). DATE refuses a
+    # direct double cast, so it goes through days-since-epoch.
+    order_dtype = dict(df.dtypes).get(order_col, "")
+    if order_dtype == "date":
+        ordnum = F.unix_date(F.col(order_col)).cast("double")
+    else:
+        ordnum = F.col(order_col).cast("double")
+    shadowed = df.withColumn("_ordnum", ordnum)
     splits = shadowed.stat.approxQuantile("_ordnum", qs, 0.001)
     uniq: list = []
     for s in splits:

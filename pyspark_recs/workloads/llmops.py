@@ -2047,6 +2047,85 @@ FROM keyed ORDER BY es_key DESC, doc_id LIMIT 100
 """
 
 
+# --------------------------------------------------------------------- l56
+L56_WEIGHTS = (
+    ("n_tokens", 1500),
+    ("n_chars", 30),
+    ("n_distinct", 2500),
+)
+L56_THRESHOLD = 200_000
+
+
+def l56_linear_model_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-as-DATA quality scoring: a broadcast (feature, weight)
+    table scores every document as Σ wᵢ·xᵢ — the serving shape of a
+    trained linear quality classifier (fastText/logistic filters à la
+    CCNet), where shipping a new model is a new weights TABLE, not a
+    code change. Features unpivot to long form so the dot product is a
+    join + grouped sum; weights are integer ppm and features integer
+    counts, so scores — and the keep decision at the threshold — are
+    exact BIGINTs on any engine (the sigmoid is monotone, so
+    thresholding the raw dot product IS thresholding the probability).
+
+    Scale: features are pure projections; the weights join broadcasts
+    a model-sized (tiny) table; the per-doc sum combines map-side.
+    The same plan serves a 10⁶-feature sparse model by making the
+    feature extraction emit (doc, feature, x) sparsely instead of
+    unpivoting a fixed trio.
+    """
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    feats = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
+    )
+    long_form = feats.unpivot(
+        ids=["doc_id"],
+        values=["n_tokens", "n_chars", "n_distinct"],
+        variableColumnName="feature",
+        valueColumnName="x",
+    )
+    weights = spark.createDataFrame(
+        list(L56_WEIGHTS), "feature string, w_ppm long"
+    )
+    return (
+        long_form.join(F.broadcast(weights), "feature")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("x") * F.col("w_ppm")).alias("score_ppm"))
+        .select(
+            "doc_id",
+            F.col("score_ppm").cast("long").alias("score_ppm"),
+            (F.col("score_ppm") >= L56_THRESHOLD).alias("keep"),
+        )
+    )
+
+
+L56_SQL = f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS BIGINT) AS n_tokens,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(len(list_distinct(
+             list_filter(string_split(text, ' '), w -> w <> '')))
+              AS BIGINT) AS n_distinct
+  FROM documents),
+long_form AS (
+  SELECT doc_id, feature, x
+  FROM feats UNPIVOT (x FOR feature IN (n_tokens, n_chars, n_distinct))),
+weights(feature, w_ppm) AS (
+  VALUES {", ".join(f"('{f}', {w})" for f, w in L56_WEIGHTS)})
+SELECT doc_id, CAST(sum(x * w_ppm) AS BIGINT) AS score_ppm,
+       sum(x * w_ppm) >= {L56_THRESHOLD} AS keep
+FROM long_form JOIN weights USING (feature)
+GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------- l55
 def l55_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Asymmetric containment dedup (the subsumption criterion): pairs
@@ -2234,6 +2313,7 @@ QUERIES = {
     "l53_weighted_reservoir": l53_weighted_reservoir,
     "l54_countmin_sketch": l54_countmin_sketch,
     "l55_containment_pairs": l55_containment_pairs,
+    "l56_linear_model_score": l56_linear_model_score,
 }
 
 ORACLE = {
@@ -2292,4 +2372,5 @@ ORACLE = {
     "l53_weighted_reservoir": L53_SQL,
     "l54_countmin_sketch": L54_SQL,
     "l55_containment_pairs": L55_SQL,
+    "l56_linear_model_score": L56_SQL,
 }

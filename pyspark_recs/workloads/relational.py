@@ -2965,6 +2965,119 @@ FROM offers o JOIN mins m
 """
 
 
+# --------------------------------------------------------------------- r70
+BITMAP_BASE = 62  # bits per chunk; stays clear of the int64 sign bit
+
+
+def r70_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT distinct buyers per market segment via mergeable bitmap
+    chunks (the ClickHouse/Druid ``groupBitmap`` structure): each
+    custkey maps to (chunk = key div 62, bit = key mod 62); per-chunk
+    bitmaps OR together and the count is Σ bit_count(bitmap). Unlike
+    COUNT(DISTINCT) — whose de-dup state is proportional to
+    cardinality and must ship every distinct value through the final
+    aggregation — bitmaps pre-aggregate map-side, merge by OR (so
+    per-day/per-partition bitmaps roll up without rescanning facts,
+    the exact-counting sibling of r53's HLL rollup), and cost one bit
+    per POSSIBLE key. The oracle is the plain COUNT(DISTINCT): the
+    bitmap path must agree exactly.
+
+    Scale: the shuffle carries (segment × occupied-chunk) longs —
+    dense-key domains compress 62:1 vs shipping distinct keys; the
+    final per-segment reduce is a sum of popcounts.
+    """
+    orders = load_table(spark, sf, "orders").select("o_custkey")
+    customer = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    buyers = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select(
+        "c_mktsegment",
+        (F.col("c_custkey") / BITMAP_BASE).cast("long").alias("chunk"),
+        F.expr(
+            f"shiftleft(1L, CAST(c_custkey % {BITMAP_BASE} AS INT))"
+        ).alias("bit"),
+    )
+    chunks = buyers.groupBy("c_mktsegment", "chunk").agg(
+        F.bit_or("bit").alias("bitmap")
+    )
+    return (
+        chunks.groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.bit_count("bitmap")).alias("n_buyers"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .select(
+            "c_mktsegment",
+            F.col("n_buyers").cast("long").alias("n_buyers"),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+        )
+    )
+
+
+R70_SQL = f"""
+WITH buyers AS (
+  SELECT c_mktsegment, c_custkey, c_custkey // {BITMAP_BASE} AS chunk
+  FROM orders JOIN customer ON o_custkey = c_custkey)
+SELECT c_mktsegment,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_buyers,
+       CAST(count(DISTINCT chunk) AS BIGINT) AS n_chunks
+FROM buyers GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------- r71
+def r71_rolling_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative distinct buyers by order day — COUNT(DISTINCT) OVER
+    (ORDER BY day), which Spark's window operator refuses outright
+    (distinct aggregates are unsupported in windows) and which would
+    hold cardinality-sized state per frame anywhere. The scalable
+    rewrite: distinct-ness is a property of the FIRST occurrence, so
+    min(first day) per customer → new-buyer counts per day → one
+    running sum over the (day-cardinality) series. Window state
+    collapses from 'all customers seen so far' to one long.
+
+    Scale: first-day per customer is a map-side-combined min; the
+    running total rides ``scalable_prefix_sum`` over days (thousands
+    of rows at any fact scale), never a single-task window.
+    """
+    from pyspark_recs.sql.transforms import scalable_prefix_sum
+
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_custkey"), F.to_date("o_orderdate").alias("day")
+    )
+    first_day = orders.groupBy("o_custkey").agg(
+        F.min("day").alias("first_day")
+    )
+    new_per_day = first_day.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    run = scalable_prefix_sum(
+        new_per_day, "first_day", "n_new", out_col="cum_buyers"
+    )
+    return run.select(
+        F.col("first_day").alias("day"),
+        F.col("n_new").cast("long").alias("n_new"),
+        F.col("cum_buyers").cast("long").alias("cum_buyers"),
+    )
+
+
+R71_SQL = """
+WITH first_day AS (
+  SELECT o_custkey, CAST(min(o_orderdate) AS DATE) AS first_day
+  FROM orders GROUP BY o_custkey),
+new_per_day AS (
+  SELECT first_day, CAST(count(*) AS BIGINT) AS n_new
+  FROM first_day GROUP BY first_day)
+SELECT first_day AS day, n_new,
+       CAST(sum(n_new) OVER (ORDER BY first_day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_buyers
+FROM new_per_day
+"""
+
+
 # --------------------------------------------------------------------- r69
 def r69_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
     """Exact Mann-Whitney U (Wilcoxon rank-sum) between the early and
@@ -3196,6 +3309,8 @@ QUERIES = {
     "r67_min_cost_supplier": r67_min_cost_supplier,
     "r68_big_spender_orders": r68_big_spender_orders,
     "r69_mann_whitney": r69_mann_whitney,
+    "r70_bitmap_distinct": r70_bitmap_distinct,
+    "r71_rolling_distinct": r71_rolling_distinct,
 }
 
 ORACLE = {
@@ -3267,6 +3382,8 @@ ORACLE = {
     "r67_min_cost_supplier": R67_SQL,
     "r68_big_spender_orders": R68_SQL,
     "r69_mann_whitney": R69_SQL,
+    "r70_bitmap_distinct": R70_SQL,
+    "r71_rolling_distinct": R71_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }
