@@ -762,3 +762,59 @@ def test_weighted_sample_covers_heavy_docs_and_hits_target(spark):
         .collect()
     }
     assert {r.doc_id for r in out} == again
+
+
+def test_containment_catches_subsumed_doc_jaccard_misses(spark):
+    # A 5-word doc fully inside a 50-word doc: containment of the short
+    # side is 100%, while Jaccard is ~0.1 — the planted case for the
+    # subsumption criterion.
+    from pyspark_recs.llmops.dedup import containment_pairs, ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long_doc = short + " " + " ".join(f"w{i}" for i in range(45))
+    df = spark.createDataFrame(
+        [(1, short, "en", "s"), (2, long_doc, "en", "s"),
+         (3, "totally different words here", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    pairs = containment_pairs(
+        df, group_cols=["lang", "source"], shingle_n=1, threshold_ppm=900_000
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
+    row = pairs[0]
+    assert row.contain_a_ppm == 1_000_000  # short fully inside long
+    assert row.contain_b_ppm == 1_000_000 * 5 // 50
+    jac = ngram_jaccard_pairs(
+        df, group_cols=["lang", "source"], shingle_n=1, threshold=0.5
+    ).collect()
+    assert jac == []  # symmetric Jaccard misses the subsumption
+
+
+def test_weighted_reservoir_prefers_heavy_docs(spark):
+    # Efraimidis-Spirakis: expected inclusion is weight-proportional.
+    # With one doc carrying half the total mass, it must appear in a
+    # top-10 sample; a uniform sampler would include it w.p. ~10/1000.
+    import pyspark.sql.functions as F
+    from pyspark_recs.llmops.hashing import md5_long
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 0, 1_000_000).otherwise(1).alias("n_chars"),
+    )
+    u = (
+        (md5_long(F.concat(F.lit("l53:"), F.col("doc_id"))) + 1).cast("double")
+        / F.lit(float(2**60 + 1))
+    )
+    keyed = df.withColumn("es_key", F.log(u) / F.col("n_chars").cast("double"))
+    top = keyed.orderBy(F.desc("es_key"), F.asc("doc_id")).limit(10).collect()
+    assert 0 in {r.doc_id for r in top}
+
+
+def test_countmin_estimate_dominates_exact_count(spark):
+    # CMS never under-counts; with 4 rows x 256 buckets over a small
+    # vocabulary most top tokens should be estimated exactly.
+    from pyspark_recs.workloads.llmops import l54_countmin_sketch
+
+    out = l54_countmin_sketch(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    assert all(r.cms_est >= r.exact_cnt for r in out)

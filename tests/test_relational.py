@@ -439,3 +439,45 @@ def test_grouped_exact_median_matches_window_rank(spark):
         .collect()
     }
     assert got == naive
+
+
+def test_bitmap_distinct_equals_count_distinct(spark):
+    # The 62-bit chunk bitmap must reproduce COUNT(DISTINCT) exactly,
+    # including keys that collide into the same chunk.
+    import pyspark.sql.functions as F
+    from pyspark_recs.workloads.relational import BITMAP_BASE
+
+    keys = [0, 1, 61, 62, 63, 124, 500, 500, 500, 7]  # dups + chunk edges
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    chunks = df.select(
+        (F.col("k") / BITMAP_BASE).cast("long").alias("chunk"),
+        F.expr(f"shiftleft(1L, CAST(k % {BITMAP_BASE} AS INT))").alias("bit"),
+    ).groupBy("chunk").agg(F.bit_or("bit").alias("bitmap"))
+    n = chunks.agg(F.sum(F.bit_count("bitmap"))).collect()[0][0]
+    assert n == len(set(keys))
+
+
+def test_mann_whitney_identical_halves_are_balanced(spark):
+    # Two identical samples: U_early == U_late == n*n (doubled), the
+    # no-shift null.
+    import pyspark.sql.functions as F
+    from pyspark_recs.sql.transforms import scalable_prefix_sum
+
+    vals = [(float(v), e) for v in range(50) for e in (1, 0)]
+    df = spark.createDataFrame(vals, "v double, is_early int")
+    per_v = df.groupBy("v").agg(
+        F.sum("is_early").alias("c_e"),
+        F.sum(1 - F.col("is_early")).alias("c_l"),
+    )
+    cum = scalable_prefix_sum(
+        per_v.withColumn("n_v", F.col("c_e") + F.col("c_l")),
+        "v", "n_v", out_col="cum",
+    )
+    row = cum.agg(
+        F.sum("c_e").alias("n_e"),
+        F.sum("c_l").alias("n_l"),
+        F.sum(F.col("c_e") * (2 * F.col("cum") - F.col("n_v") + 1)).alias("r2_e"),
+    ).collect()[0]
+    u2_early = row.r2_e - row.n_e * (row.n_e + 1)
+    assert (row.n_e, row.n_l) == (50, 50)
+    assert u2_early == row.n_e * row.n_l  # 2*U = 2*(n*n/2) under identity
