@@ -112,6 +112,7 @@ HEADLINE = [
     "r70_bitmap_distinct",
     "r71_rolling_distinct",
     "l56_linear_model_score",
+    "r72_sql_model_chain",
 ]
 
 

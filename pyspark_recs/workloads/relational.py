@@ -2965,6 +2965,83 @@ FROM offers o JOIN mins m
 """
 
 
+# --------------------------------------------------------------------- r72
+# A three-model dbt-style chain (staging → daily rollup → summary), the
+# reference's ref()-wired SQL DAG shape (src/dbt/models/metaflow/*.sql)
+# executed from SQL TEXT by sql.model_runner — temp views inline, so
+# Catalyst fuses all three models into one plan.
+R72_MODELS = {
+    "orders_enriched": """
+        SELECT o_orderkey, o_orderdate, c_mktsegment,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "seg_daily": """
+        SELECT c_mktsegment, CAST(o_orderdate AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS rev_c
+        FROM {{ ref('orders_enriched') }}
+        GROUP BY c_mktsegment, CAST(o_orderdate AS DATE)
+    """,
+    "segment_summary": """
+        SELECT c_mktsegment,
+               CAST(sum(n_orders) AS BIGINT) AS n_orders,
+               CAST(sum(rev_c) AS BIGINT) AS revenue_c,
+               min(CASE WHEN rev_c = mx THEN day END) AS best_day,
+               mx AS best_day_rev_c
+        FROM (SELECT *, max(rev_c) OVER (PARTITION BY c_mktsegment) AS mx
+              FROM {{ ref('seg_daily') }})
+        GROUP BY c_mktsegment, mx
+    """,
+}
+
+
+def r72_sql_model_chain(spark: SparkSession, sf: str) -> DataFrame:
+    """The dbt migration path exercised end-to-end: the reference's
+    transformation layer is a ref()-wired DAG of SQL models
+    (/root/reference/src/dbt/models/metaflow, materialized per model);
+    here the SAME SQL-text contract runs through
+    ``sql.model_runner.run_models`` — refs compiled, models topo-sorted
+    and registered as temp views, so the whole chain is ONE fused
+    Catalyst plan (pushdown and pruning reach through all three
+    models; dbt-on-warehouse materializes and re-parses each).
+
+    Scale: staging join broadcasts the dim; the rollup combines
+    map-side; revenue is exact integer cents end to end. Opt-in
+    ``materialize=`` caching exists for genuine fan-out cut points —
+    deliberately unused here, single consumer.
+    """
+    from pyspark_recs.sql.model_runner import run_models
+
+    sources = {
+        "orders": load_table(spark, sf, "orders"),
+        "customer": load_table(spark, sf, "customer"),
+    }
+    return run_models(spark, R72_MODELS, sources)["segment_summary"]
+
+
+R72_SQL = """
+WITH orders_enriched AS (
+  SELECT o_orderkey, o_orderdate, c_mktsegment,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+seg_daily AS (
+  SELECT c_mktsegment, CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(cents) AS BIGINT) AS rev_c
+  FROM orders_enriched
+  GROUP BY c_mktsegment, CAST(o_orderdate AS DATE))
+SELECT c_mktsegment,
+       CAST(sum(n_orders) AS BIGINT) AS n_orders,
+       CAST(sum(rev_c) AS BIGINT) AS revenue_c,
+       min(CASE WHEN rev_c = mx THEN day END) AS best_day,
+       mx AS best_day_rev_c
+FROM (SELECT *, max(rev_c) OVER (PARTITION BY c_mktsegment) AS mx
+      FROM seg_daily)
+GROUP BY c_mktsegment, mx
+"""
+
+
 # --------------------------------------------------------------------- r70
 BITMAP_BASE = 62  # bits per chunk; stays clear of the int64 sign bit
 
@@ -3311,6 +3388,7 @@ QUERIES = {
     "r69_mann_whitney": r69_mann_whitney,
     "r70_bitmap_distinct": r70_bitmap_distinct,
     "r71_rolling_distinct": r71_rolling_distinct,
+    "r72_sql_model_chain": r72_sql_model_chain,
 }
 
 ORACLE = {
@@ -3384,6 +3462,7 @@ ORACLE = {
     "r69_mann_whitney": R69_SQL,
     "r70_bitmap_distinct": R70_SQL,
     "r71_rolling_distinct": R71_SQL,
+    "r72_sql_model_chain": R72_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }

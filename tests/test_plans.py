@@ -315,3 +315,60 @@ def test_chisq_only_fact_shuffle_is_cell_count(spark):
     # broadcast, so no second fact-scale shuffle exists.
     plan = plan_of(QUERIES["r62_chisq_independence"](spark, SF_DIR), "simple")
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_model_runner_topo_order_and_cycle(spark):
+    from pyspark_recs.sql.model_runner import model_refs, topo_order
+    import pytest
+
+    models = {
+        "c": "SELECT * FROM {{ ref('b') }} JOIN {{ ref('a') }} USING (x)",
+        "a": "SELECT 1 AS x",
+        "b": "SELECT x FROM {{ ref('a') }}",
+    }
+    assert model_refs(models["c"]) == {"a", "b"}
+    assert topo_order(models) == ["a", "b", "c"]
+    with pytest.raises(ValueError, match="cycle"):
+        topo_order({"p": "SELECT * FROM {{ ref('q') }}",
+                    "q": "SELECT * FROM {{ ref('p') }}"})
+
+
+def test_model_runner_fuses_chain_into_one_plan(spark):
+    # Temp-view models must INLINE: the final model's physical plan
+    # reads the parquet source directly (pushdown through all models),
+    # with no materialization boundary per model.
+    from pyspark_recs.io import load_table
+    from pyspark_recs.sql.model_runner import run_models
+
+    out = run_models(
+        spark,
+        {
+            "m1": "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+            "m2": "SELECT * FROM {{ ref('m1') }} WHERE o_custkey = 7",
+            "m3": "SELECT o_orderkey, o_totalprice FROM {{ ref('m2') }}",
+        },
+        sources={"orders": load_table(spark, "/root/testdata/sf0.001", "orders")},
+    )
+    plan = out["m3"]._jdf.queryExecution().executedPlan().toString()
+    # the m2 filter reached the scan as a pushed filter
+    assert "PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,7)" in plan
+    rows = out["m3"].collect()
+    assert rows and all(len(r) == 2 for r in rows)
+
+
+def test_model_runner_materialize_caches_cut_point(spark):
+    from pyspark_recs.io import load_table
+    from pyspark_recs.sql.model_runner import run_models
+
+    out = run_models(
+        spark,
+        {
+            "base": "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey",
+            "top": "SELECT * FROM {{ ref('base') }} WHERE n > 2",
+        },
+        sources={"orders": load_table(spark, "/root/testdata/sf0.001", "orders")},
+        materialize=("base",),
+    )
+    plan = out["top"]._jdf.queryExecution().executedPlan().toString()
+    assert "InMemory" in plan  # the cut point is served from cache
+    out["base"].unpersist()
