@@ -113,6 +113,9 @@ HEADLINE = [
     "r71_rolling_distinct",
     "l56_linear_model_score",
     "r72_sql_model_chain",
+    "r73_delete_propagation",
+    "r74_fk_discovery",
+    "l57_source_leakage",
 ]
 
 

@@ -177,6 +177,26 @@ def compact_parquet(
     return n_files
 
 
+def propagate_deletes(
+    df: DataFrame,
+    doomed_keys: DataFrame,
+    on,
+    path: str | None = None,
+) -> DataFrame:
+    """Right-to-erasure rewrite step: drop every row matching the
+    (request-volume-sized, broadcast) doomed-key set via LEFT ANTI join
+    and optionally rewrite the table. The audit-plan twin is
+    workloads r73 (per-table pre-flight counts); compose per FK edge
+    to cascade (customers → orders → lineitems). On a partitioned
+    table, pair with dynamic partition overwrite so only partitions
+    holding matches rewrite — the 100 TB erasure discipline.
+    """
+    kept = df.join(F.broadcast(doomed_keys), on=on, how="left_anti")
+    if path is not None:
+        kept.write.mode("overwrite").parquet(path)
+    return kept
+
+
 def write_columnar(
     df: DataFrame,
     path: str,

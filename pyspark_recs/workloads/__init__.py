@@ -63,6 +63,7 @@ _PRIORITY = [
     "rs22_item_lift", "r69_mann_whitney", "l54_countmin_sketch",
     "l55_containment_pairs", "r70_bitmap_distinct", "r71_rolling_distinct",
     "l56_linear_model_score", "r72_sql_model_chain",
+    "r73_delete_propagation", "r74_fk_discovery", "l57_source_leakage",
     # tier 2 — round-1-verified, unchecked since (drift watch);
     # r45/r46 were green in round 2 but reworked since (de-vacuated
     # constants) so they rotate forward with this tier

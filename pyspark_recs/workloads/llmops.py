@@ -2047,6 +2047,99 @@ FROM keyed ORDER BY es_key DESC, doc_id LIMIT 100
 """
 
 
+# --------------------------------------------------------------------- l57
+def l57_source_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source leakage matrix: for every pair of corpus sources,
+    how many distinct 3-gram shingle hashes they SHARE, plus the
+    overlap coefficient (shared / smaller set) in exact ppm — the
+    corpus-level audit that catches one feed republishing another
+    (mirrors, scrapes of scrapes) before dedup wastes a full LSH pass
+    on it, and the between-SOURCES sibling of l32's train/eval
+    decontamination.
+
+    Scale: distinct (gram, source) is a map-side-combined projection of
+    Horner-folded integer hashes (no shingle strings); the pair count
+    is an equi-join on the gram hash — shuffle is gram-cardinality. At
+    open-web scale, feed l41's winnowed fingerprints instead of all
+    grams: same query, 1/w the rows, with winnowing's matching
+    guarantee.
+    """
+    from pyspark_recs.llmops.dedup import shingle_hashes
+
+    docs = load_table(spark, sf, "documents")
+    gs = (
+        docs.filter(F.size(tokens(F.col("text"))) >= 3)
+        .select(
+            "source",
+            F.explode(shingle_hashes(F.col("text"), 3)).alias("g"),
+        )
+        .distinct()
+    )
+    counts = gs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = gs.alias("a")
+    b = gs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ca = counts.select(
+        F.col("source").alias("src_a"), F.col("n").alias("n_a")
+    )
+    cb = counts.select(
+        F.col("source").alias("src_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "src_a")
+        .join(F.broadcast(cb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr("(1000000L * n_shared) div least(n_a, n_b)")
+            .cast("long")
+            .alias("overlap_ppm"),
+        )
+    )
+
+
+L57_SQL = f"""
+WITH toks AS ({_TOKS}),
+wh AS (
+  SELECT source, list_transform(words,
+      w -> {_sql_md5_long('w')} % {MINHASH_PRIME}) AS wh
+  FROM toks WHERE len(words) >= 3),
+sg AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(
+             range(1, len(wh) - 1),
+             i -> (((wh[i] * {SHINGLE_BASE} + wh[i + 1]) % {MINHASH_PRIME})
+                    * {SHINGLE_BASE} + wh[i + 2]) % {MINHASH_PRIME})) AS g
+  FROM wh),
+counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM sg GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT p.src_a, p.src_b, p.n_shared, ca.n AS n_a, cb.n AS n_b,
+       (1000000 * p.n_shared) // least(ca.n, cb.n) AS overlap_ppm
+FROM pairs p
+JOIN counts ca ON p.src_a = ca.source
+JOIN counts cb ON p.src_b = cb.source
+"""
+
+
 # --------------------------------------------------------------------- l56
 L56_WEIGHTS = (
     ("n_tokens", 1500),
@@ -2314,6 +2407,7 @@ QUERIES = {
     "l54_countmin_sketch": l54_countmin_sketch,
     "l55_containment_pairs": l55_containment_pairs,
     "l56_linear_model_score": l56_linear_model_score,
+    "l57_source_leakage": l57_source_leakage,
 }
 
 ORACLE = {
@@ -2373,4 +2467,5 @@ ORACLE = {
     "l54_countmin_sketch": L54_SQL,
     "l55_containment_pairs": L55_SQL,
     "l56_linear_model_score": L56_SQL,
+    "l57_source_leakage": L57_SQL,
 }

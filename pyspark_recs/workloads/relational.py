@@ -23,7 +23,7 @@ from pyspark_recs.sql import (
     time_split_label,
     top_k_per_group,
 )
-from pyspark_recs.llmops.hashing import sql_md5_long
+from pyspark_recs.llmops.hashing import md5_long, sql_md5_long
 from pyspark_recs.workloads.common import davg, dsum, sql_davg, sql_dsum
 
 TRAIN_END = "2000-01-01"
@@ -2965,6 +2965,183 @@ FROM offers o JOIN mins m
 """
 
 
+# --------------------------------------------------------------------- r74
+R74_CANDIDATES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders", "o_orderkey", "customer", "c_custkey"),  # spurious
+)
+
+
+def r74_fk_discovery(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key discovery profiling (the data-catalog primitive behind
+    "which columns join?"): for each candidate (child, parent) column
+    pair, the inclusion coefficient |child ∩ parent| / |child| over
+    DISTINCT values, in exact ppm. True FKs profile at 1 000 000;
+    the deliberately-spurious orderkey→custkey pair scores low — and
+    the emitted cardinalities expose why dense surrogate-id overlap
+    (suppkey⊂custkey-style) needs the cardinality ratio, not inclusion
+    alone, to call direction.
+
+    Scale: everything operates on per-column DISTINCT sets (map-side
+    combined — shuffle is key-cardinality, not row count); the match
+    count is a semi-join of those sets, and each pair's profile is
+    independent (embarrassingly parallel across the candidate list).
+    """
+    out = None
+    for child_t, child_c, parent_t, parent_c in R74_CANDIDATES:
+        child = (
+            load_table(spark, sf, child_t).select(child_c).distinct()
+        )
+        parent = (
+            load_table(spark, sf, parent_t).select(parent_c).distinct()
+        )
+        matched = child.join(
+            parent,
+            child[child_c] == parent[parent_c],
+            "left_semi",
+        )
+        row = (
+            child.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(
+                F.broadcast(
+                    parent.agg(F.count(F.lit(1)).alias("n_parent"))
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    matched.agg(F.count(F.lit(1)).alias("n_matched"))
+                )
+            )
+            .select(
+                F.lit(f"{child_t}.{child_c}").alias("child_col"),
+                F.lit(f"{parent_t}.{parent_c}").alias("parent_col"),
+                F.col("n_child").cast("long").alias("n_child"),
+                F.col("n_parent").cast("long").alias("n_parent"),
+                F.col("n_matched").cast("long").alias("n_matched"),
+                F.expr("(1000000L * n_matched) div n_child")
+                .cast("long")
+                .alias("inclusion_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _r74_pair_sql(child_t, child_c, parent_t, parent_c):
+    return f"""
+SELECT '{child_t}.{child_c}' AS child_col,
+       '{parent_t}.{parent_c}' AS parent_col,
+       (SELECT CAST(count(DISTINCT {child_c}) AS BIGINT) FROM {child_t})
+         AS n_child,
+       (SELECT CAST(count(DISTINCT {parent_c}) AS BIGINT) FROM {parent_t})
+         AS n_parent,
+       (SELECT CAST(count(*) AS BIGINT) FROM
+          (SELECT DISTINCT {child_c} FROM {child_t}
+           WHERE {child_c} IN (SELECT {parent_c} FROM {parent_t})))
+         AS n_matched,
+       (1000000 * (SELECT CAST(count(*) AS BIGINT) FROM
+          (SELECT DISTINCT {child_c} FROM {child_t}
+           WHERE {child_c} IN (SELECT {parent_c} FROM {parent_t}))))
+         // (SELECT CAST(count(DISTINCT {child_c}) AS BIGINT)
+             FROM {child_t}) AS inclusion_ppm"""
+
+
+R74_SQL = "\nUNION ALL\n".join(
+    _r74_pair_sql(*cand) for cand in R74_CANDIDATES
+)
+
+
+# --------------------------------------------------------------------- r73
+def r73_delete_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Right-to-erasure audit (the GDPR lifecycle op): a deterministic
+    1 % of customers request deletion; the cascade follows the FK graph
+    — their orders, and those orders' lineitems — and reports per-table
+    (rows, to_delete, kept). The md5-keyed victim set stands in for the
+    request table; counts are the pre-flight audit every erasure job
+    runs before rewriting. The rewrite itself is
+    ``io.sinks.propagate_deletes`` (anti-join + partition rewrite,
+    tested separately); this query is its plan.
+
+    Scale: the victim set is request-volume-sized and BROADCASTS to
+    every fact anti/semi-join — no fact shuffles anywhere; the lineitem
+    cascade probes doomed orderkeys (also broadcast after the semi
+    join). Exactly the shape that lets a 100 TB erasure run touch only
+    the partitions holding matches (pair with date/bucket layout).
+    """
+    customer = load_table(spark, sf, "customer").select("c_custkey")
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    lineitem = load_table(spark, sf, "lineitem").select("l_orderkey")
+    victims = customer.filter(
+        md5_long(F.col("c_custkey").cast("string")) % 100 == 0
+    )
+    doomed_orders = orders.join(
+        F.broadcast(victims),
+        orders.o_custkey == victims.c_custkey,
+        "left_semi",
+    )
+    doomed_keys = doomed_orders.select("o_orderkey")
+
+    def audit(df: DataFrame, name: str, doomed: DataFrame) -> DataFrame:
+        total = df.agg(F.count(F.lit(1)).alias("n_rows"))
+        dead = doomed.agg(F.count(F.lit(1)).alias("n_deleted"))
+        return (
+            total.crossJoin(F.broadcast(dead))
+            .select(
+                F.lit(name).alias("table_name"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_deleted").cast("long").alias("n_deleted"),
+                (F.col("n_rows") - F.col("n_deleted"))
+                .cast("long")
+                .alias("n_kept"),
+            )
+        )
+
+    li_doomed = lineitem.join(
+        F.broadcast(doomed_keys),
+        lineitem.l_orderkey == doomed_keys.o_orderkey,
+        "left_semi",
+    )
+    return (
+        audit(customer, "customer", victims)
+        .unionByName(audit(orders, "orders", doomed_orders))
+        .unionByName(audit(lineitem, "lineitem", li_doomed))
+    )
+
+
+R73_SQL = f"""
+WITH victims AS (
+  SELECT c_custkey FROM customer
+  WHERE ({sql_md5_long("CAST(c_custkey AS VARCHAR)")}) % 100 = 0),
+doomed_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM victims)),
+doomed_li AS (
+  SELECT l_orderkey FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM doomed_orders))
+SELECT 'customer' AS table_name,
+       (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM victims) AS n_deleted,
+       (SELECT CAST(count(*) AS BIGINT) FROM customer)
+         - (SELECT CAST(count(*) AS BIGINT) FROM victims) AS n_kept
+UNION ALL
+SELECT 'orders',
+       (SELECT CAST(count(*) AS BIGINT) FROM orders),
+       (SELECT CAST(count(*) AS BIGINT) FROM doomed_orders),
+       (SELECT CAST(count(*) AS BIGINT) FROM orders)
+         - (SELECT CAST(count(*) AS BIGINT) FROM doomed_orders)
+UNION ALL
+SELECT 'lineitem',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(count(*) AS BIGINT) FROM doomed_li),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+         - (SELECT CAST(count(*) AS BIGINT) FROM doomed_li)
+"""
+
+
 # --------------------------------------------------------------------- r72
 # A three-model dbt-style chain (staging → daily rollup → summary), the
 # reference's ref()-wired SQL DAG shape (src/dbt/models/metaflow/*.sql)
@@ -3389,6 +3566,8 @@ QUERIES = {
     "r70_bitmap_distinct": r70_bitmap_distinct,
     "r71_rolling_distinct": r71_rolling_distinct,
     "r72_sql_model_chain": r72_sql_model_chain,
+    "r73_delete_propagation": r73_delete_propagation,
+    "r74_fk_discovery": r74_fk_discovery,
 }
 
 ORACLE = {
@@ -3463,6 +3642,8 @@ ORACLE = {
     "r70_bitmap_distinct": R70_SQL,
     "r71_rolling_distinct": R71_SQL,
     "r72_sql_model_chain": R72_SQL,
+    "r73_delete_propagation": R73_SQL,
+    "r74_fk_discovery": R74_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }

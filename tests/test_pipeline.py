@@ -121,3 +121,29 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     compact_parquet(spark, src, target_file_bytes=10**9)
     assert len(glob.glob(src + "/*.parquet")) == 1
     assert sorted(map(tuple, spark.read.parquet(src).collect())) == before
+
+
+def test_propagate_deletes_cascades_and_rewrites(spark, tmp_path):
+    # Erase two customers: their orders disappear from the rewritten
+    # table and the cascade key set drives the next table's anti-join.
+    import pyspark.sql.functions as F
+    from pyspark_recs.io import load_table
+    from pyspark_recs.io.sinks import propagate_deletes
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+    victims = spark.createDataFrame([(1,), (2,)], "c_custkey long")
+
+    out = str(tmp_path / "orders_clean")
+    kept = propagate_deletes(
+        orders,
+        victims,
+        on=orders.o_custkey == victims.c_custkey,
+        path=out,
+    )
+    n_doomed = orders.filter(F.col("o_custkey").isin(1, 2)).count()
+    assert n_doomed > 0  # fixture sanity: the erasure is non-vacuous
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count() - n_doomed
+    assert back.filter(F.col("o_custkey").isin(1, 2)).count() == 0
+    assert kept.columns == orders.columns
