@@ -29,6 +29,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Arrow for pandas interchange — the only sanctioned Python boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python DataSource connectors (io.pysource) declare pushFilters;
+    # the capability is opt-in.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

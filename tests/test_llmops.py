@@ -818,3 +818,23 @@ def test_countmin_estimate_dominates_exact_count(spark):
     out = l54_countmin_sketch(spark, "/root/testdata/sf0.001").collect()
     assert out
     assert all(r.cms_est >= r.exact_cnt for r in out)
+
+
+def test_binary_file_source_feeds_decode_pipeline(spark, tmp_path):
+    # A directory of real files enters through binaryFile and flows
+    # through the same Arrow decode as the synthetic payload column.
+    from pyspark_recs.llmops.multimodal import decode_metadata, read_binary_dir
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"\x89PNG-ish payload")
+    (d / "b.bin").write_bytes(b"RIFF-ish payload!")
+    (d / "skip.txt").write_bytes(b"not media")
+
+    df = read_binary_dir(spark, str(d), glob="*.bin")
+    rows = df.collect()
+    assert len(rows) == 2  # pathGlobFilter pruned at listing time
+    assert len({r.doc_id for r in rows}) == 2
+    meta = decode_metadata(df.select("doc_id", "payload")).collect()
+    by_bytes = {r.n_bytes for r in meta}
+    assert by_bytes == {16, 17}
