@@ -481,3 +481,26 @@ def test_mann_whitney_identical_halves_are_balanced(spark):
     u2_early = row.r2_e - row.n_e * (row.n_e + 1)
     assert (row.n_e, row.n_l) == (50, 50)
     assert u2_early == row.n_e * row.n_l  # 2*U = 2*(n*n/2) under identity
+
+
+def test_scalable_prefix_max_matches_single_task_window(spark):
+    """Max-monoid sibling of the prefix-sum equivalence, on values
+    engineered so the running max changes mid-partition and across
+    bucket boundaries."""
+    from pyspark.sql import Window
+    from pyspark_recs.sql.transforms import scalable_prefix_max
+
+    df = spark.createDataFrame(
+        [(t, ((t * 2654435761) % 997) - (t % 3) * 100) for t in range(1, 501)],
+        "t long, v long",
+    )
+    got = {
+        r.t: r.running_max
+        for r in scalable_prefix_max(df, "t", "v", num_ranges=8).collect()
+    }
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.t: r.m
+        for r in df.withColumn("m", F.max("v").over(w)).collect()
+    }
+    assert got == want

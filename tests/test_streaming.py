@@ -626,3 +626,37 @@ def test_streaming_attribution_matches_batch(spark, tmp_path_factory, tmp_path):
         for r in s14_utouch_attribution(spark, sf).collect()
     }
     assert got == want and want
+
+
+def test_attribution_credit_conserved_per_conversion(spark):
+    # Every conversion's credits must sum to exactly 1,000,000 ppm for
+    # every journey length (the integer-division remainder rule).
+    import pyspark.sql.functions as F
+    from pyspark_recs.workloads.streaming import s14_utouch_attribution
+    import pyspark_recs.workloads.streaming as ws
+
+    rows, eid = [], 0
+    for user, n_touches in [(1, 1), (2, 2), (3, 3), (4, 5), (5, 9)]:
+        for i in range(n_touches):
+            eid += 1
+            rows.append((eid, f"2024-01-01 00:{i:02d}:00", "click", user))
+        eid += 1
+        rows.append((eid, f"2024-01-01 01:00:00", "purchase", user))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string, user_id long"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+    orig = ws.load_table
+    ws.load_table = lambda spark, sf, name: df
+    try:
+        out = s14_utouch_attribution(spark, "ignored")
+        sums = {
+            r.conv_event_id: r.s
+            for r in out.groupBy("conv_event_id")
+            .agg(F.sum("credit_ppm").alias("s"))
+            .collect()
+        }
+    finally:
+        ws.load_table = orig
+    assert len(sums) == 5
+    assert set(sums.values()) == {1_000_000}
