@@ -3493,6 +3493,238 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+# --------------------------------------------------------------------- r75
+def r75_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Shipping-priority report (TPC-H Q3 shape): for one market
+    segment, the top-10 orders by outstanding revenue — orders placed
+    before the cutoff whose lines ship after it.
+
+    Scale: the segment filter collapses customer to ~20% and
+    BROADCASTS; the o_orderdate and l_shipdate predicates push to the
+    parquet scans; revenue aggregates map-side on l_orderkey; the
+    top-10 runs as TakeOrderedAndProject (per-partition heads merged on
+    the driver), never a global sort.
+    """
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    cust = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+R75_SQL = f"""
+SELECT l_orderkey,
+       {sql_dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------- r76
+def r76_late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape): per priority class,
+    how many orders in a window had at least one line shipped more
+    than 60 days after the order date. Q4's defining idiom is the
+    EXISTS correlated subquery — expressed as a LEFT SEMI join whose
+    equi-key is the order key and whose lateness predicate rides along
+    as the join residual (hash semi-join, not a nested loop).
+
+    Scale: the date-window filter pushes to the orders scan; the semi
+    join shuffles only (orderkey, shipdate) pairs and short-circuits
+    per probe on first match; the 5-group aggregate is map-side.
+    """
+    orders = (
+        load_table(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+R76_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------- r77
+def r77_returned_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Returned-item revenue report (TPC-H Q10 shape): the top-20
+    customers by revenue lost to returned lines ('R' flag) on orders
+    from one quarter-year window, with nation attached.
+
+    Scale: both date and returnflag predicates push to the scans; the
+    windowed orders sliver BROADCASTS to the lineitem probe; revenue
+    aggregates map-side per customer; nation is a broadcast dim; the
+    top-20 is TakeOrderedAndProject.
+    """
+    orders = (
+        load_table(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(dsum(revenue).alias("lost_revenue"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "c_acctbal", "n_name", "lost_revenue")
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+R77_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {sql_dsum("l_extendedprice * (1 - l_discount)")} AS lost_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------- r78
+def r78_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Promotion-revenue share per ship month (TPC-H Q14 shape): the
+    fraction of discounted revenue coming from PROMO-type parts, as an
+    exact integer-ppm ratio so the division result is engine-agreed.
+
+    Scale: part (key, is-promo bit) BROADCASTS to the fact scan; both
+    fixed-point revenue sums combine map-side per month; the ratio is
+    one integer division over 84 month rows.
+    """
+    li = load_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    q = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = (
+        joined.groupBy(
+            F.date_trunc("month", F.col("l_shipdate")).cast("date").alias("ship_month")
+        )
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", q).otherwise(F.lit(0))).alias(
+                "promo_rev_q"
+            ),
+            F.sum(q).alias("total_rev_q"),
+        )
+    )
+    # share in ppm via pure IEEE double ops (long→double conversion,
+    # division, *1e6, floor are each bit-identical across engines), so
+    # no BIGINT overflow and no engine-specific cast rounding.
+    return agg.select(
+        "ship_month",
+        (F.col("promo_rev_q").cast("double") / F.lit(1e6)).alias("promo_revenue"),
+        (F.col("total_rev_q").cast("double") / F.lit(1e6)).alias("total_revenue"),
+        F.floor(
+            F.col("promo_rev_q").cast("double")
+            / F.col("total_rev_q").cast("double")
+            * F.lit(1e6)
+        ).alias("promo_share_ppm"),
+    )
+
+
+R78_SQL = """
+WITH agg AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+         sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0
+                             + 0.5) AS BIGINT) ELSE 0 END) AS promo_rev_q,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000.0
+                        + 0.5) AS BIGINT)) AS total_rev_q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1)
+SELECT ship_month,
+       CAST(promo_rev_q AS DOUBLE) / 1000000.0 AS promo_revenue,
+       CAST(total_rev_q AS DOUBLE) / 1000000.0 AS total_revenue,
+       CAST(floor(CAST(promo_rev_q AS DOUBLE) / CAST(total_rev_q AS DOUBLE)
+                  * 1000000.0) AS BIGINT) AS promo_share_ppm
+FROM agg
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -3568,6 +3800,10 @@ QUERIES = {
     "r72_sql_model_chain": r72_sql_model_chain,
     "r73_delete_propagation": r73_delete_propagation,
     "r74_fk_discovery": r74_fk_discovery,
+    "r75_shipping_priority": r75_shipping_priority,
+    "r76_late_shipment_priority": r76_late_shipment_priority,
+    "r77_returned_customers": r77_returned_customers,
+    "r78_promo_revenue": r78_promo_revenue,
 }
 
 ORACLE = {
@@ -3644,6 +3880,10 @@ ORACLE = {
     "r72_sql_model_chain": R72_SQL,
     "r73_delete_propagation": R73_SQL,
     "r74_fk_discovery": R74_SQL,
+    "r75_shipping_priority": R75_SQL,
+    "r76_late_shipment_priority": R76_SQL,
+    "r77_returned_customers": R77_SQL,
+    "r78_promo_revenue": R78_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }

@@ -372,3 +372,42 @@ def test_model_runner_materialize_caches_cut_point(spark):
     plan = out["top"]._jdf.queryExecution().executedPlan().toString()
     assert "InMemory" in plan  # the cut point is served from cache
     out["base"].unpersist()
+
+
+def test_shipping_priority_topk_and_broadcasts(spark):
+    # r75 (TPC-H Q3 shape): the top-10 must run as TakeOrderedAndProject
+    # (per-partition heads, no global sort) and the filtered
+    # customer/orders sliver must broadcast to the fact probe.
+    plan = plan_of(QUERIES["r75_shipping_priority"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_late_shipment_semi_join_is_hash_join(spark):
+    # r76 (TPC-H Q4 shape): the EXISTS must plan as a LeftSemi HASH join
+    # with the lateness predicate as the join residual — never a
+    # nested-loop over the fact table.
+    plan = plan_of(QUERIES["r76_late_shipment_priority"](spark, SF_DIR))
+    assert re.search(r"LeftSemi", plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_returned_customers_pushes_flag_filter(spark):
+    # r77 (TPC-H Q10 shape): the returnflag predicate must reach the
+    # lineitem parquet scan, and the final top-20 must be
+    # TakeOrderedAndProject.
+    plan = plan_of(QUERIES["r77_returned_customers"](spark, SF_DIR))
+    assert re.search(r"PushedFilters:.*EqualTo\(l_returnflag,R\)", plan)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_promo_revenue_single_shuffle(spark):
+    # r78 (TPC-H Q14 shape): part broadcasts to the fact scan and the
+    # month rollup aggregates map-side — exactly one exchange carries
+    # grouped partials (plus the broadcast exchange for part).
+    plan = plan_of(QUERIES["r78_promo_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    shuffles = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(shuffles) <= 1, plan
