@@ -842,3 +842,205 @@ def pq_encode(
     return collapsed.select(
         id_col, *code_cols, (err.cast("double") / F.lit(1e12)).alias("sq_error")
     )
+
+
+def ivfpq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors (Jégou et al. 2011; the
+    FAISS billion-vector path): the IVF coarse quantizer prunes the
+    scan to ``nprobe``/``n_cells`` of the corpus, and within probed
+    cells distances are computed against PQ CODES (2 B per vector via
+    ``pq_encode``) instead of raw floats — asymmetric distance
+    computation (ADC), where each query precomputes a
+    (subspace × code) → squared-distance table and a candidate's
+    distance is just ``n_subspaces`` table lookups summed.
+
+    Both codebooks default to deterministic lowest-id corpus vectors
+    (the stand-in that keeps the operator DuckDB-oracle-checkable —
+    same convention as ``ivf_topk``/``pq_encode``); pass
+    ``kmeans_centroids`` output for production quality.
+
+    Determinism: ADC entries are the same fixed-point BIGINT
+    sub-distances as ``pq_encode`` (floor((a−b)²·1e12 + 0.5) per term,
+    summed exactly), so ranking and tie-breaks (smaller distance, then
+    smaller neighbor id) are bit-identical across engines.
+
+    Scale: the inverted file carries (neighbor_id, cell_id, 4 codes) —
+    ~10 B/vector, 25× less I/O than raw 64-d floats; the ADC table is
+    Q · n_subspaces · n_codes rows and BROADCASTS; the only
+    corpus-sized work is the probe equi-join on cell_id and one
+    map-side-combined (query, neighbor) sum of 4 rows. At 10⁹ vectors
+    you bucket the code table by cell_id so probes prune partitions.
+
+    Output: (query_id, neighbor_id, adc_dist, rank), self-excluded.
+    """
+    if coarse_centroids is None:
+        coarse_centroids = (
+            candidates.orderBy(F.asc(id_col))
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec")
+            )
+        )
+    if codebook is None:
+        codebook = (
+            candidates.orderBy(F.asc(id_col))
+            .limit(n_codes)
+            .select(
+                F.col(vec_col).alias("cvec"),
+                (
+                    F.row_number().over(Window.orderBy(F.asc(id_col))) - 1
+                ).alias("code_id"),
+            )
+        )
+
+    cents = coarse_centroids.select(
+        "cell_id",
+        "cvec",
+        F.sqrt(_fixed_dot(F.col("cvec"), F.col("cvec"))).alias("cnorm"),
+    )
+
+    def _cell_scores(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        side = df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            F.sqrt(_fixed_dot(F.col(vec_col), F.col(vec_col))).alias("vnorm"),
+        )
+        ccos = _fixed_dot(F.col(out_vec), F.col("cvec")) / (
+            F.col("vnorm") * F.col("cnorm")
+        )
+        return side.crossJoin(F.broadcast(cents)).select(
+            out_id, out_vec, "cell_id", ccos.alias("ccos")
+        )
+
+    # Inverted file: argmax cell per candidate via partial-aggregating
+    # max(struct) — no window over the N×C expansion.
+    inv_file = (
+        _cell_scores(candidates, "neighbor_id", "nv")
+        .groupBy("neighbor_id")
+        .agg(F.max(F.struct("ccos", (-F.col("cell_id")).alias("ncell"))).alias("b"))
+        .select("neighbor_id", (-F.col("b.ncell")).alias("cell_id"))
+    )
+    # PQ codes for every candidate (shares the codebook with the ADC
+    # table below).
+    codes = pq_encode(
+        candidates,
+        n_subspaces=n_subspaces,
+        n_codes=n_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=codebook,
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        *[F.col(f"code_{m}") for m in range(n_subspaces)],
+    )
+
+    # Query ADC tables: (query_id, m, code_id) → exact BIGINT sq-dist.
+    sub_len = (F.size("cvec") / F.lit(n_subspaces)).cast("int")
+    book_subs = codebook.select(
+        "code_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+                lambda m: F.struct(
+                    m.alias("m"),
+                    F.slice(F.col("cvec"), m * sub_len + 1, sub_len).alias(
+                        "csub"
+                    ),
+                ),
+            )
+        ).alias("bs"),
+    ).select("code_id", "bs.m", "bs.csub")
+    qsub_len = (F.size(vec_col) / F.lit(n_subspaces)).cast("int")
+    q_subs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+                lambda m: F.struct(
+                    m.alias("m"),
+                    F.slice(F.col(vec_col), m * qsub_len + 1, qsub_len).alias(
+                        "qsub"
+                    ),
+                ),
+            )
+        ).alias("qs"),
+    ).select("query_id", "qs.m", "qs.qsub")
+    dist_q = F.aggregate(
+        F.zip_with(
+            F.col("qsub"),
+            F.col("csub"),
+            lambda x, y: F.floor(
+                (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+                * F.lit(1e12)
+                + F.lit(0.5)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    adc = q_subs.join(F.broadcast(book_subs), "m").select(
+        "query_id", "m", "code_id", dist_q.alias("dist_q")
+    )
+
+    # Query → nprobe cells (WindowGroupLimit over the small Q×C side).
+    w = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
+    probes = (
+        _cell_scores(queries, "query_id", "qv")
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "cell_id")
+    )
+
+    # Probe join → per-pair code unpivot → ADC lookups summed exactly.
+    pairs = (
+        probes.join(inv_file, "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(codes, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.col(f"code_{m}").alias("code_id"),
+                        )
+                        for m in range(n_subspaces)
+                    ]
+                )
+            ).alias("mc"),
+        )
+        .select("query_id", "neighbor_id", "mc.m", "mc.code_id")
+    )
+    summed = (
+        pairs.join(F.broadcast(adc), ["query_id", "m", "code_id"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dist_q").alias("adc_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_q"), F.asc("neighbor_id")
+    )
+    return (
+        summed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("adc_q").cast("double") / F.lit(1e12)).alias("adc_dist"),
+            "rank",
+        )
+    )

@@ -2350,6 +2350,79 @@ GROUP BY p.token, p.exact_cnt
 """
 
 
+# --------------------------------------------------------------------- l58
+def l58_ivfpq_search(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ ANN search (llmops/similarity.py:ivfpq_topk): coarse
+    cells prune the scan to nprobe/n_cells of the corpus, then probed
+    candidates are ranked by asymmetric distance against their 2-byte
+    PQ codes — composing l15's inverted file with l49's product codes
+    into the billion-vector FAISS serving path, exactly checkable
+    because every sub-distance is a fixed-point BIGINT."""
+    from pyspark_recs.llmops.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return ivfpq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+_PQ_SLICE = "list_slice({v}, ms.m * 16 + 1, ms.m * 16 + 16)"
+
+L58_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cv,
+         sqrt({_FIXED_DOT.format(a='embedding', b='embedding')}) AS cnorm
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+book AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, embedding AS bv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+ms AS (SELECT unnest(range(0, 4)) AS m),
+cand AS (
+  SELECT vec_id AS neighbor_id, embedding AS nv,
+         sqrt({_FIXED_DOT.format(a='embedding', b='embedding')}) AS vnorm
+  FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         sqrt({_FIXED_DOT.format(a='embedding', b='embedding')}) AS vnorm
+  FROM embeddings WHERE vec_id < 10),
+inv_file AS ({_nearest_cells_sql('cand', 'neighbor_id', 'nv', 1)}),
+probes AS ({_nearest_cells_sql('q', 'query_id', 'qv', 4)}),
+cand_scored AS (
+  SELECT c.neighbor_id, ms.m, b.code_id,
+         {_PQ_SQDIST.format(a=_PQ_SLICE.format(v='c.nv'),
+                            b=_PQ_SLICE.format(v='b.bv'))} AS dist_q
+  FROM cand c CROSS JOIN ms CROSS JOIN book b),
+cand_codes AS (
+  SELECT neighbor_id, m, code_id FROM (
+    SELECT neighbor_id, m, code_id,
+           row_number() OVER (PARTITION BY neighbor_id, m
+                              ORDER BY dist_q, code_id) AS rn
+    FROM cand_scored) WHERE rn = 1),
+adc AS (
+  SELECT qq.query_id, ms.m, b.code_id,
+         {_PQ_SQDIST.format(a=_PQ_SLICE.format(v='qq.qv'),
+                            b=_PQ_SLICE.format(v='b.bv'))} AS dist_q
+  FROM q qq CROSS JOIN ms CROSS JOIN book b),
+pairs AS (
+  SELECT p.query_id, f.neighbor_id
+  FROM probes p JOIN inv_file f USING (cell_id)
+  WHERE f.neighbor_id <> p.query_id),
+summed AS (
+  SELECT pr.query_id, pr.neighbor_id, sum(a.dist_q) AS adc_q
+  FROM pairs pr
+  JOIN cand_codes cc ON cc.neighbor_id = pr.neighbor_id
+  JOIN adc a ON a.query_id = pr.query_id AND a.m = cc.m
+            AND a.code_id = cc.code_id
+  GROUP BY pr.query_id, pr.neighbor_id)
+SELECT query_id, neighbor_id,
+       CAST(adc_q AS DOUBLE) / 1e12 AS adc_dist,
+       CAST(rank AS INTEGER) AS rank
+FROM (SELECT query_id, neighbor_id, adc_q,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_q, neighbor_id) AS rank
+      FROM summed)
+WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -2408,6 +2481,7 @@ QUERIES = {
     "l55_containment_pairs": l55_containment_pairs,
     "l56_linear_model_score": l56_linear_model_score,
     "l57_source_leakage": l57_source_leakage,
+    "l58_ivfpq_search": l58_ivfpq_search,
 }
 
 ORACLE = {
@@ -2468,4 +2542,5 @@ ORACLE = {
     "l55_containment_pairs": L55_SQL,
     "l56_linear_model_score": L56_SQL,
     "l57_source_leakage": L57_SQL,
+    "l58_ivfpq_search": L58_SQL,
 }

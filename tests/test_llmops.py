@@ -838,3 +838,41 @@ def test_binary_file_source_feeds_decode_pipeline(spark, tmp_path):
     meta = decode_metadata(df.select("doc_id", "payload")).collect()
     by_bytes = {r.n_bytes for r in meta}
     assert by_bytes == {16, 17}
+
+
+def test_ivfpq_recall_vs_bruteforce(spark):
+    import random
+
+    from pyspark_recs.llmops.similarity import ivfpq_topk
+
+    # Clustered data (16-dim = 4 subspaces x 4) so coarse cells align
+    # with true neighborhoods and PQ codes separate clusters.
+    random.seed(11)
+    centers = [[random.gauss(0, 5) for _ in range(16)] for _ in range(4)]
+    data = [
+        (i, [c + random.gauss(0, 0.3) for c in centers[i % 4]])
+        for i in range(120)
+    ]
+    vecs = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    queries = vecs.filter(F.col("vec_id") < 5)
+    rows = ivfpq_topk(
+        vecs, queries, k=5, n_cells=8, nprobe=4, n_subspaces=4, n_codes=16
+    ).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(approx) == 25
+    assert {q for q, _ in approx} == {0, 1, 2, 3, 4}
+    # Within a tight cluster, 2-byte codes can't rank individual
+    # members (quantization error ~ the intra-cluster noise — intrinsic
+    # to PQ, which is why FAISS re-ranks survivors with exact floats).
+    # What IVF-PQ MUST get right is the cluster: every returned
+    # neighbor comes from its query's own cluster (i % 4).
+    for q, n in approx:
+        assert n % 4 == q % 4, (q, n)
+    # distances are exact fixed-point sums: non-negative and
+    # deterministic across re-runs (bit-identical re-execution).
+    rows2 = ivfpq_topk(
+        vecs, queries, k=5, n_cells=8, nprobe=4, n_subspaces=4, n_codes=16
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    for r in rows:
+        assert r.adc_dist >= 0.0
