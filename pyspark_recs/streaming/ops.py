@@ -802,3 +802,78 @@ def streaming_idempotent_window_sink(
         )
 
     return agg, write_batch
+
+
+def streaming_histogram_quantiles(
+    events: DataFrame,
+    n_bins: int = 64,
+    bin_width: float = 8.0,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Incremental quantile sketch per event type — the streaming twin
+    of workloads/streaming.s15_histogram_quantiles. State is ONE fixed
+    vector of ``n_bins`` bin counts per key (t-digest/DDSketch's
+    fixed-bucket cousin): each micro-batch bumps counts, and the
+    emitted p50/p90/p99 are the lower edge of the bin whose cumulative
+    count first reaches ceil(q·n/100) — the identical integer rule as
+    the batch form, so after the final batch the two agree exactly.
+
+    Memory is O(n_bins) per key regardless of stream length, and two
+    sketches merge by vector addition (shard by salted key, then sum —
+    the property that makes this the 100 TB quantile path where exact
+    per-key sorts are not).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{type_col} string, n_events long, "
+        "p50_est double, p90_est double, p99_est double"
+    )
+    state_schema = "counts array<long>, n long"
+
+    rows = events.select(
+        F.col(type_col).alias("k"), F.col(value_col).alias("value")
+    )
+
+    def update(key, pdfs, state):
+        import math
+
+        if state.exists:
+            counts, n = list(state.get[0]), int(state.get[1])
+        else:
+            counts, n = [0] * n_bins, 0
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                b = min(n_bins - 1, int(math.floor(float(v) / bin_width)))
+                counts[b] += 1
+                n += 1
+        state.update((counts, n))
+
+        def est(q: int) -> float:
+            rank = (q * n + 99) // 100
+            cum = 0
+            for b, c in enumerate(counts):
+                cum += c
+                if cum >= rank:
+                    return b * bin_width
+            return (n_bins - 1) * bin_width
+
+        yield pd.DataFrame(
+            {
+                type_col: [key[0]],
+                "n_events": [n],
+                "p50_est": [est(50)],
+                "p90_est": [est(90)],
+                "p99_est": [est(99)],
+            }
+        )
+
+    return rows.groupBy("k").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -5,7 +5,7 @@ schema (customer ≅ user, part ≅ item, lineitem⋈orders ≅ transactions).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_recs.io import load_table
@@ -1500,6 +1500,144 @@ JOIN marg mb ON p.item_b = mb.item_id, n_total t
 """
 
 
+# --------------------------------------------------------------------- rs23
+def rs23_item_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """Item-kNN neighbor lists by cosine similarity over the implicit
+    co-occurrence matrix — THE classic serving-side item-based CF
+    artifact (Sarwar et al., WWW 2001): for every item, its top-5
+    neighbors by cos(a,b) = c_ab / √(c_a·c_b). rs22 audits the pair
+    table with lift; this materializes the per-item ranked neighbor
+    LIST a recommender actually serves ("users who bought X also
+    bought…", the same artifact the reference's KV export ships).
+
+    Exactness: ranks by cos² in integer ppm — (10⁶·c_ab²) div
+    (c_a·c_b), one BIGINT cross-multiplication (monotone in cosine
+    since all terms are positive), so ordering and tie-breaks are
+    engine-agreed with no sqrt and no float division. (At 10⁹-user
+    scale, 10⁶·c_ab² can exceed int64 for head items — downscale both
+    counts by a power of two first; the test-scale form keeps the
+    exact ppm.)
+
+    Scale: identical discipline to rs05/rs22 — per-user histories
+    capped at 20 INSIDE the aggregation so the pair expansion is
+    ≤190/user before any shuffle; the pair table mirrors
+    post-aggregation (half the shuffle volume of mirroring first);
+    marginals are catalog-bounded broadcasts; the final top-5 per item
+    is WindowGroupLimit-pruned before its exchange.
+    """
+    inter = _interactions(spark, sf)
+    top_items = F.array_sort(
+        F.transform(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("n_purchases")).alias("neg"),
+                            F.col("item_id").alias("item"),
+                        )
+                    )
+                ),
+                1,
+                20,
+            ),
+            lambda t: t["item"],
+        )
+    )
+    lists = inter.groupBy("user_id").agg(top_items.alias("items"))
+    marginals = (
+        lists.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    half = (
+        lists.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.item_a"), F.col("p.item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    mirrored = half.unionByName(
+        half.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "n_ab",
+        )
+    )
+    ma = marginals.select(F.col("item").alias("item_a"), F.col("c").alias("n_a"))
+    mb = marginals.select(F.col("item").alias("item_b"), F.col("c").alias("n_b"))
+    scored = (
+        mirrored.join(F.broadcast(ma), "item_a")
+        .join(F.broadcast(mb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.expr("(1000000L * n_ab * n_ab) div (n_a * n_b)")
+            .cast("long")
+            .alias("cos2_ppm"),
+        )
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.desc("cos2_ppm"), F.asc("item_b")
+    )
+    return (
+        scored.withColumn("nrank", F.row_number().over(w))
+        .filter(F.col("nrank") <= 5)
+        .select("item_a", "item_b", "n_ab", "cos2_ppm", "nrank")
+    )
+
+
+RS23_SQL = """
+WITH inter AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id,
+         CAST(count(*) AS BIGINT) AS n_purchases
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_partkey),
+hist AS (
+  SELECT user_id, item_id FROM (
+    SELECT user_id, item_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY n_purchases DESC, item_id) AS hr
+    FROM inter)
+  WHERE hr <= 20),
+marg AS (
+  SELECT item_id, CAST(count(*) AS BIGINT) AS c FROM hist GROUP BY item_id),
+half AS (
+  SELECT a.item_id AS item_a, b.item_id AS item_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM hist a JOIN hist b
+    ON a.user_id = b.user_id AND a.item_id < b.item_id
+  GROUP BY a.item_id, b.item_id
+  HAVING count(*) >= 3),
+mirrored AS (
+  SELECT item_a, item_b, n_ab FROM half
+  UNION ALL
+  SELECT item_b AS item_a, item_a AS item_b, n_ab FROM half),
+scored AS (
+  SELECT m.item_a, m.item_b, m.n_ab,
+         CAST((1000000 * m.n_ab * m.n_ab) // (ma.c * mb.c) AS BIGINT)
+           AS cos2_ppm
+  FROM mirrored m
+  JOIN marg ma ON m.item_a = ma.item_id
+  JOIN marg mb ON m.item_b = mb.item_id)
+SELECT item_a, item_b, n_ab, cos2_ppm, CAST(nrank AS INTEGER) AS nrank
+FROM (SELECT item_a, item_b, n_ab, cos2_ppm,
+             row_number() OVER (PARTITION BY item_a
+                                ORDER BY cos2_ppm DESC, item_b) AS nrank
+      FROM scored)
+WHERE nrank <= 5
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -1523,6 +1661,7 @@ QUERIES = {
     "rs20_rec_coverage": rs20_rec_coverage,
     "rs21_coldstart_fallback": rs21_coldstart_fallback,
     "rs22_item_lift": rs22_item_lift,
+    "rs23_item_knn": rs23_item_knn,
 }
 
 ORACLE = {
@@ -1548,4 +1687,5 @@ ORACLE = {
     "rs20_rec_coverage": RS20_SQL,
     "rs21_coldstart_fallback": RS21_SQL,
     "rs22_item_lift": RS22_SQL,
+    "rs23_item_knn": RS23_SQL,
 }

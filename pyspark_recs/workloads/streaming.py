@@ -733,6 +733,70 @@ JOIN purchases p ON t.user_id = p.user_id AND t.conv_id = p.conv_id
 """
 
 
+# --------------------------------------------------------------------- s15
+def s15_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming-quantile sketch, batch twin: per event type, p50/p90/
+    p99 estimated from a FIXED 64-bin histogram of ``value`` (bin width
+    8, a power of two so value/8 and the bin edges are binary-exact
+    doubles) — the constant-state quantile technique
+    ``streaming/ops.py:streaming_histogram_quantiles`` maintains
+    incrementally (t-digest/DDSketch's fixed-bucket cousin, mergeable
+    by plain vector addition). Estimates are the LOWER EDGE of the bin
+    where the cumulative count first reaches ceil(q·n/100) — pure
+    integer logic, engine-agreed (contrast r50, which verifies Spark's
+    percentile_approx sketch against rank-exact brackets; here the
+    sketch itself is the deterministic object).
+
+    Scale: the only fact-sized work is one map-side-combined groupBy to
+    (type, bin) — at most types×64 rows cross the exchange regardless
+    of event volume; the cumulative window runs over ≤64 rows per type.
+    """
+    ev = load_table(spark, sf, "events").select("event_type", "value")
+    b = F.least(F.lit(63), F.floor(F.col("value") / F.lit(8.0))).cast("int")
+    hist = ev.groupBy("event_type", b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wc = Window.partitionBy("event_type").orderBy("bin")
+    wt = Window.partitionBy("event_type")
+    cum = hist.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
+        "n", F.sum("cnt").over(wt)
+    )
+
+    def est(q: int):
+        # first bin whose cumulative count reaches ceil(q*n/100)
+        hit = F.col("cum") >= F.expr(f"({q}L * n + 99) div 100")
+        return F.min(F.when(hit, F.col("bin"))) * F.lit(8.0)
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        est(50).alias("p50_est"),
+        est(90).alias("p90_est"),
+        est(99).alias("p99_est"),
+    )
+
+
+S15_SQL = """
+WITH hist AS (
+  SELECT event_type,
+         CAST(least(63, floor(value / 8.0)) AS INTEGER) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+       min(CASE WHEN cum >= (50 * n + 99) // 100 THEN bin END) * 8.0
+         AS p50_est,
+       min(CASE WHEN cum >= (90 * n + 99) // 100 THEN bin END) * 8.0
+         AS p90_est,
+       min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin END) * 8.0
+         AS p99_est
+FROM cum GROUP BY event_type
+"""
+
+
 QUERIES = {
     "s01_tumbling_daily": s01_tumbling_daily,
     "s02_sessionize": s02_sessionize,
@@ -748,6 +812,7 @@ QUERIES = {
     "s12_debounce": s12_debounce,
     "s13_late_arrival_audit": s13_late_arrival_audit,
     "s14_utouch_attribution": s14_utouch_attribution,
+    "s15_histogram_quantiles": s15_histogram_quantiles,
 }
 
 ORACLE = {
@@ -765,4 +830,5 @@ ORACLE = {
     "s12_debounce": S12_SQL,
     "s13_late_arrival_audit": S13_SQL,
     "s14_utouch_attribution": S14_SQL,
+    "s15_histogram_quantiles": S15_SQL,
 }

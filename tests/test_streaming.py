@@ -660,3 +660,41 @@ def test_attribution_credit_conserved_per_conversion(spark):
         ws.load_table = orig
     assert len(sums) == 5
     assert set(sums.values()) == {1_000_000}
+
+
+def test_streaming_histogram_quantiles_matches_batch_rule(
+    spark, tmp_path, tmp_path_factory
+):
+    from pyspark_recs.streaming import streaming_histogram_quantiles
+
+    # Values spread across several bins (width 8): exact bin edges.
+    vals = [1.0, 9.0, 9.5, 17.0, 25.0, 33.0, 41.0, 49.0, 57.0, 500.0]
+    path = str(tmp_path_factory.mktemp("hq"))
+    df = spark.createDataFrame(
+        [("click", v) for v in vals] + [("view", 3.0), ("view", 100.0)],
+        "event_type string, value double",
+    )
+    df.write.parquet(path, mode="overwrite")
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = _run_stream(
+        streaming_histogram_quantiles(stream), tmp_path, mode="update"
+    )
+    got = {
+        r.event_type: (r.n_events, r.p50_est, r.p90_est, r.p99_est)
+        for r in out.collect()
+    }
+
+    # Hand-applied batch rule: bin = min(63, floor(v/8)); estimate =
+    # 8 * first bin where cumcount >= ceil(q*n/100).
+    def expect(values):
+        bins = sorted(min(63, int(v // 8)) for v in values)
+        n = len(bins)
+
+        def est(q):
+            rank = (q * n + 99) // 100
+            return bins[rank - 1] * 8.0
+
+        return (n, est(50), est(90), est(99))
+
+    assert got["click"] == expect(vals)
+    assert got["view"] == expect([3.0, 100.0])
