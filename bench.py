@@ -116,6 +116,17 @@ HEADLINE = [
     "r73_delete_propagation",
     "r74_fk_discovery",
     "l57_source_leakage",
+    # round-3 continuation: TPC-H shapes, IVF-PQ, item-kNN, sketch
+    # quantiles, corpus drift/coverage
+    "r75_shipping_priority",
+    "r76_late_shipment_priority",
+    "r77_returned_customers",
+    "r78_promo_revenue",
+    "l58_ivfpq_search",
+    "rs23_item_knn",
+    "s15_histogram_quantiles",
+    "l59_token_drift",
+    "l60_vocab_coverage",
 ]
 
 

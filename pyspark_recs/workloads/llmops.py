@@ -2423,6 +2423,154 @@ WHERE rank <= 5
 """
 
 
+# --------------------------------------------------------------------- l59
+def l59_token_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source unigram-distribution drift vs the whole corpus, as an
+    EXACT total-variation distance: TV(s) = ½·Σ_t |p_s(t) − p(t)| —
+    the corpus-mixing diagnostic that tells you which feed's token
+    distribution diverges before you pick l26's mixture weights (the
+    token-level, corpus-family sibling of r60's KS drift / r62's
+    chi-square).
+
+    Absent tokens are handled in closed form, never via a source×vocab
+    grid: Σ_{t∉s} p(t) = 1 − Σ_{t∈s} p(t), so the only join is
+    per-source counts ⋈ corpus counts on the token — both sides
+    vocabulary-bounded, the fact-sized work being two
+    map-side-combined token counts. All sums are BIGINT
+    cross-multiplications (|c_st·N − c_t·N_s|); the single final
+    division runs in IEEE doubles, identical in both engines.
+
+    Output: (source, n_tokens, vocab, tv_ppm).
+    """
+    toks = (
+        load_table(spark, sf, "documents")
+        .select("source", F.explode(tokens(F.col("text"))).alias("token"))
+    )
+    st = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("c_st")
+    )
+    ct = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_t"))
+    totals = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    grand = ct.agg(F.sum("c_t").alias("n_all"))
+    joined = (
+        st.join(ct, "token")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(grand))
+    )
+    agg = joined.groupBy("source").agg(
+        F.max("n_s").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.max("n_all").alias("n_all"),
+        F.sum(
+            F.abs(F.col("c_st") * F.col("n_all") - F.col("c_t") * F.col("n_s"))
+        ).alias("sum_abs"),
+        F.sum("c_t").alias("ct_present"),
+    )
+    numer = (
+        F.col("sum_abs")
+        + (F.col("n_all") - F.col("ct_present")) * F.col("n_tokens")
+    ).cast("double")
+    denom = (F.lit(2.0) * F.col("n_tokens").cast("double")
+             * F.col("n_all").cast("double"))
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        F.floor(numer / denom * F.lit(1e6)).alias("tv_ppm"),
+    )
+
+
+L59_SQL = f"""
+WITH toks AS ({_TOKS}),
+tok AS (SELECT source, unnest(words) AS token FROM toks),
+st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c_st
+       FROM tok GROUP BY source, token),
+ct AS (SELECT token, CAST(count(*) AS BIGINT) AS c_t
+       FROM tok GROUP BY token),
+totals AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+           FROM st GROUP BY source),
+grand AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_all FROM ct),
+agg AS (
+  SELECT s.source,
+         CAST(max(t.n_s) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab,
+         CAST(max(g.n_all) AS BIGINT) AS n_all,
+         CAST(sum(abs(s.c_st * g.n_all - c.c_t * t.n_s)) AS BIGINT)
+           AS sum_abs,
+         CAST(sum(c.c_t) AS BIGINT) AS ct_present
+  FROM st s
+  JOIN ct c USING (token)
+  JOIN totals t USING (source), grand g
+  GROUP BY s.source)
+SELECT source, n_tokens, vocab,
+       CAST(floor(CAST(sum_abs + (n_all - ct_present) * n_tokens AS DOUBLE)
+                  / (2.0 * CAST(n_tokens AS DOUBLE) * CAST(n_all AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS tv_ppm
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------- l60
+def l60_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-coverage audit: per document, the out-of-vocabulary
+    rate against the corpus's own top-500 token vocabulary — the check
+    you run before committing to a tokenizer/vocab size (high OOV ⇒
+    fertility blow-up at training time). The vocabulary is derived IN
+    the query (top 500 by corpus frequency, ties to the
+    lexicographically smaller token) so the whole operator stays
+    self-contained and engine-agreed.
+
+    Scale: token counting is one map-side-combined aggregate
+    (vocab-bounded); the top-500 cut is TakeOrderedAndProject; the
+    vocabulary then BROADCASTS to the per-doc token stream — the
+    corpus-sized pass is one scan plus a broadcast-hash left join, and
+    the per-doc rollup is a combiner-friendly count/sum. OOV rate is
+    exact integer ppm (no float division).
+    """
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(500)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("(1000000L * n_oov) div n_tokens").alias("oov_ppm"),
+        )
+    )
+
+
+L60_SQL = f"""
+WITH toks AS ({_TOKS}),
+tok AS (SELECT doc_id, unnest(words) AS token FROM toks),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS c FROM tok GROUP BY token)
+  ORDER BY c DESC, token LIMIT 500),
+marked AS (
+  SELECT t.doc_id,
+         CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tok t LEFT JOIN vocab v USING (token))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       CAST((1000000 * sum(oov)) // count(*) AS BIGINT) AS oov_ppm
+FROM marked GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -2482,6 +2630,8 @@ QUERIES = {
     "l56_linear_model_score": l56_linear_model_score,
     "l57_source_leakage": l57_source_leakage,
     "l58_ivfpq_search": l58_ivfpq_search,
+    "l59_token_drift": l59_token_drift,
+    "l60_vocab_coverage": l60_vocab_coverage,
 }
 
 ORACLE = {
@@ -2543,4 +2693,6 @@ ORACLE = {
     "l56_linear_model_score": L56_SQL,
     "l57_source_leakage": L57_SQL,
     "l58_ivfpq_search": L58_SQL,
+    "l59_token_drift": L59_SQL,
+    "l60_vocab_coverage": L60_SQL,
 }
