@@ -248,3 +248,56 @@ def decontaminate(
             F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
         )
     )
+
+
+def fuzzy_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """FUZZY train/eval decontamination: flag training documents whose
+    MinHash signature shares any LSH band with any benchmark document —
+    the GPT-3-style near-duplicate contamination pass that catches
+    paraphrased/partially-edited eval leakage ``decontaminate``'s exact
+    n-gram match misses. With 2-row bands over 64-permutation
+    signatures, a train doc sharing ≈ Jaccard s of shingles with an
+    eval doc collides in at least one band with probability
+    1−(1−s²)³² (s=0.8 → 0.9999…), while unrelated docs almost never do.
+
+    Returns (doc_id, contaminated_fuzzy) for every training document
+    (docs too short to shingle are definitionally clean).
+
+    Scale: signatures are pure projections; the benchmark band index is
+    DISTINCT'd (eval-set-sized × bands) and the flagging is ONE
+    left-semi equi-join on the band key — O(train bands), never
+    pairwise. Collisions only ever over-flag, the conservative
+    direction. Same shape as ``novelty_gate`` but at the signature
+    level, so cost is independent of document length.
+    """
+    from pyspark_recs.llmops.dedup import band_keys, minhash_signatures
+
+    train_bands = band_keys(
+        minhash_signatures(train, text_col), rows_per_band
+    )
+    bench_bands = (
+        band_keys(minhash_signatures(benchmark, text_col), rows_per_band)
+        .select("band_key")
+        .distinct()
+    )
+    hits = (
+        train_bands.join(bench_bands, "band_key", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated_fuzzy", F.lit(True))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("contaminated_fuzzy"), F.lit(False)).alias(
+                "contaminated_fuzzy"
+            ),
+        )
+    )

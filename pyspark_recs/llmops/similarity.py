@@ -1044,3 +1044,87 @@ def ivfpq_topk(
             "rank",
         )
     )
+
+
+def cluster_balanced_sample(
+    vectors: DataFrame,
+    cap_per_cell: int = 40,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Cluster-balanced corpus sampling: assign every embedding to its
+    semantic cell, then keep at most ``cap_per_cell`` vectors per cell,
+    chosen by deterministic hash rank — the diversity-preserving
+    sampler (DataComp/SemDeDup-style cluster balancing) that keeps the
+    long tail of topics a uniform sample would drown under the dominant
+    cluster. Selection is md5-rank-keyed, so the sample is reproducible
+    across engines, re-runs and cluster sizes, and RESUMABLE: a
+    vector's keep/drop decision depends only on corpus membership, not
+    arrival order.
+
+    Output: (id, cell_id, cell_n, kept) for every vector.
+
+    Scale: cell assignment is the broadcast cross-score + max(struct)
+    partial aggregate shared with ivf_topk/semantic_dedup; the per-cell
+    rank is row_number + filter, which Spark executes as
+    WindowGroupLimit — each task keeps ≤ cap rows per cell before the
+    exchange. Defaults to deterministic lowest-id centroids
+    (oracle-checkable); pass ``kmeans_centroids`` output in production.
+    """
+    from pyspark_recs.llmops.hashing import md5_long
+
+    if centroids is None:
+        centroids = (
+            vectors.orderBy(F.asc(id_col))
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec")
+            )
+        )
+    cents = F.broadcast(
+        centroids.select(
+            "cell_id",
+            "cvec",
+            F.sqrt(_fixed_dot(F.col("cvec"), F.col("cvec"))).alias("cnorm"),
+        )
+    )
+    vecs = vectors.select(
+        id_col,
+        vec_col,
+        F.sqrt(_fixed_dot(F.col(vec_col), F.col(vec_col))).alias("vnorm"),
+    )
+    scored = vecs.crossJoin(cents).select(
+        id_col,
+        "cell_id",
+        (
+            _fixed_dot(F.col(vec_col), F.col("cvec"))
+            / (F.col("vnorm") * F.col("cnorm"))
+        ).alias("ccos"),
+    )
+    assigned = (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(F.struct(F.col("ccos"), (-F.col("cell_id")).alias("nc")))
+            .alias("best")
+        )
+        .select(id_col, (-F.col("best.nc")).alias("cell_id"))
+    )
+    wr = Window.partitionBy("cell_id").orderBy(
+        F.asc("hkey"), F.asc(id_col)
+    )
+    wc = Window.partitionBy("cell_id")
+    return (
+        assigned.withColumn(
+            "hkey", md5_long(F.concat_ws("_", F.lit("cbs"), F.col(id_col)))
+        )
+        .withColumn("cell_n", F.count(F.lit(1)).over(wc))
+        .withColumn("hrank", F.row_number().over(wr))
+        .select(
+            id_col,
+            "cell_id",
+            "cell_n",
+            (F.col("hrank") <= cap_per_cell).alias("kept"),
+        )
+    )

@@ -877,3 +877,100 @@ def streaming_histogram_quantiles(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_ordered_ewma(
+    events: DataFrame,
+    alpha: float = 0.5,
+    lateness_us: int = 3_600_000_000,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """OUT-OF-ORDER-SAFE recursive EWMA — the ordered-fold upgrade of
+    ``streaming_ewma`` (which, like any naive stateful fold, assumes
+    per-key in-order arrival). Per-key state is the finalized running
+    value plus a reorder buffer: each batch's rows join the buffer, a
+    per-key frontier advances to (max event time seen − allowed
+    lateness), and only rows at or before the frontier are folded — in
+    exact (ts, event_id) order — into the finalized state. Rows inside
+    the lateness horizon stay buffered until later data (or a heartbeat
+    row) advances the frontier, so shuffled arrival yields the same
+    fold as sorted arrival, bit for bit (α = ½ keeps every step
+    binary-exact).
+
+    This is the mechanism Structured Streaming's built-in windowed
+    operators get from the GLOBAL watermark, applied to a fold no
+    window expresses; the per-KEY frontier used here is the
+    conservative per-partition form (a key's frontier never outruns
+    its own data). State is O(events inside the lateness horizon) per
+    key — bounded by rate × lateness, not history length.
+
+    Emits (user_id, n_finalized, n_buffered, ewma) per key per batch
+    (update mode); ``ewma`` covers finalized rows only.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n_finalized long, n_buffered long, ewma double"
+    state_schema = (
+        "ewma double, n long, max_ts long, "
+        "buf_ts array<long>, buf_id array<long>, buf_val array<double>"
+    )
+
+    rows = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(value_col).alias("value"),
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            ewma, n, max_ts, bts, bid, bval = state.get
+            buf = list(zip(bts, bid, bval))
+            ewma = None if n == 0 else ewma
+        else:
+            ewma, n, max_ts, buf = None, 0, -(1 << 62), []
+        for pdf in pdfs:
+            for t, i, v in zip(pdf["ts_us"], pdf["event_id"], pdf["value"]):
+                t = int(t)
+                buf.append((t, int(i), float(v)))
+                if t > max_ts:
+                    max_ts = t
+        frontier = max_ts - lateness_us
+        buf.sort()
+        keep = []
+        for t, i, v in buf:
+            if t <= frontier:
+                ewma = v if ewma is None else alpha * v + (1.0 - alpha) * ewma
+                n += 1
+            else:
+                keep.append((t, i, v))
+        state.update(
+            (
+                0.0 if ewma is None else ewma,
+                n,
+                max_ts,
+                [t for t, _, _ in keep],
+                [i for _, i, _ in keep],
+                [v for _, _, v in keep],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_finalized": [n],
+                "n_buffered": [len(keep)],
+                "ewma": [ewma],
+            }
+        )
+
+    return rows.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

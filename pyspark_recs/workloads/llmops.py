@@ -2571,6 +2571,79 @@ FROM marked GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------- l61
+def l61_fuzzy_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy (MinHash-band) train/eval decontamination
+    (llmops/scrub.py:fuzzy_decontaminate): flags training docs whose
+    signature shares any LSH band with the eval split (doc_id % 5 = 0,
+    l32's split) — catching paraphrased eval leakage the exact 5-gram
+    pass misses, at O(train bands) cost via one band-key semi-join."""
+    from pyspark_recs.llmops.scrub import fuzzy_decontaminate
+
+    docs = load_table(spark, sf, "documents")
+    return fuzzy_decontaminate(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+    )
+
+
+L61_SQL = f"""
+WITH sigs AS ({_SIGNATURES}),
+buckets AS (
+  SELECT doc_id, unnest([{_BAND_KEYS}]) AS band_key FROM sigs),
+bench AS (SELECT DISTINCT band_key FROM buckets WHERE doc_id % 5 = 0),
+hits AS (
+  SELECT DISTINCT doc_id FROM buckets
+  WHERE doc_id % 5 <> 0
+    AND band_key IN (SELECT band_key FROM bench))
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated_fuzzy
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------- l62
+def l62_cluster_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-balanced corpus sampling
+    (llmops/similarity.py:cluster_balanced_sample): at most 40 vectors
+    kept per semantic cell by deterministic md5 rank — the
+    diversity-preserving sampler that protects tail topics from the
+    dominant cluster, on the same cells as l43's SemDeDup."""
+    from pyspark_recs.llmops.similarity import cluster_balanced_sample
+
+    return cluster_balanced_sample(load_table(spark, sf, "embeddings"))
+
+
+L62_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cv,
+         sqrt({_FIXED_DOT.format(a='embedding', b='embedding')}) AS cnorm
+  FROM embeddings ORDER BY vec_id LIMIT 16),
+v AS (
+  SELECT vec_id, embedding AS vv,
+         sqrt({_FIXED_DOT.format(a='embedding', b='embedding')}) AS vnorm
+  FROM embeddings),
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT v.vec_id, c.cell_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY ({_FIXED_DOT.format(a='v.vv', b='c.cv')})
+                        / (v.vnorm * c.cnorm) DESC, c.cell_id) AS r
+    FROM v CROSS JOIN cents c)
+  WHERE r = 1),
+ranked AS (
+  SELECT vec_id, cell_id,
+         CAST(count(*) OVER (PARTITION BY cell_id) AS BIGINT) AS cell_n,
+         row_number() OVER (
+           PARTITION BY cell_id
+           ORDER BY ({_sql_md5_long("'cbs_' || CAST(vec_id AS VARCHAR)")}),
+                    vec_id) AS hrank
+  FROM assigned)
+SELECT vec_id, cell_id, cell_n, (hrank <= 40) AS kept FROM ranked
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -2632,6 +2705,8 @@ QUERIES = {
     "l58_ivfpq_search": l58_ivfpq_search,
     "l59_token_drift": l59_token_drift,
     "l60_vocab_coverage": l60_vocab_coverage,
+    "l61_fuzzy_decontaminate": l61_fuzzy_decontaminate,
+    "l62_cluster_balanced_sample": l62_cluster_balanced_sample,
 }
 
 ORACLE = {
@@ -2695,4 +2770,6 @@ ORACLE = {
     "l58_ivfpq_search": L58_SQL,
     "l59_token_drift": L59_SQL,
     "l60_vocab_coverage": L60_SQL,
+    "l61_fuzzy_decontaminate": L61_SQL,
+    "l62_cluster_balanced_sample": L62_SQL,
 }

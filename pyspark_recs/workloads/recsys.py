@@ -1638,6 +1638,184 @@ WHERE nrank <= 5
 """
 
 
+# --------------------------------------------------------------------- rs24
+def rs24_cf_holdout_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end OFFLINE EVALUATION of the co-occurrence recommender —
+    the query that closes the loop rs05/rs07/rs23 open: split each
+    user's most recent order out as the holdout (rs07's rule), build
+    item neighbor lists on the TRAIN half only (no leakage), recommend
+    each user the top-10 co-occurring items of their strongest train
+    item, and score a hit iff any recommendation appears in the
+    held-out order. Per-user rows (user_id, anchor_item, n_recs, hit)
+    so the hit rate is just avg(hit) downstream — and the whole
+    protocol is deterministic (total tie-break orders at every step),
+    which is what makes regression-testing a recommender possible.
+
+    Scale: the same bounded shapes as its parents — capped histories
+    before the pair expansion, catalog-bounded neighbor lists cut by
+    WindowGroupLimit, anchors via one max(struct) aggregate, and the
+    scoring join keyed on (user, item) against the holdout sliver.
+    """
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    tagged_orders = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        (F.row_number().over(w) == 1).alias("is_test"),
+    )
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", F.col("l_partkey").alias("item_id")
+    )
+    tagged = li.join(
+        F.broadcast(tagged_orders), li.l_orderkey == tagged_orders.o_orderkey
+    ).select("user_id", "item_id", "is_test")
+    train = tagged.filter(~F.col("is_test"))
+    test_items = (
+        tagged.filter(F.col("is_test")).select("user_id", "item_id").distinct()
+    )
+
+    inter = train.groupBy("user_id", "item_id").agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )
+    # Capped histories -> mirrored pair counts (rs05 discipline).
+    top_items = F.array_sort(
+        F.transform(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("n_purchases")).alias("neg"),
+                            F.col("item_id").alias("item"),
+                        )
+                    )
+                ),
+                1,
+                20,
+            ),
+            lambda t: t["item"],
+        )
+    )
+    lists = inter.groupBy("user_id").agg(top_items.alias("items"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    half = (
+        lists.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.item_a"), F.col("p.item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    mirrored = half.unionByName(
+        half.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "n_ab",
+        )
+    )
+    wn = Window.partitionBy("item_a").orderBy(F.desc("n_ab"), F.asc("item_b"))
+    neighbors = (
+        mirrored.withColumn("nrank", F.row_number().over(wn))
+        .filter(F.col("nrank") <= 10)
+        .select("item_a", "item_b")
+    )
+    # Anchor: each user's strongest train item (most purchases, then
+    # smallest id) — one partial-aggregating max(struct), no window.
+    anchors = (
+        inter.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_purchases"), (-F.col("item_id")).alias("neg")
+                )
+            ).alias("b")
+        )
+        .select("user_id", (-F.col("b.neg")).alias("anchor_item"))
+    )
+    recs = anchors.join(
+        neighbors, anchors.anchor_item == neighbors.item_a, "left"
+    ).select("user_id", "anchor_item", F.col("item_b").alias("rec_item"))
+    hits = recs.join(
+        test_items.withColumn("in_test", F.lit(1)),
+        (recs.user_id == test_items.user_id)
+        & (recs.rec_item == test_items.item_id),
+        "left",
+    ).select(recs.user_id, "anchor_item", "rec_item", "in_test")
+    return hits.groupBy("user_id", "anchor_item").agg(
+        F.sum(F.col("rec_item").isNotNull().cast("long")).alias("n_recs"),
+        F.max(F.coalesce(F.col("in_test"), F.lit(0)) == 1).alias("hit"),
+    )
+
+
+RS24_SQL = """
+WITH tagged_orders AS (
+  SELECT o_orderkey, o_custkey AS user_id,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+           AS is_test
+  FROM orders),
+tagged AS (
+  SELECT t.user_id, l.l_partkey AS item_id, t.is_test
+  FROM lineitem l JOIN tagged_orders t ON l.l_orderkey = t.o_orderkey),
+test_items AS (
+  SELECT DISTINCT user_id, item_id FROM tagged WHERE is_test),
+inter AS (
+  SELECT user_id, item_id, CAST(count(*) AS BIGINT) AS n_purchases
+  FROM tagged WHERE NOT is_test GROUP BY user_id, item_id),
+hist AS (
+  SELECT user_id, item_id FROM (
+    SELECT user_id, item_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY n_purchases DESC, item_id) AS hr
+    FROM inter)
+  WHERE hr <= 20),
+half AS (
+  SELECT a.item_id AS item_a, b.item_id AS item_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM hist a JOIN hist b
+    ON a.user_id = b.user_id AND a.item_id < b.item_id
+  GROUP BY a.item_id, b.item_id
+  HAVING count(*) >= 2),
+mirrored AS (
+  SELECT item_a, item_b, n_ab FROM half
+  UNION ALL
+  SELECT item_b, item_a, n_ab FROM half),
+neighbors AS (
+  SELECT item_a, item_b FROM (
+    SELECT item_a, item_b,
+           row_number() OVER (PARTITION BY item_a
+                              ORDER BY n_ab DESC, item_b) AS nrank
+    FROM mirrored)
+  WHERE nrank <= 10),
+anchors AS (
+  SELECT user_id, item_id AS anchor_item FROM (
+    SELECT user_id, item_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY n_purchases DESC, item_id) AS r
+    FROM inter)
+  WHERE r = 1),
+recs AS (
+  SELECT a.user_id, a.anchor_item, n.item_b AS rec_item
+  FROM anchors a LEFT JOIN neighbors n ON a.anchor_item = n.item_a)
+SELECT r.user_id, r.anchor_item,
+       CAST(sum(CASE WHEN r.rec_item IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_recs,
+       bool_or(t.item_id IS NOT NULL) AS hit
+FROM recs r
+LEFT JOIN test_items t
+  ON r.user_id = t.user_id AND r.rec_item = t.item_id
+GROUP BY r.user_id, r.anchor_item
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -1662,6 +1840,7 @@ QUERIES = {
     "rs21_coldstart_fallback": rs21_coldstart_fallback,
     "rs22_item_lift": rs22_item_lift,
     "rs23_item_knn": rs23_item_knn,
+    "rs24_cf_holdout_eval": rs24_cf_holdout_eval,
 }
 
 ORACLE = {
@@ -1688,4 +1867,5 @@ ORACLE = {
     "rs21_coldstart_fallback": RS21_SQL,
     "rs22_item_lift": RS22_SQL,
     "rs23_item_knn": RS23_SQL,
+    "rs24_cf_holdout_eval": RS24_SQL,
 }

@@ -3566,9 +3566,15 @@ def r76_late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
     equi-key is the order key and whose lateness predicate rides along
     as the join residual (hash semi-join, not a nested loop).
 
-    Scale: the date-window filter pushes to the orders scan; the semi
-    join shuffles only (orderkey, shipdate) pairs and short-circuits
-    per probe on first match; the 5-group aggregate is map-side.
+    Scale: the date-window filter pushes to the orders scan and the
+    surviving sliver BROADCASTS to the lineitem probe, so the fact
+    table is never shuffled on the join key (a plain left_semi with
+    orders on the left would sort-merge 6 M+ lineitem rows — measured
+    3.8 s vs 1.0 s at 10×); EXISTS semantics come from the DISTINCT on
+    the matched order keys, whose shuffle carries matches only. Where
+    the window's orders exceed the broadcast threshold, Catalyst falls
+    back to the shuffled form with identical semantics (the runtime
+    bloom-filter path then prunes the fact scan).
     """
     orders = (
         load_table(spark, sf, "orders")
@@ -3579,14 +3585,20 @@ def r76_late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
-    late = orders.join(
-        li,
-        (orders.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
-        "left_semi",
+    late_orders = (
+        li.join(
+            F.broadcast(orders),
+            (li.l_orderkey == orders.o_orderkey)
+            & (
+                li.l_shipdate
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+        )
+        .select("o_orderkey", "o_orderpriority")
+        .distinct()
     )
     return (
-        late.groupBy("o_orderpriority")
+        late_orders.groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
 
@@ -3725,6 +3737,53 @@ FROM agg
 """
 
 
+# --------------------------------------------------------------------- r79
+def r79_supplier_census(spark: SparkSession, sf: str) -> DataFrame:
+    """Parts/supplier relationship census (TPC-H Q16 shape): how many
+    DISTINCT suppliers offer parts of each (brand, type), excluding
+    delinquent suppliers (negative account balance — the stand-in for
+    Q16's comment-flagged exclusions). Q16's defining idioms are the
+    NOT-IN supplier exclusion (a LEFT ANTI join against a tiny flagged
+    set) and the COUNT(DISTINCT supplier) over the part⋈supplier
+    relationship derived here from the facts.
+
+    Scale: the (part, supplier) relationship distinct is the only
+    fact-sized shuffle (two-column projection, map-side-combined); the
+    flagged-supplier set and the part dimension both BROADCAST; the
+    distinct-supplier count re-aggregates the relationship table
+    (items × suppliers-per-item, far smaller than the facts).
+    """
+    li = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf, "part").select(
+        "p_partkey", "p_brand", "p_type"
+    )
+    flagged = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    rel = (
+        li.distinct()
+        .join(F.broadcast(flagged), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+    )
+    return rel.groupBy("p_brand", "p_type").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+R79_SQL = """
+WITH rel AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+SELECT p_brand, p_type,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM rel JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, p_type
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -3804,6 +3863,7 @@ QUERIES = {
     "r76_late_shipment_priority": r76_late_shipment_priority,
     "r77_returned_customers": r77_returned_customers,
     "r78_promo_revenue": r78_promo_revenue,
+    "r79_supplier_census": r79_supplier_census,
 }
 
 ORACLE = {
@@ -3884,6 +3944,7 @@ ORACLE = {
     "r76_late_shipment_priority": R76_SQL,
     "r77_returned_customers": R77_SQL,
     "r78_promo_revenue": R78_SQL,
+    "r79_supplier_census": R79_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }

@@ -384,12 +384,14 @@ def test_shipping_priority_topk_and_broadcasts(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_late_shipment_semi_join_is_hash_join(spark):
-    # r76 (TPC-H Q4 shape): the EXISTS must plan as a LeftSemi HASH join
-    # with the lateness predicate as the join residual — never a
-    # nested-loop over the fact table.
+def test_late_shipment_exists_broadcasts_fact_probe(spark):
+    # r76 (TPC-H Q4 shape): the EXISTS is a broadcast-hash join of the
+    # windowed orders sliver against the fact scan (lineitem is never
+    # shuffled on the join key) + DISTINCT for exists-semantics — never
+    # a nested loop, and the only exchanges carry matched keys.
     plan = plan_of(QUERIES["r76_late_shipment_priority"](spark, SF_DIR))
-    assert re.search(r"LeftSemi", plan)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 

@@ -126,3 +126,31 @@ def test_novelty_gate_admits_fresh_rejects_seen(spark):
     got = {r.doc_id: r for r in novelty_gate(batch, corpus).collect()}
     assert got[1].n_novel == 0 and got[1].admit is False
     assert got[2].n_novel == got[2].n_grams and got[2].admit is True
+
+
+def test_fuzzy_decontaminate_flags_neardup_only(spark):
+    from pyspark_recs.llmops.scrub import fuzzy_decontaminate
+
+    bench_text = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while birds sing in the tall green trees above the water"
+    )
+    # Near-dup: one word changed — most shingles (hence most minhash
+    # permutations and at least one 2-row band) survive.
+    neardup = bench_text.replace("lazy", "sleepy")
+    unrelated = (
+        "completely different subject matter about databases indexes "
+        "query planners shuffle partitions and distributed aggregation"
+    )
+    train = spark.createDataFrame(
+        [(1, neardup), (2, unrelated), (3, "too short")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.contaminated_fuzzy
+        for r in fuzzy_decontaminate(train, bench).collect()
+    }
+    assert got == {1: True, 2: False, 3: False}

@@ -698,3 +698,56 @@ def test_streaming_histogram_quantiles_matches_batch_rule(
 
     assert got["click"] == expect(vals)
     assert got["view"] == expect([3.0, 100.0])
+
+
+def test_streaming_ordered_ewma_tolerates_out_of_order(
+    spark, tmp_path, tmp_path_factory
+):
+    """Shuffled arrival across micro-batches must produce the same fold
+    as sorted arrival: the reorder buffer + per-key frontier is what
+    the naive streaming_ewma lacks."""
+    import math
+
+    from pyspark_recs.streaming import streaming_ordered_ewma
+
+    base = str(tmp_path_factory.mktemp("ooo"))
+    schema = "event_id long, ts_s string, value double, user_id long"
+    # True (ts-sorted) order of values for user 7: 1.0, 2.0, 3.0, 4.0.
+    # Batch 1 delivers the LATER events first; batch 2 the earlier ones
+    # plus a heartbeat that advances the frontier past all real events.
+    batch1 = [(3, "2024-01-01 00:30:00", 3.0, 7), (4, "2024-01-01 00:45:00", 4.0, 7)]
+    batch2 = [
+        (1, "2024-01-01 00:00:00", 1.0, 7),
+        (2, "2024-01-01 00:15:00", 2.0, 7),
+        (99, "2024-01-01 02:00:01", 0.0, 7),  # heartbeat, stays buffered
+    ]
+    for i, rows in enumerate((batch1, batch2)):
+        df = (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .drop("ts_s")
+        )
+        df.coalesce(1).write.parquet(f"{base}/b{i}", mode="overwrite")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, value double, user_id long, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/b*")
+    )
+    out = _run_stream(
+        streaming_ordered_ewma(stream, lateness_us=3_600_000_000),
+        tmp_path,
+        mode="update",
+    )
+    # Last update row per key wins (memory sink keeps all updates).
+    rows = out.collect()
+    final = max(
+        (r for r in rows if r.user_id == 7), key=lambda r: r.n_finalized
+    )
+    acc = 1.0
+    for x in (2.0, 3.0, 4.0):
+        acc = 0.5 * x + 0.5 * acc
+    assert final.n_finalized == 4
+    assert final.n_buffered == 1  # the heartbeat itself
+    assert final.ewma == acc  # bit-exact despite shuffled arrival

@@ -76,6 +76,12 @@ HEADLINE = [
     # rs11 deliberately excluded: key-shift replication multiplies edges
     # over a FIXED node set, so the graph densifies quadratically — not
     # the growth shape of a real co-purchase graph (nodes grow too).
+    # round-3 TPC-H batch + item-kNN (all lineitem/orders-driven)
+    "r75_shipping_priority",
+    "r76_late_shipment_priority",
+    "r77_returned_customers",
+    "r78_promo_revenue",
+    "rs23_item_knn",
 ]
 KEY_SHIFT = 10_000_000  # > max o_orderkey at sf0.1 (600k)
 
