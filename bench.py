@@ -127,6 +127,10 @@ HEADLINE = [
     "s15_histogram_quantiles",
     "l59_token_drift",
     "l60_vocab_coverage",
+    "r79_supplier_census",
+    "rs24_cf_holdout_eval",
+    "l61_fuzzy_decontaminate",
+    "l62_cluster_balanced_sample",
 ]
 
 
