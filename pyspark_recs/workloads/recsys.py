@@ -1679,25 +1679,32 @@ def rs24_cf_holdout_eval(spark: SparkSession, sf: str) -> DataFrame:
     inter = train.groupBy("user_id", "item_id").agg(
         F.count(F.lit(1)).alias("n_purchases")
     )
-    # Capped histories -> mirrored pair counts (rs05 discipline).
-    top_items = F.array_sort(
-        F.transform(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("n_purchases")).alias("neg"),
-                            F.col("item_id").alias("item"),
-                        )
+    # Capped histories -> mirrored pair counts (rs05 discipline). ONE
+    # per-user aggregate yields both the capped item list AND the
+    # anchor (strongest item = head of the strength-sorted slice), so
+    # the pairs branch and the anchors branch share the interaction
+    # aggregate up to its exchange instead of deriving it twice.
+    by_strength = F.transform(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("n_purchases")).alias("neg"),
+                        F.col("item_id").alias("item"),
                     )
-                ),
-                1,
-                20,
+                )
             ),
-            lambda t: t["item"],
-        )
+            1,
+            20,
+        ),
+        lambda t: t["item"],
     )
-    lists = inter.groupBy("user_id").agg(top_items.alias("items"))
+    lists = inter.groupBy("user_id").agg(by_strength.alias("by_strength"))
+    lists = lists.select(
+        "user_id",
+        F.col("by_strength")[0].alias("anchor_item"),
+        F.array_sort("by_strength").alias("items"),
+    )
     pair_structs = F.flatten(
         F.transform(
             F.col("items"),
@@ -1727,19 +1734,7 @@ def rs24_cf_holdout_eval(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("nrank") <= 10)
         .select("item_a", "item_b")
     )
-    # Anchor: each user's strongest train item (most purchases, then
-    # smallest id) — one partial-aggregating max(struct), no window.
-    anchors = (
-        inter.groupBy("user_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("n_purchases"), (-F.col("item_id")).alias("neg")
-                )
-            ).alias("b")
-        )
-        .select("user_id", (-F.col("b.neg")).alias("anchor_item"))
-    )
+    anchors = lists.select("user_id", "anchor_item")
     recs = anchors.join(
         neighbors, anchors.anchor_item == neighbors.item_a, "left"
     ).select("user_id", "anchor_item", F.col("item_b").alias("rec_item"))
