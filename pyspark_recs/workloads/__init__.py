@@ -33,6 +33,13 @@ for _mod in (_relational, _llmops, _recsys, _streaming):
 # round 1, unchecked since (drift watch — the round-2 NTZ regression
 # proved drift is real). Tier 3 (the trailing loop below): round-2 greens.
 _PRIORITY = [
+    # tier 0 — added late in round 3, never driver-verified
+    "l58_ivfpq_search", "r75_shipping_priority", "rs23_item_knn",
+    "s15_histogram_quantiles", "l59_token_drift",
+    "r76_late_shipment_priority", "rs24_cf_holdout_eval",
+    "l60_vocab_coverage", "r77_returned_customers",
+    "l61_fuzzy_decontaminate", "r78_promo_revenue",
+    "l62_cluster_balanced_sample", "r79_supplier_census",
     # tier 1 — never driver-verified, round-robin l / r / rs / s
     "l36_fuzzy_edit_dedup", "r51_grouping_sets", "rs09_next_item_pairs",
     "s09_user_profile", "l37_heavy_hitters", "r52_mode_per_group",
