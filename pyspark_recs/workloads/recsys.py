@@ -1811,6 +1811,94 @@ GROUP BY r.user_id, r.anchor_item
 """
 
 
+# --------------------------------------------------------------------- rs25
+def rs25_point_in_time_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time-correct feature join — the feature-store core
+    operator (Feast/Tecton's defining semantics): for every training
+    label (an order), the user's event count and value total STRICTLY
+    BEFORE the label timestamp. Computing features with a plain join
+    leaks the future into training (training-serving skew); the
+    point-in-time rule is what makes the offline matrix match what the
+    online store would have served. r29's as-of join picks the LAST
+    value at-or-before; this is its CUMULATIVE sibling.
+
+    Plan: the one-shuffle union-sort composition — labels and events
+    merge into one per-user stream ordered by (ts, kind, id) with
+    labels BEFORE events at equal timestamps (strictly-before
+    semantics), running sums accumulate event rows only, and label rows
+    read the running totals. Exact fixed-point value sums, so the
+    feature matrix is bit-reproducible — the property that makes
+    backfills comparable across runs.
+
+    Scale: ONE shuffle on user_id; the window is a running ROWS frame
+    (no per-row scans); output is label-count rows. The same program
+    backfills any trailing-aggregate feature by swapping the running
+    expressions.
+    """
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros("o_orderdate").alias("ts_us"),
+        F.lit(0).alias("kind"),
+        F.col("o_orderkey").alias("row_id"),
+        F.lit(0).cast("long").alias("vq"),
+    )
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("row_id"),
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("vq"),
+    )
+    merged = orders.unionByName(ev)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "kind", "row_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    labeled = merged.withColumn(
+        "n_events_before",
+        F.coalesce(F.sum((F.col("kind") == 1).cast("long")).over(w), F.lit(0)),
+    ).withColumn(
+        "value_sum_q", F.coalesce(F.sum("vq").over(w), F.lit(0))
+    )
+    return labeled.filter(F.col("kind") == 0).select(
+        F.col("row_id").alias("o_orderkey"),
+        "user_id",
+        F.timestamp_micros(F.col("ts_us")).alias("o_orderdate"),
+        "n_events_before",
+        (F.col("value_sum_q").cast("double") / F.lit(1e6)).alias(
+            "value_sum_before"
+        ),
+    )
+
+
+RS25_SQL = """
+WITH merged AS (
+  SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS ts_us,
+         0 AS kind, o_orderkey AS row_id, CAST(0 AS BIGINT) AS vq
+  FROM orders
+  UNION ALL
+  SELECT user_id, epoch_us(ts) AS ts_us, 1 AS kind, event_id AS row_id,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vq
+  FROM events),
+run AS (
+  SELECT user_id, ts_us, kind, row_id,
+         COALESCE(sum(CASE WHEN kind = 1 THEN 1 ELSE 0 END) OVER w, 0)
+           AS n_events_before,
+         COALESCE(sum(vq) OVER w, 0) AS value_sum_q
+  FROM merged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, kind, row_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT row_id AS o_orderkey, user_id,
+       make_timestamp(ts_us) AS o_orderdate,
+       CAST(n_events_before AS BIGINT) AS n_events_before,
+       CAST(value_sum_q AS DOUBLE) / 1000000.0 AS value_sum_before
+FROM run WHERE kind = 0
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -1836,6 +1924,7 @@ QUERIES = {
     "rs22_item_lift": rs22_item_lift,
     "rs23_item_knn": rs23_item_knn,
     "rs24_cf_holdout_eval": rs24_cf_holdout_eval,
+    "rs25_point_in_time_features": rs25_point_in_time_features,
 }
 
 ORACLE = {
@@ -1863,4 +1952,5 @@ ORACLE = {
     "rs22_item_lift": RS22_SQL,
     "rs23_item_knn": RS23_SQL,
     "rs24_cf_holdout_eval": RS24_SQL,
+    "rs25_point_in_time_features": RS25_SQL,
 }

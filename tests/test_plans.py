@@ -413,3 +413,37 @@ def test_promo_revenue_single_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     shuffles = re.findall(r"^\(\d+\) Exchange", plan, re.M)
     assert len(shuffles) <= 1, plan
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    # SURVEY §7.8 scale path: when the fact is date-partitioned and the
+    # filter arrives via a JOIN against a filtered dimension (not a
+    # literal predicate), Spark's Dynamic Partition Pruning injects a
+    # runtime subquery filter on the partition column so only matching
+    # date directories are scanned — the join-shaped sibling of static
+    # partition pruning, and the feature that makes star-schema scans
+    # over a 100 TB date-partitioned fact read days, not years.
+    from pyspark_recs.io import load_table
+    from pyspark_recs.io.sinks import write_date_partitioned
+
+    path = str(tmp_path / "orders_dpp")
+    orders = load_table(spark, SF_DIR, "orders")
+    write_date_partitioned(orders, path, date_col="o_orderdate")
+    fact = spark.read.parquet(path)
+
+    dim = (
+        orders.select(
+            F.to_date("o_orderdate").alias("p_date"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .distinct()
+        .filter(F.col("m") == 1)  # selective predicate → DPP qualifies
+        .select("p_date")
+        .distinct()
+    )
+    joined = fact.join(dim, "p_date").groupBy("p_date").count()
+    plan = plan_of(joined)
+    assert re.search(r"dynamicpruning|SubqueryBroadcast", plan), plan
+    # correctness: only January partitions survive
+    expected = dim.count()
+    assert joined.count() == expected
