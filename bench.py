@@ -131,6 +131,8 @@ HEADLINE = [
     "rs24_cf_holdout_eval",
     "l61_fuzzy_decontaminate",
     "l62_cluster_balanced_sample",
+    "rs25_point_in_time_features",
+    "l63_shard_manifest",
 ]
 
 

@@ -974,3 +974,49 @@ def streaming_ordered_ewma(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_pit_enrich(
+    history: DataFrame,
+    key: str,
+    event_ts: str,
+    history_ts: str,
+    value_cols: "list[str]",
+    sink,
+):
+    """Streaming POINT-IN-TIME enrichment: each arriving micro-batch
+    picks up the feature/dimension version that was valid AT its event
+    time (greatest ``history_ts`` <= event ts) — the online half of
+    rs25's point-in-time training matrix, and the guard against
+    serving features from the FUTURE that a plain stream-static
+    equality join (streaming_enrich) cannot give once the dimension is
+    versioned (SCD2 history, feature snapshots).
+
+    The as-of join is a window over the union-sorted stream, which
+    Structured Streaming cannot run incrementally — so this is a
+    ``foreachBatch`` operator: returns a callable for
+    ``writeStream.foreachBatch`` that runs the one-shuffle batch
+    as-of join (sql.transforms.asof_join) on each micro-batch (a
+    STATIC frame inside foreachBatch) and hands the enriched rows to
+    ``sink(df, batch_id)``.
+
+    Scale: per micro-batch the union-sort shuffles (batch ∪ history)
+    on the key once; for large histories, pre-bucket the history table
+    on the key so only the batch side shuffles. Exactly-once depends on
+    the sink being idempotent per batch_id (see
+    streaming_idempotent_window_sink for the parquet pattern).
+    """
+    from pyspark_recs.sql.transforms import asof_join
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = asof_join(
+            batch_df,
+            history,
+            key=key,
+            left_ts=event_ts,
+            right_ts=history_ts,
+            value_cols=value_cols,
+        )
+        sink(enriched, batch_id)
+
+    return process

@@ -2663,6 +2663,45 @@ SELECT vec_id, cell_id, cell_n, (hrank <= 40) AS kept FROM ranked
 """
 
 
+# --------------------------------------------------------------------- l63
+def l63_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-versioning manifest: one row per corpus shard (source)
+    with row count, byte volume, id range and an ORDER-INDEPENDENT
+    content checksum (bit_xor of per-doc md5 digests over id+text) —
+    the artifact an incremental sync diffs to find which shards
+    changed between corpus versions without re-reading the data, and
+    the engine-side half of a data card. Checksums are commutative, so
+    the manifest is identical across partitionings, cluster sizes and
+    engines — append a doc and exactly one shard's checksum moves.
+
+    Scale: one map-side-combined aggregate over a pure projection; the
+    exchange carries |sources| rows.
+    """
+    docs = load_table(spark, sf, "documents")
+    digest = md5_long(
+        F.concat_ws("\x01", F.col("doc_id").cast("string"), F.col("text"))
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.bit_xor(digest).alias("content_xor"),
+    )
+
+
+L63_SQL = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id,
+       bit_xor({_sql_md5_long(
+           "CAST(doc_id AS VARCHAR) || chr(1) || text")}) AS content_xor
+FROM documents GROUP BY source
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -2726,6 +2765,7 @@ QUERIES = {
     "l60_vocab_coverage": l60_vocab_coverage,
     "l61_fuzzy_decontaminate": l61_fuzzy_decontaminate,
     "l62_cluster_balanced_sample": l62_cluster_balanced_sample,
+    "l63_shard_manifest": l63_shard_manifest,
 }
 
 ORACLE = {
@@ -2791,4 +2831,5 @@ ORACLE = {
     "l60_vocab_coverage": L60_SQL,
     "l61_fuzzy_decontaminate": L61_SQL,
     "l62_cluster_balanced_sample": L62_SQL,
+    "l63_shard_manifest": L63_SQL,
 }

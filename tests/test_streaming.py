@@ -751,3 +751,49 @@ def test_streaming_ordered_ewma_tolerates_out_of_order(
     assert final.n_finalized == 4
     assert final.n_buffered == 1  # the heartbeat itself
     assert final.ewma == acc  # bit-exact despite shuffled arrival
+
+
+def test_streaming_pit_enrich_matches_batch_asof(spark, event_dir, tmp_path):
+    """foreachBatch point-in-time enrichment must equal the batch as-of
+    join on the same data: each event sees the history version valid
+    at its own timestamp, never a future one."""
+    from pyspark_recs.sql.transforms import asof_join
+    from pyspark_recs.streaming import read_event_stream, streaming_pit_enrich
+
+    path, schema = event_dir
+    history = spark.createDataFrame(
+        [
+            (7, "2023-12-31 00:00:00", "bronze"),
+            (7, "2024-01-01 06:00:00", "gold"),   # future for event 1
+            (8, "2024-01-01 10:00:00", "silver"),
+        ],
+        "user_id long, hts_s string, tier string",
+    ).withColumn("hts", F.to_timestamp("hts_s")).drop("hts_s")
+
+    collected = []
+    process = streaming_pit_enrich(
+        history, key="user_id", event_ts="ts", history_ts="hts",
+        value_cols=["tier"], sink=lambda df, bid: collected.extend(df.collect()),
+    )
+    stream = read_event_stream(spark, path, schema)
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = asof_join(
+        spark.read.schema(schema).parquet(path),
+        history,
+        key="user_id", left_ts="ts", right_ts="hts", value_cols=["tier"],
+    ).collect()
+    got = {(r.event_id, r.tier) for r in collected}
+    want = {(r.event_id, r.tier) for r in batch}
+    assert got == want
+    by_event = dict(got)
+    assert by_event[1] == "bronze"   # 00:00:05 — gold not yet valid
+    assert by_event[2] == "gold"     # 10:00 — after the 06:00 version
+    assert by_event[3] == "silver"   # user 8 event 11:00 — valid from 10:00
+    assert by_event[4] == "gold" and by_event[5] == "gold"
