@@ -133,6 +133,7 @@ HEADLINE = [
     "l62_cluster_balanced_sample",
     "rs25_point_in_time_features",
     "l63_shard_manifest",
+    "s16_value_drift",
 ]
 
 

@@ -1020,3 +1020,75 @@ def streaming_pit_enrich(
         sink(enriched, batch_id)
 
     return process
+
+
+def streaming_drift_monitor(
+    events: DataFrame,
+    reference: "dict[str, list[int]]",
+    n_bins: int = 64,
+    bin_width: float = 8.0,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Incremental distribution-drift monitor — the streaming twin of
+    workloads/streaming.s16_value_drift. ``reference`` maps each key to
+    its frozen ``n_bins`` histogram (e.g. last week's profile, the
+    batch-side first-half histogram); per-key state is ONE running
+    histogram of the live stream, and each micro-batch emits the exact
+    total-variation distance between the two in ppm — the same
+    cross-multiplied integer numerators as the batch twin, so when the
+    stream has drained the two agree exactly. State is O(n_bins) per
+    key forever; this is the alert rule production data-quality gates
+    (feature-drift monitors) evaluate continuously.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{type_col} string, n_ref long, n_cur long, tv_ppm long"
+    )
+    state_schema = "counts array<long>, n long"
+
+    rows = events.select(
+        F.col(type_col).alias("k"), F.col(value_col).alias("value")
+    )
+
+    def update(key, pdfs, state):
+        import math
+
+        if state.exists:
+            counts, n = list(state.get[0]), int(state.get[1])
+        else:
+            counts, n = [0] * n_bins, 0
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                b = min(n_bins - 1, int(math.floor(float(v) / bin_width)))
+                counts[b] += 1
+                n += 1
+        state.update((counts, n))
+        ref = reference.get(key[0], [0] * n_bins)
+        n_ref = sum(ref)
+        sum_abs = sum(
+            abs(r * n - c * n_ref) for r, c in zip(ref, counts)
+        )
+        tv_ppm = (
+            int(math.floor(sum_abs / (2.0 * n_ref * n) * 1e6))
+            if n_ref and n
+            else None
+        )
+        yield pd.DataFrame(
+            {
+                type_col: [key[0]],
+                "n_ref": [n_ref],
+                "n_cur": [n],
+                "tv_ppm": [tv_ppm],
+            }
+        )
+
+    return rows.groupBy("k").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

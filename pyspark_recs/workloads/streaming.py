@@ -797,6 +797,104 @@ FROM cum GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------- s16
+def s16_value_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming drift monitor, batch twin: per event type, the
+    total-variation distance between the REFERENCE value distribution
+    (first half of the time range) and the CURRENT one (second half),
+    both reduced to s15's fixed 64-bin histogram — l59's TV metric
+    turned onto the time axis, and the alert rule every production
+    drift monitor (data-quality gates on feature streams) evaluates.
+    Exact integers end-to-end: bin counts, cross-multiplied
+    |c_ref·n_cur − c_cur·n_ref| numerators, one final IEEE-double
+    division to ppm. r60's KS curve is the exact-order-statistic
+    sibling on orders; this is the CONSTANT-STATE form a stream can
+    maintain (`streaming/ops.py:streaming_drift_monitor`).
+
+    Scale: one map-side-combined groupBy to (type, half, bin) — at
+    most types×2×64 rows shuffle regardless of event volume.
+    """
+    ev = load_table(spark, sf, "events").select(
+        "event_type", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    bounds = ev.agg(
+        F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
+    )
+    b = F.least(F.lit(63), F.floor(F.col("value") / F.lit(8.0))).cast("int")
+    half = (F.col("ts_us") * 2 >= F.col("lo") + F.col("hi")).cast("int")
+    hist = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", half.alias("half"), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pivoted = hist.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("cnt")).otherwise(0)).alias(
+            "c_ref"
+        ),
+        F.sum(F.when(F.col("half") == 1, F.col("cnt")).otherwise(0)).alias(
+            "c_cur"
+        ),
+    )
+    wt = Window.partitionBy("event_type")
+    scored = pivoted.withColumn("n_ref", F.sum("c_ref").over(wt)).withColumn(
+        "n_cur", F.sum("c_cur").over(wt)
+    )
+    agg = scored.groupBy("event_type").agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.sum(
+            F.abs(
+                F.col("c_ref") * F.col("n_cur") - F.col("c_cur") * F.col("n_ref")
+            )
+        ).alias("sum_abs"),
+    )
+    return agg.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.floor(
+            F.col("sum_abs").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_ref").cast("double")
+                * F.col("n_cur").cast("double")
+            )
+            * F.lit(1e6)
+        ).alias("tv_ppm"),
+    )
+
+
+S16_SQL = """
+WITH ev AS (
+  SELECT event_type, value, epoch_us(ts) AS ts_us FROM events),
+bounds AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM ev),
+hist AS (
+  SELECT event_type,
+         CAST(ts_us * 2 >= lo + hi AS INTEGER) AS half,
+         CAST(least(63, floor(value / 8.0)) AS INTEGER) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM ev, bounds GROUP BY 1, 2, 3),
+pivoted AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN half = 0 THEN cnt ELSE 0 END) AS c_ref,
+         sum(CASE WHEN half = 1 THEN cnt ELSE 0 END) AS c_cur
+  FROM hist GROUP BY event_type, bin),
+scored AS (
+  SELECT event_type, bin, c_ref, c_cur,
+         sum(c_ref) OVER (PARTITION BY event_type) AS n_ref,
+         sum(c_cur) OVER (PARTITION BY event_type) AS n_cur
+  FROM pivoted)
+SELECT event_type,
+       CAST(max(n_ref) AS BIGINT) AS n_ref,
+       CAST(max(n_cur) AS BIGINT) AS n_cur,
+       CAST(floor(CAST(sum(abs(c_ref * n_cur - c_cur * n_ref)) AS DOUBLE)
+                  / (2.0 * CAST(max(n_ref) AS DOUBLE)
+                         * CAST(max(n_cur) AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS tv_ppm
+FROM scored GROUP BY event_type
+"""
+
+
 QUERIES = {
     "s01_tumbling_daily": s01_tumbling_daily,
     "s02_sessionize": s02_sessionize,
@@ -813,6 +911,7 @@ QUERIES = {
     "s13_late_arrival_audit": s13_late_arrival_audit,
     "s14_utouch_attribution": s14_utouch_attribution,
     "s15_histogram_quantiles": s15_histogram_quantiles,
+    "s16_value_drift": s16_value_drift,
 }
 
 ORACLE = {
@@ -831,4 +930,5 @@ ORACLE = {
     "s13_late_arrival_audit": S13_SQL,
     "s14_utouch_attribution": S14_SQL,
     "s15_histogram_quantiles": S15_SQL,
+    "s16_value_drift": S16_SQL,
 }

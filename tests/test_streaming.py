@@ -797,3 +797,41 @@ def test_streaming_pit_enrich_matches_batch_asof(spark, event_dir, tmp_path):
     assert by_event[2] == "gold"     # 10:00 — after the 06:00 version
     assert by_event[3] == "silver"   # user 8 event 11:00 — valid from 10:00
     assert by_event[4] == "gold" and by_event[5] == "gold"
+
+
+def test_streaming_drift_monitor_matches_batch_tv(
+    spark, tmp_path, tmp_path_factory
+):
+    from pyspark_recs.streaming import streaming_drift_monitor
+
+    # Reference profile: values concentrated in bin 0; live stream
+    # shifted into bins 1-2 -> high TV. A second key stays identical
+    # to its reference -> TV 0.
+    reference = {
+        "shifted": [8, 2] + [0] * 62,
+        "stable": [0, 4, 0, 4] + [0] * 60,
+    }
+    live = [("shifted", 9.0)] * 6 + [("shifted", 17.0)] * 4 + [
+        ("stable", 9.0)
+    ] * 4 + [("stable", 25.0)] * 4
+    path = str(tmp_path_factory.mktemp("drift"))
+    df = spark.createDataFrame(live, "event_type string, value double")
+    df.write.parquet(path, mode="overwrite")
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = _run_stream(
+        streaming_drift_monitor(stream, reference), tmp_path, mode="update"
+    )
+    got = {r.event_type: (r.n_ref, r.n_cur, r.tv_ppm) for r in out.collect()}
+
+    def tv_ppm(ref, counts):
+        import math
+
+        n_ref, n = sum(ref), sum(counts)
+        sum_abs = sum(abs(r * n - c * n_ref) for r, c in zip(ref, counts))
+        return int(math.floor(sum_abs / (2.0 * n_ref * n) * 1e6))
+
+    cur_shift = [0, 6, 4] + [0] * 61
+    cur_stable = [0, 4, 0, 4] + [0] * 60
+    assert got["shifted"] == (10, 10, tv_ppm(reference["shifted"], cur_shift))
+    assert got["stable"] == (8, 8, 0)
+    assert got["shifted"][2] >= 800000  # the shift is detected
