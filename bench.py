@@ -134,6 +134,7 @@ HEADLINE = [
     "rs25_point_in_time_features",
     "l63_shard_manifest",
     "s16_value_drift",
+    "l64_decontaminate_spans",
 ]
 
 

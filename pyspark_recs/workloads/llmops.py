@@ -2702,6 +2702,68 @@ FROM documents GROUP BY source
 """
 
 
+# --------------------------------------------------------------------- l64
+def l64_decontaminate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level decontamination (llmops/scrub.py:decontaminate_spans):
+    excise only the 5-token windows overlapping a benchmark 5-gram
+    (same % 97 eval split as l32) and keep the rest of each document —
+    per-doc removed-token audit plus a digest proving byte-identical
+    excision across engines."""
+    from pyspark_recs.llmops.scrub import decontaminate_spans
+
+    docs = load_table(spark, sf, "documents")
+    return decontaminate_spans(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+    )
+
+
+_POS_GRAM5 = (
+    f"list_transform(range(1, len(wh) - 3), "
+    f"i -> ((((((((wh[i] * {SHINGLE_BASE} + wh[i+1]) % {MINHASH_PRIME}) "
+    f"* {SHINGLE_BASE} + wh[i+2]) % {MINHASH_PRIME}) "
+    f"* {SHINGLE_BASE} + wh[i+3]) % {MINHASH_PRIME}) "
+    f"* {SHINGLE_BASE} + wh[i+4]) % {MINHASH_PRIME}))"
+)
+
+L64_SQL = f"""
+WITH toks AS ({_TOKS}),
+wh AS (
+  SELECT doc_id, words, list_transform(words,
+      w -> {_sql_md5_long('w')} % {MINHASH_PRIME}) AS wh
+  FROM toks),
+pg AS (SELECT doc_id, words, {_POS_GRAM5} AS pos_grams FROM wh),
+bench AS (
+  SELECT DISTINCT unnest(pos_grams) AS g FROM pg WHERE doc_id % 97 = 0),
+exploded AS (
+  SELECT doc_id, unnest(pos_grams) AS g,
+         generate_subscripts(pos_grams, 1) - 1 AS pos
+  FROM pg WHERE doc_id % 97 <> 0),
+hits AS (
+  SELECT e.doc_id, list_sort(list(e.pos)) AS starts
+  FROM exploded e SEMI JOIN bench b ON e.g = b.g
+  GROUP BY e.doc_id),
+rebuilt AS (
+  SELECT p.doc_id, p.words,
+         COALESCE(h.starts, []) AS starts,
+         list_distinct(flatten(list_transform(COALESCE(h.starts, []),
+                                              st -> range(st, st + 5))))
+           AS covered
+  FROM pg p LEFT JOIN hits h USING (doc_id)
+  WHERE p.doc_id % 97 <> 0),
+kept AS (
+  SELECT doc_id, len(words) AS n_tokens,
+         list_transform(list_filter(range(1, len(words) + 1),
+                                    j -> NOT list_contains(covered, j - 1)),
+                        j -> words[j]) AS kept_words
+  FROM rebuilt)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(n_tokens - len(kept_words) AS INTEGER) AS n_removed,
+       md5(array_to_string(kept_words, ' ')) AS clean_md5
+FROM kept
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -2766,6 +2828,7 @@ QUERIES = {
     "l61_fuzzy_decontaminate": l61_fuzzy_decontaminate,
     "l62_cluster_balanced_sample": l62_cluster_balanced_sample,
     "l63_shard_manifest": l63_shard_manifest,
+    "l64_decontaminate_spans": l64_decontaminate_spans,
 }
 
 ORACLE = {
@@ -2832,4 +2895,5 @@ ORACLE = {
     "l61_fuzzy_decontaminate": L61_SQL,
     "l62_cluster_balanced_sample": L62_SQL,
     "l63_shard_manifest": L63_SQL,
+    "l64_decontaminate_spans": L64_SQL,
 }

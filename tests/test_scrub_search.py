@@ -154,3 +154,25 @@ def test_fuzzy_decontaminate_flags_neardup_only(spark):
         for r in fuzzy_decontaminate(train, bench).collect()
     }
     assert got == {1: True, 2: False, 3: False}
+
+
+def test_decontaminate_spans_excises_only_overlap(spark):
+    from pyspark_recs.llmops.scrub import decontaminate_spans
+
+    bench_text = "alpha beta gamma delta epsilon"  # one 5-gram
+    # Train doc embeds the benchmark phrase mid-document: exactly the
+    # window tokens [5..9] are excised, prefix and suffix survive.
+    train_text = "one two three four five " + bench_text + " six seven"
+    clean_doc = "totally unrelated words nothing shared here at all"
+    train = spark.createDataFrame(
+        [(1, train_text), (2, clean_doc)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, bench_text)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in decontaminate_spans(train, bench).collect()}
+    assert rows[1].n_tokens == 12 and rows[1].n_removed == 5
+    assert rows[2].n_removed == 0
+    import hashlib
+
+    survivors = "one two three four five six seven"
+    assert rows[1].clean_md5 == hashlib.md5(survivors.encode()).hexdigest()
+    assert rows[2].clean_md5 == hashlib.md5(clean_doc.encode()).hexdigest()
