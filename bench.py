@@ -135,6 +135,8 @@ HEADLINE = [
     "l63_shard_manifest",
     "s16_value_drift",
     "l64_decontaminate_spans",
+    "rs26_rrf_fusion",
+    "r80_master_merge",
 ]
 
 

@@ -1899,6 +1899,112 @@ FROM run WHERE kind = 0
 """
 
 
+# --------------------------------------------------------------------- rs26
+def rs26_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion of two candidate sources (Cormack et al.
+    SIGIR'09 — the rank-merge hybrid search engines and multi-retriever
+    recommenders default to): fuse rs05's collaborative neighbor ranks
+    with same-brand popularity ranks via RRF(d) = Σ 1/(k + rank_s),
+    k = 60. Where rs21 hard-prioritizes CF over fallback and l50 blends
+    SCORES, RRF needs only RANKS — the fusion that works when source
+    scores aren't comparable. Exactness: each reciprocal is the integer
+    10⁹ div (60 + rank) (identical truncation in both engines), summed
+    exactly — no float accumulation, so fused ordering is engine-agreed.
+
+    Scale: both inputs arrive pre-capped (≤5 CF rows, ≤10 brand rows
+    per item — the cap-then-expand discipline), so the fusion is a
+    union + one map-side-combined sum + a WindowGroupLimit cut.
+    """
+    cf = rs05_item_cooccurrence(spark, sf).select(
+        "item_a", "item_b", F.col("rank").cast("long").alias("src_rank")
+    )
+    inter = _interactions(spark, sf)
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    pop = (
+        inter.groupBy("item_id")
+        .agg(F.sum("n_purchases").alias("n_total"))
+        .join(F.broadcast(part), F.col("item_id") == F.col("p_partkey"))
+        .select("item_id", "p_brand", "n_total")
+    )
+    brand_top = top_k_per_group(
+        pop,
+        partition_cols=["p_brand"],
+        order_cols=[F.desc("n_total"), F.asc("item_id")],
+        k=10,
+        rank_alias="brank",
+    )
+    brand_cand = (
+        pop.select("item_id", "p_brand")
+        .join(
+            brand_top.select(
+                "p_brand",
+                F.col("item_id").alias("cand"),
+                F.col("brank").cast("long").alias("src_rank"),
+            ),
+            "p_brand",
+        )
+        .filter(F.col("item_id") != F.col("cand"))
+        .select(
+            F.col("item_id").alias("item_a"),
+            F.col("cand").alias("item_b"),
+            "src_rank",
+        )
+    )
+    fused = (
+        cf.unionByName(brand_cand)
+        .withColumn(
+            "rr_q", F.expr("1000000000L div (60L + src_rank)")
+        )
+        .groupBy("item_a", "item_b")
+        .agg(F.sum("rr_q").alias("rrf_q"), F.count(F.lit(1)).alias("n_sources"))
+    )
+    w = Window.partitionBy("item_a").orderBy(F.desc("rrf_q"), F.asc("item_b"))
+    return (
+        fused.withColumn("frank", F.row_number().over(w))
+        .filter(F.col("frank") <= 5)
+        .select("item_a", "item_b", "rrf_q", "n_sources", "frank")
+    )
+
+
+RS26_SQL = f"""
+WITH cf AS ({RS05_SQL}),
+inter AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id,
+         CAST(count(*) AS BIGINT) AS n_purchases
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_partkey),
+pop AS (
+  SELECT i.item_id, p.p_brand, CAST(sum(i.n_purchases) AS BIGINT) AS n_total
+  FROM inter i JOIN part p ON i.item_id = p.p_partkey
+  GROUP BY i.item_id, p.p_brand),
+brand_top AS (
+  SELECT p_brand, item_id AS cand, brank FROM (
+    SELECT p_brand, item_id,
+           row_number() OVER (PARTITION BY p_brand
+                              ORDER BY n_total DESC, item_id) AS brank
+    FROM pop)
+  WHERE brank <= 10),
+cand AS (
+  SELECT item_a, item_b, CAST(rank AS BIGINT) AS src_rank FROM cf
+  UNION ALL
+  SELECT p.item_id AS item_a, b.cand AS item_b,
+         CAST(b.brank AS BIGINT) AS src_rank
+  FROM pop p JOIN brand_top b USING (p_brand)
+  WHERE p.item_id <> b.cand),
+fused AS (
+  SELECT item_a, item_b,
+         CAST(sum(1000000000 // (60 + src_rank)) AS BIGINT) AS rrf_q,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM cand GROUP BY item_a, item_b)
+SELECT item_a, item_b, rrf_q, n_sources, CAST(frank AS INTEGER) AS frank
+FROM (SELECT item_a, item_b, rrf_q, n_sources,
+             row_number() OVER (PARTITION BY item_a
+                                ORDER BY rrf_q DESC, item_b) AS frank
+      FROM fused)
+WHERE frank <= 5
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -1925,6 +2031,7 @@ QUERIES = {
     "rs23_item_knn": rs23_item_knn,
     "rs24_cf_holdout_eval": rs24_cf_holdout_eval,
     "rs25_point_in_time_features": rs25_point_in_time_features,
+    "rs26_rrf_fusion": rs26_rrf_fusion,
 }
 
 ORACLE = {
@@ -1953,4 +2060,5 @@ ORACLE = {
     "rs23_item_knn": RS23_SQL,
     "rs24_cf_holdout_eval": RS24_SQL,
     "rs25_point_in_time_features": RS25_SQL,
+    "rs26_rrf_fusion": RS26_SQL,
 }

@@ -3784,6 +3784,93 @@ GROUP BY p_brand, p_type
 """
 
 
+# --------------------------------------------------------------------- r80
+def r80_master_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Master-data golden-record merge: reconcile the same entity from
+    two systems with a FULL OUTER join, per-field precedence
+    (system A owns the name, system B owns the balance, each falling
+    back to the other when absent) and per-field conflict flags — the
+    data-integration operator every warehouse consolidation runs, and
+    the precedence sibling of r63's pure diff. The two systems are
+    synthesized deterministically from ``customer`` (md5-keyed field
+    variants and row omissions), so the merge is non-vacuous and
+    engine-agreed — the same convention as the synthesized PII/image
+    inputs.
+
+    Scale: one full-outer shuffle join on the entity key; everything
+    else is projection. Conflict counts downstream are one aggregate.
+    """
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    h = F.pmod(md5_long(F.col("c_custkey").cast("string")), F.lit(100))
+    sys_a = (
+        cust.withColumn("h", h)
+        .filter(F.col("c_custkey") % 7 != 0)  # A is missing some rows
+        .select(
+            "c_custkey",
+            # A sometimes carries a legacy uppercase name
+            F.when(F.col("h") % 3 == 0, F.upper("c_name"))
+            .otherwise(F.col("c_name"))
+            .alias("a_name"),
+            # A's balance is sometimes stale by +100
+            F.when(F.col("h") % 5 == 0, F.col("c_acctbal") + 100.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("a_acctbal"),
+        )
+    )
+    sys_b = cust.filter(F.col("c_custkey") % 11 != 0).select(
+        "c_custkey",
+        F.col("c_name").alias("b_name"),
+        F.col("c_acctbal").alias("b_acctbal"),
+    )
+    merged = sys_a.join(sys_b, "c_custkey", "full_outer")
+    return merged.select(
+        "c_custkey",
+        F.coalesce("a_name", "b_name").alias("merged_name"),
+        F.coalesce("b_acctbal", "a_acctbal").alias("merged_acctbal"),
+        F.col("a_name").isNotNull().alias("in_a"),
+        F.col("b_name").isNotNull().alias("in_b"),
+        (
+            F.col("a_name").isNotNull()
+            & F.col("b_name").isNotNull()
+            & (F.col("a_name") != F.col("b_name"))
+        ).alias("name_conflict"),
+        (
+            F.col("a_acctbal").isNotNull()
+            & F.col("b_acctbal").isNotNull()
+            & (F.col("a_acctbal") != F.col("b_acctbal"))
+        ).alias("acctbal_conflict"),
+    )
+
+
+R80_SQL = f"""
+WITH base AS (
+  SELECT c_custkey, c_name, c_acctbal,
+         ({sql_md5_long("CAST(c_custkey AS VARCHAR)")}) % 100 AS h
+  FROM customer),
+sys_a AS (
+  SELECT c_custkey,
+         CASE WHEN h % 3 = 0 THEN upper(c_name) ELSE c_name END AS a_name,
+         CASE WHEN h % 5 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END
+           AS a_acctbal
+  FROM base WHERE c_custkey % 7 <> 0),
+sys_b AS (
+  SELECT c_custkey, c_name AS b_name, c_acctbal AS b_acctbal
+  FROM base WHERE c_custkey % 11 <> 0)
+SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+       COALESCE(a_name, b_name) AS merged_name,
+       COALESCE(b_acctbal, a_acctbal) AS merged_acctbal,
+       a_name IS NOT NULL AS in_a,
+       b_name IS NOT NULL AS in_b,
+       (a_name IS NOT NULL AND b_name IS NOT NULL
+        AND a_name <> b_name) AS name_conflict,
+       (a_acctbal IS NOT NULL AND b_acctbal IS NOT NULL
+        AND a_acctbal <> b_acctbal) AS acctbal_conflict
+FROM sys_a a FULL OUTER JOIN sys_b b USING (c_custkey)
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -3864,6 +3951,7 @@ QUERIES = {
     "r77_returned_customers": r77_returned_customers,
     "r78_promo_revenue": r78_promo_revenue,
     "r79_supplier_census": r79_supplier_census,
+    "r80_master_merge": r80_master_merge,
 }
 
 ORACLE = {
@@ -3945,6 +4033,7 @@ ORACLE = {
     "r77_returned_customers": R77_SQL,
     "r78_promo_revenue": R78_SQL,
     "r79_supplier_census": R79_SQL,
+    "r80_master_merge": R80_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }
