@@ -137,6 +137,7 @@ HEADLINE = [
     "l64_decontaminate_spans",
     "rs26_rrf_fusion",
     "r80_master_merge",
+    "l65_payload_dedup",
 ]
 
 

@@ -5,7 +5,7 @@ DuckDB oracle twin (md5-derived hashing keeps results bit-identical).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_recs.io import load_table
@@ -2764,6 +2764,59 @@ FROM kept
 """
 
 
+# --------------------------------------------------------------------- l65
+def l65_payload_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Asset-level exact dedup of binary payloads — the
+    checksum-dedup pass every media pipeline runs before any decode
+    (the same image served on a million pages is stored and embedded
+    ONCE). Duplicate assets are synthesized deterministically (every
+    doc_id % 9 == 0 carries its language's shared asset — the
+    site-wide-logo case), then grouped by payload digest with
+    keep-first canonical election; every row reports its canonical
+    owner, so downstream ops join payloads back by canonical id and
+    the dedup is reversible.
+
+    Scale: digests are computed in the scan projection, the payload
+    itself is PRUNED before the digest groupBy (the shuffle carries
+    32-byte digests, never media bytes — the discipline all multimodal
+    ops here follow), and canonical election is one min() window over
+    digest groups.
+    """
+    docs = load_table(spark, sf, "documents")
+    payload = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.encode(F.concat(F.lit("SHARED_ASSET_"), F.col("lang")), "utf-8"),
+    ).otherwise(F.encode(F.col("text"), "utf-8"))
+    with_digest = docs.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+    )
+    w = Window.partitionBy("payload_md5")
+    return with_digest.select(
+        "doc_id",
+        "n_bytes",
+        "payload_md5",
+        F.min("doc_id").over(w).alias("canonical_doc"),
+        (F.min("doc_id").over(w) != F.col("doc_id")).alias("is_dup"),
+    )
+
+
+L65_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0 THEN 'SHARED_ASSET_' || lang
+              ELSE text END AS payload
+  FROM documents)
+SELECT doc_id,
+       CAST(strlen(payload) AS INTEGER) AS n_bytes,
+       md5(payload) AS payload_md5,
+       min(doc_id) OVER (PARTITION BY md5(payload)) AS canonical_doc,
+       min(doc_id) OVER (PARTITION BY md5(payload)) <> doc_id AS is_dup
+FROM d
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -2829,6 +2882,7 @@ QUERIES = {
     "l62_cluster_balanced_sample": l62_cluster_balanced_sample,
     "l63_shard_manifest": l63_shard_manifest,
     "l64_decontaminate_spans": l64_decontaminate_spans,
+    "l65_payload_dedup": l65_payload_dedup,
 }
 
 ORACLE = {
@@ -2896,4 +2950,5 @@ ORACLE = {
     "l62_cluster_balanced_sample": L62_SQL,
     "l63_shard_manifest": L63_SQL,
     "l64_decontaminate_spans": L64_SQL,
+    "l65_payload_dedup": L65_SQL,
 }
