@@ -1092,3 +1092,87 @@ def streaming_drift_monitor(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_corpus_admission(
+    index_dir: str,
+    corpus_dir: str,
+    admit_threshold: float = 0.5,
+    shingle_n: int = 3,
+):
+    """Streaming CORPUS ADMISSION — the incremental crawl-ingest loop:
+    each arriving micro-batch of documents is novelty-gated against the
+    corpus's persisted GRAM INDEX (llmops/scrub.py:novelty_gate — the
+    anti-join primitive), admitted documents are appended to the corpus
+    sink AND their grams to the index, so later batches are deduped
+    against everything admitted so far. This is the end-to-end form of
+    l35: at 100 TB you never re-dedup the corpus against itself — the
+    index IS the dedup state, persisted as a bucketable parquet table
+    rather than executor memory, and it grows only by admitted-novel
+    grams.
+
+    Returns a ``foreachBatch`` callable. Batch-order determinism: for a
+    FIXED arrival order the admitted set is deterministic (the gate and
+    the index evolution are pure functions of prior batches) — the
+    property the planted-order test asserts.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_recs.llmops.dedup import shingle_hashes
+    from pyspark_recs.llmops.scrub import novelty_gate
+    from pyspark_recs.llmops.textstats import tokens
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.cache()
+        long_enough = F.size(tokens(F.col("text"))) >= shingle_n
+        if os.path.exists(index_dir):
+            seen = spark.read.parquet(index_dir).withColumn(
+                "seen", F.lit(1)
+            )
+            batch_grams = batch_df.filter(long_enough).select(
+                "doc_id",
+                F.explode(shingle_hashes(F.col("text"), shingle_n)).alias(
+                    "gram"
+                ),
+            )
+            frac = F.col("n_novel").cast("double") / F.col("n_grams").cast(
+                "double"
+            )
+            gated = (
+                batch_grams.join(seen, "gram", "left")
+                .groupBy("doc_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_grams"),
+                    F.sum(F.col("seen").isNull().cast("long")).alias(
+                        "n_novel"
+                    ),
+                )
+                .filter(frac >= F.lit(admit_threshold))
+                .select("doc_id")
+            )
+        else:
+            gated = batch_df.filter(long_enough).select("doc_id")
+        # MATERIALIZE the admitted set before either write: the gate's
+        # plan reads the index directory, so a lazy re-evaluation during
+        # the second write would see the index rows the FIRST write just
+        # appended and re-gate the batch against itself (a real
+        # read-your-own-write bug caught by the two-batch test — cache()
+        # alone does not guarantee the second action hits the cache).
+        admitted = batch_df.join(gated, "doc_id", "left_semi").localCheckpoint()
+        (
+            admitted.select(
+                F.explode(shingle_hashes(F.col("text"), shingle_n)).alias(
+                    "gram"
+                )
+            )
+            .distinct()
+            .write.mode("append")
+            .parquet(index_dir)
+        )
+        admitted.write.mode("append").parquet(corpus_dir)
+        batch_df.unpersist()
+
+    return process

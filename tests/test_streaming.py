@@ -835,3 +835,43 @@ def test_streaming_drift_monitor_matches_batch_tv(
     assert got["shifted"] == (10, 10, tv_ppm(reference["shifted"], cur_shift))
     assert got["stable"] == (8, 8, 0)
     assert got["shifted"][2] >= 800000  # the shift is detected
+
+
+def test_streaming_corpus_admission_dedups_across_batches(
+    spark, tmp_path, tmp_path_factory
+):
+    """Batch 2's near-copy of a batch-1 document must be rejected by
+    the persisted gram index; its novel document must be admitted."""
+    from pyspark_recs.streaming import streaming_corpus_admission
+
+    d1 = "the quick brown fox jumps over the lazy dog by the river"
+    d2 = "completely different content about spark shuffles and joins"
+    # near-copy of d1 (one word changed -> low novelty), plus a truly
+    # novel doc
+    d3 = d1.replace("lazy", "sleepy")
+    d4 = "yet another unrelated document describing parquet footers"
+    src = str(tmp_path_factory.mktemp("adm"))
+    schema = "doc_id long, text string"
+    spark.createDataFrame([(1, d1), (2, d2)], schema).coalesce(1).write.parquet(
+        f"{src}/b0"
+    )
+    spark.createDataFrame([(3, d3), (4, d4)], schema).coalesce(1).write.parquet(
+        f"{src}/b1"
+    )
+    index_dir = str(tmp_path / "gram_index")
+    corpus_dir = str(tmp_path / "corpus")
+    process = streaming_corpus_admission(index_dir, corpus_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    admitted = {r.doc_id for r in spark.read.parquet(corpus_dir).collect()}
+    assert admitted == {1, 2, 4}  # d3 rejected as a near-copy of d1
