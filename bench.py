@@ -138,6 +138,7 @@ HEADLINE = [
     "rs26_rrf_fusion",
     "r80_master_merge",
     "l65_payload_dedup",
+    "r81_time_travel",
 ]
 
 

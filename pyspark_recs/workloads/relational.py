@@ -3871,6 +3871,63 @@ FROM sys_a a FULL OUTER JOIN sys_b b USING (c_custkey)
 """
 
 
+# --------------------------------------------------------------------- r81
+def r81_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-travel snapshot read over SCD2 history: reconstruct every
+    (user, event_type) state AS OF a cutoff instant by selecting the
+    one version whose validity interval covers it — the read side of
+    the r34/r63/r73 CDC family (what `SELECT ... TIMESTAMP AS OF` does
+    in a lakehouse table format, expressed over plain parquet + lead
+    intervals). An open interval (valid_to NULL) covers everything
+    after its valid_from.
+
+    Scale: one window shuffle to derive intervals (shared with r34's
+    plan), then a pure filter — the snapshot never joins or
+    re-aggregates, and with the history date-partitioned on
+    valid_from the scan prunes to segments alive at the cutoff.
+    """
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_type", "event_id", "value", "ts"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    hist = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    return hist.filter(
+        (F.col("valid_from") <= cutoff)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > cutoff))
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("version_event"),
+        F.col("value").alias("value_as_of"),
+        "valid_from",
+    )
+
+
+R81_SQL = """
+WITH hist AS (
+  SELECT user_id, event_type, event_id, value,
+         ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) AS valid_to
+  FROM events)
+SELECT user_id, event_type,
+       event_id AS version_event,
+       value AS value_as_of,
+       valid_from
+FROM hist
+WHERE valid_from <= TIMESTAMP '2024-01-15'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15')
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -3952,6 +4009,7 @@ QUERIES = {
     "r78_promo_revenue": r78_promo_revenue,
     "r79_supplier_census": r79_supplier_census,
     "r80_master_merge": r80_master_merge,
+    "r81_time_travel": r81_time_travel,
 }
 
 ORACLE = {
@@ -4034,6 +4092,7 @@ ORACLE = {
     "r78_promo_revenue": R78_SQL,
     "r79_supplier_census": R79_SQL,
     "r80_master_merge": R80_SQL,
+    "r81_time_travel": R81_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }
