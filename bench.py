@@ -139,6 +139,8 @@ HEADLINE = [
     "r80_master_merge",
     "l65_payload_dedup",
     "r81_time_travel",
+    "r82_subject_access_report",
+    "l66_attribution_union",
 ]
 
 

@@ -2817,6 +2817,56 @@ FROM d
 """
 
 
+# --------------------------------------------------------------------- l66
+def l66_attribution_union(spark: SparkSession, sf: str) -> DataFrame:
+    """Attribution propagation through dedup: when l21's near-dup
+    clusters collapse to one canonical document, the survivors must
+    CARRY the union of their members' source attributions (license and
+    provenance obligations don't disappear with the duplicate bytes —
+    the compliance step every dedup'd release needs). Per canonical
+    doc: member count, the sorted union of member sources, and total
+    absorbed bytes.
+
+    Scale: one join of the (doc → canonical) label table against doc
+    metadata, then a map-side-combined groupBy(canonical) whose state
+    is a bounded source SET — cluster text is never shuffled.
+    """
+    from pyspark_recs.llmops.dedup import (
+        connected_components,
+        verified_neardup_edges,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    edges = verified_neardup_edges(docs, threshold=0.5)
+    labels = connected_components(edges, docs.select("doc_id")).select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("canonical_doc_id"),
+    )
+    return (
+        labels.join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+        .groupBy("canonical_doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+                "sources_csv"
+            ),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+L66_SQL = f"""
+WITH labels AS ({L21_SQL.strip()})
+SELECT l.canonical_doc_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       array_to_string(list_sort(list(DISTINCT d.source)), ',')
+         AS sources_csv,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+FROM labels l JOIN documents d USING (doc_id)
+GROUP BY l.canonical_doc_id
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -2883,6 +2933,7 @@ QUERIES = {
     "l63_shard_manifest": l63_shard_manifest,
     "l64_decontaminate_spans": l64_decontaminate_spans,
     "l65_payload_dedup": l65_payload_dedup,
+    "l66_attribution_union": l66_attribution_union,
 }
 
 ORACLE = {
@@ -2951,4 +3002,5 @@ ORACLE = {
     "l63_shard_manifest": L63_SQL,
     "l64_decontaminate_spans": L64_SQL,
     "l65_payload_dedup": L65_SQL,
+    "l66_attribution_union": L66_SQL,
 }

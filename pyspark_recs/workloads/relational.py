@@ -3928,6 +3928,123 @@ WHERE valid_from <= TIMESTAMP '2024-01-15'
 """
 
 
+# --------------------------------------------------------------------- r82
+def r82_subject_access_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-subject ACCESS report (GDPR art. 15 — the read sibling of
+    r73's erasure cascade): for each requested subject, assemble
+    everything the warehouse holds about them across the order,
+    line-item and event tables into one summary row — entity counts,
+    exact total spend, activity span, and an order-independent digest
+    of the full order-key set (the verifiable manifest an auditor can
+    re-derive). Requested subjects are a deterministic hash cohort
+    (c_custkey % 97 = 0), the stand-in for a DSAR request queue.
+
+    Scale: the request cohort is a broadcast semi-join against every
+    fact table (each table scanned once, no fact⋈fact); per-subject
+    aggregates combine map-side; the digest is a commutative bit_xor,
+    so the report is bit-reproducible at any partitioning — the
+    property that lets two runs of the same request be compared.
+    """
+    subjects = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_custkey") % 97 == 0)
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+    orders = load_table(spark, sf, "orders").join(
+        F.broadcast(subjects.select("c_custkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_semi",
+    )
+    q = F.floor(F.col("o_totalprice") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    per_orders = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(q).cast("double") / F.lit(1e6)).alias("total_spend"),
+        F.min("o_orderdate").cast("date").alias("first_order"),
+        F.max("o_orderdate").cast("date").alias("last_order"),
+        F.bit_xor(md5_long(F.col("o_orderkey").cast("string"))).alias(
+            "orderkey_digest"
+        ),
+    )
+    li_counts = (
+        load_table(spark, sf, "lineitem")
+        .join(
+            F.broadcast(orders.select("o_orderkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey").withColumnRenamed(
+                "o_orderkey", "jk"
+            ),
+            F.col("l_orderkey") == F.col("jk"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_lineitems"))
+    )
+    ev_counts = (
+        load_table(spark, sf, "events")
+        .join(
+            F.broadcast(subjects.select(F.col("c_custkey").alias("user_id"))),
+            "user_id",
+            "left_semi",
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        subjects.join(
+            per_orders, subjects.c_custkey == per_orders.o_custkey, "left"
+        )
+        .join(ev_counts, subjects.c_custkey == ev_counts.user_id, "left")
+        .join(li_counts, subjects.c_custkey == li_counts.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_lineitems", F.lit(0)).alias("n_lineitems"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+            "first_order",
+            "last_order",
+            "orderkey_digest",
+        )
+    )
+
+
+R82_SQL = """
+WITH subjects AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 97 = 0),
+ords AS (
+  SELECT o.* FROM orders o SEMI JOIN subjects s ON o.o_custkey = s.c_custkey),
+per_orders AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1000000.0 AS total_spend,
+         CAST(min(o_orderdate) AS DATE) AS first_order,
+         CAST(max(o_orderdate) AS DATE) AS last_order,
+         bit_xor(CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)) AS orderkey_digest
+  FROM ords GROUP BY o_custkey),
+li AS (
+  SELECT o.o_custkey, CAST(count(*) AS BIGINT) AS n_lineitems
+  FROM lineitem l JOIN ords o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey),
+ev AS (
+  SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events e SEMI JOIN subjects s ON e.user_id = s.c_custkey
+  GROUP BY e.user_id)
+SELECT s.c_custkey, s.c_name,
+       COALESCE(p.n_orders, 0) AS n_orders,
+       COALESCE(li.n_lineitems, 0) AS n_lineitems,
+       COALESCE(ev.n_events, 0) AS n_events,
+       COALESCE(p.total_spend, 0.0) AS total_spend,
+       p.first_order, p.last_order, p.orderkey_digest
+FROM subjects s
+LEFT JOIN per_orders p ON s.c_custkey = p.o_custkey
+LEFT JOIN ev ON s.c_custkey = ev.user_id
+LEFT JOIN li ON s.c_custkey = li.o_custkey
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -4010,6 +4127,7 @@ QUERIES = {
     "r79_supplier_census": r79_supplier_census,
     "r80_master_merge": r80_master_merge,
     "r81_time_travel": r81_time_travel,
+    "r82_subject_access_report": r82_subject_access_report,
 }
 
 ORACLE = {
@@ -4093,6 +4211,7 @@ ORACLE = {
     "r79_supplier_census": R79_SQL,
     "r80_master_merge": R80_SQL,
     "r81_time_travel": R81_SQL,
+    "r82_subject_access_report": R82_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }
