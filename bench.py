@@ -141,6 +141,7 @@ HEADLINE = [
     "r81_time_travel",
     "r82_subject_access_report",
     "l66_attribution_union",
+    "l67_group_aware_split",
 ]
 
 

@@ -2867,6 +2867,66 @@ GROUP BY l.canonical_doc_id
 """
 
 
+# --------------------------------------------------------------------- l67
+def l67_group_aware_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-free train/val/test assignment: split by the NEAR-DUP
+    CLUSTER, not the document — every member of an l21 cluster hashes
+    to the same split (md5 of the canonical id, 80/10/10), so a
+    training document's near-copy can never sit in the eval split and
+    quietly inflate metrics. This is GroupShuffleSplit at corpus
+    scale, and the split-side counterpart of l32/l61's benchmark
+    decontamination: those clean against an EXTERNAL eval set, this
+    prevents the corpus's own splits from leaking into each other.
+    Deterministic md5 keying keeps the assignment reproducible across
+    engines, re-runs and cluster sizes — and RESUMABLE: a new near-dup
+    of an existing cluster inherits the cluster's split.
+
+    Scale: the cluster labels are l21's bounded iterative CC; the
+    assignment itself is a pure projection over the label table.
+    """
+    from pyspark_recs.llmops.dedup import (
+        connected_components,
+        verified_neardup_edges,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    edges = verified_neardup_edges(docs, threshold=0.5)
+    labels = connected_components(edges, docs.select("doc_id")).select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("canonical_doc_id"),
+    )
+    bucket = F.pmod(
+        md5_long(
+            F.concat(F.lit("split_"), F.col("canonical_doc_id").cast("string"))
+        ),
+        F.lit(100),
+    )
+    return labels.select(
+        "doc_id",
+        "canonical_doc_id",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+L67_SQL = f"""
+WITH labels AS ({L21_SQL.strip()})
+SELECT doc_id, canonical_doc_id,
+       CASE
+         WHEN ({_sql_md5_long(
+             "'split_' || CAST(canonical_doc_id AS VARCHAR)")}) % 100 < 80
+           THEN 'train'
+         WHEN ({_sql_md5_long(
+             "'split_' || CAST(canonical_doc_id AS VARCHAR)")}) % 100 < 90
+           THEN 'valid'
+         ELSE 'test'
+       END AS split
+FROM labels
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -2934,6 +2994,7 @@ QUERIES = {
     "l64_decontaminate_spans": l64_decontaminate_spans,
     "l65_payload_dedup": l65_payload_dedup,
     "l66_attribution_union": l66_attribution_union,
+    "l67_group_aware_split": l67_group_aware_split,
 }
 
 ORACLE = {
@@ -3003,4 +3064,5 @@ ORACLE = {
     "l64_decontaminate_spans": L64_SQL,
     "l65_payload_dedup": L65_SQL,
     "l66_attribution_union": L66_SQL,
+    "l67_group_aware_split": L67_SQL,
 }
