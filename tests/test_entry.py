@@ -81,3 +81,15 @@ def test_priority_rotation_names_all_resolve():
     # and the rotation must not contain duplicates (double slots skew
     # the bounded verification window)
     assert len(w._PRIORITY) == len(set(w._PRIORITY))
+
+
+def test_bench_headline_names_resolve_and_unique():
+    # A typo in bench.py's HEADLINE list would crash the driver's
+    # per-round benchmark (KeyError mid-run) — so every name must
+    # resolve and appear once.
+    import bench
+
+    qs = entry_mod.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert missing == []
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
