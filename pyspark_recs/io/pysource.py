@@ -28,6 +28,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 _EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
@@ -102,6 +103,51 @@ class SynthEventsSource(DataSource):
 
     def reader(self, schema) -> SynthEventsReader:
         return SynthEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SynthEventsStreamReader":
+        return SynthEventsStreamReader(self.options)
+
+
+class SynthEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the connector (the Spark 4
+    SimpleDataSourceStreamReader contract): the same deterministic
+    generator exposed as an unbounded source — each micro-batch emits
+    the next ``batch_rows`` event ids, offsets are plain row positions,
+    and ``readBetweenOffsets`` REGENERATES any offset range exactly
+    (splitmix64 is a pure function of the row id), which is what makes
+    checkpoint replay exactly-once without a write-ahead row log.
+    ``spark.readStream.format("synth_events")`` — the full
+    batch + streaming + pushdown + partition connector surface, from
+    Python."""
+
+    def __init__(self, options):
+        self.batch_rows = int(options.get("batch_rows", 100))
+        self.n_users = int(options.get("users", 100))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _rows(self, start: int, end: int):
+        for i in range(start, end):
+            h = _splitmix64(i)
+            yield (
+                i,
+                (h >> 3) % self.n_users,
+                _EVENT_TYPES[h % len(_EVENT_TYPES)],
+                float((h >> 17) % 10_000) / 100.0,
+            )
+
+    def read(self, start: dict):
+        pos = int(start["pos"])
+        end = pos + self.batch_rows
+        # Materialized list, not a generator: the runner's prefetch
+        # cache copy.copy()s the returned iterator, and generators
+        # don't pickle. Batches are bounded by batch_rows, so this is
+        # O(batch) memory by construction.
+        return list(self._rows(pos, end)), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(self._rows(int(start["pos"]), int(end["pos"])))
 
 
 def register(spark) -> None:

@@ -74,3 +74,49 @@ def test_synth_source_feeds_engine_operators(spark):
         .collect()[0]
     )
     assert agg.total == 2000 and agg.users == 10
+
+
+def test_stream_reader_matches_batch_rows(spark, tmp_path):
+    """The streaming half must emit exactly the deterministic rows the
+    batch reader generates for the same ids — offset replay included."""
+    register(spark)
+    batch = (
+        spark.read.format("synth_events")
+        .option("rows", 250)
+        .option("partitions", 4)
+        .load()
+        .collect()
+    )
+    stream = (
+        spark.readStream.format("synth_events")
+        .option("batch_rows", 50)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            n = spark.sql(
+                "SELECT count(*) FROM synth_stream_out WHERE event_id < 250"
+            ).collect()[0][0]
+            if n >= 250:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT * FROM synth_stream_out WHERE event_id < 250"
+        ).collect()
+    }
+    want = {tuple(r) for r in batch}
+    assert want <= got and len(got) == len(want)  # exact rows, no dups
