@@ -142,6 +142,7 @@ HEADLINE = [
     "r82_subject_access_report",
     "l66_attribution_union",
     "l67_group_aware_split",
+    "r83_skew_profile",
 ]
 
 

@@ -4045,6 +4045,86 @@ LEFT JOIN li ON s.c_custkey = li.o_custkey
 """
 
 
+# --------------------------------------------------------------------- r83
+def r83_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key SKEW profiler: for each join column the engine shuffles
+    on, the hottest keys with their exact row share (ppm) and the
+    skew factor (hottest-key count × distinct-keys ÷ total rows — 1.0
+    means perfectly uniform) — the diagnosis you run BEFORE reaching
+    for `salted_join`/AQE skew handling, answering "which key would
+    melt a reducer at 100 TB". Long format: one row per (table, column,
+    hot key).
+
+    Scale: per column this is one map-side-combined count aggregate
+    (key-cardinality-bounded) + a TakeOrdered top-5; the totals ride
+    the same aggregate via a window over key counts, never a second
+    fact scan.
+    """
+    def profile(df: DataFrame, table: str, col: str) -> DataFrame:
+        counts = df.groupBy(F.col(col).alias("key")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        wt = Window.partitionBy()
+        enriched = counts.withColumn("total", F.sum("cnt").over(wt)).withColumn(
+            "n_keys", F.count(F.lit(1)).over(wt)
+        )
+        w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+        return (
+            enriched.withColumn("hot_rank", F.row_number().over(w))
+            .filter(F.col("hot_rank") <= 5)
+            .select(
+                F.lit(table).alias("table_name"),
+                F.lit(col).alias("column_name"),
+                F.col("key").cast("long").alias("hot_key"),
+                "cnt",
+                F.col("hot_rank").cast("int").alias("hot_rank"),
+                F.expr("(1000000L * cnt) div total").alias("share_ppm"),
+                F.floor(
+                    F.col("cnt").cast("double")
+                    * F.col("n_keys").cast("double")
+                    / F.col("total").cast("double")
+                    * F.lit(1000.0)
+                ).alias("skew_x1000"),
+            )
+        )
+
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    return (
+        profile(orders, "orders", "o_custkey")
+        .unionByName(profile(li, "lineitem", "l_partkey"))
+        .unionByName(profile(li, "lineitem", "l_suppkey"))
+    )
+
+
+R83_SQL = """
+WITH src AS (
+  SELECT 'orders' AS table_name, 'o_custkey' AS column_name,
+         o_custkey AS key FROM orders
+  UNION ALL
+  SELECT 'lineitem', 'l_partkey', l_partkey FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'l_suppkey', l_suppkey FROM lineitem),
+counts AS (
+  SELECT table_name, column_name, key, CAST(count(*) AS BIGINT) AS cnt
+  FROM src GROUP BY table_name, column_name, key),
+enriched AS (
+  SELECT table_name, column_name, key, cnt,
+         sum(cnt) OVER (PARTITION BY table_name, column_name) AS total,
+         count(*) OVER (PARTITION BY table_name, column_name) AS n_keys,
+         row_number() OVER (PARTITION BY table_name, column_name
+                            ORDER BY cnt DESC, key) AS hot_rank
+  FROM counts)
+SELECT table_name, column_name, key AS hot_key, cnt,
+       CAST(hot_rank AS INTEGER) AS hot_rank,
+       CAST((1000000 * cnt) // total AS BIGINT) AS share_ppm,
+       CAST(floor(CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+                  / CAST(total AS DOUBLE) * 1000.0) AS BIGINT)
+         AS skew_x1000
+FROM enriched WHERE hot_rank <= 5
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -4128,6 +4208,7 @@ QUERIES = {
     "r80_master_merge": r80_master_merge,
     "r81_time_travel": r81_time_travel,
     "r82_subject_access_report": r82_subject_access_report,
+    "r83_skew_profile": r83_skew_profile,
 }
 
 ORACLE = {
@@ -4212,6 +4293,7 @@ ORACLE = {
     "r80_master_merge": R80_SQL,
     "r81_time_travel": R81_SQL,
     "r82_subject_access_report": R82_SQL,
+    "r83_skew_profile": R83_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }
