@@ -143,6 +143,7 @@ HEADLINE = [
     "l66_attribution_union",
     "l67_group_aware_split",
     "r83_skew_profile",
+    "r84_luhn_validation",
 ]
 
 

@@ -4125,6 +4125,73 @@ FROM enriched WHERE hot_rank <= 5
 """
 
 
+# --------------------------------------------------------------------- r84
+def r84_luhn_validation(spark: SparkSession, sf: str) -> DataFrame:
+    """Luhn checksum validation of candidate card numbers — the
+    verification pass that separates real PANs from random 16-digit
+    noise (l31's regex alone over-flags), run through an
+    ARROW-OPTIMIZED scalar Python UDF (`@udf(useArrow=True)`, the one
+    §2.8 UDF flavor not yet exercised; Arrow batches make it
+    vectorized-transfer rather than row-pickled). Valid and invalid
+    candidates are synthesized deterministically (doc_id % 13 → a
+    Luhn-valid PAN, doc_id % 19 → a Luhn-invalid one), so both
+    branches are exercised. The oracle twin computes the same checksum
+    relationally — UDF and SQL must agree digit for digit.
+
+    Scale: the UDF is a projection (no shuffle) over Arrow batches;
+    at 100 TB this is still scan-bound. Prefer the pure-SQL form (the
+    oracle's expression) in hot paths — this query exists to pin the
+    UDF surface's semantics against it.
+    """
+    from pyspark.sql.functions import udf
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    with_cards = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.lit("4242424242424242"))
+        .when(F.col("doc_id") % 19 == 0, F.lit("1234567890123456"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("candidate"),
+    ).filter(F.col("candidate").isNotNull())
+
+    @udf("boolean", useArrow=True)
+    def luhn_ok(pan: str) -> bool:
+        digits = [int(c) for c in pan]
+        total = 0
+        for i, d in enumerate(reversed(digits)):
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    return with_cards.select(
+        "doc_id", "candidate", luhn_ok("candidate").alias("luhn_valid")
+    )
+
+
+R84_SQL = """
+WITH cands AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN '4242424242424242'
+              WHEN doc_id % 19 = 0 THEN '1234567890123456' END AS candidate
+  FROM documents),
+d AS (
+  SELECT doc_id, candidate,
+         list_transform(range(1, 17),
+             i -> ascii(substring(candidate, i, 1)) - 48) AS ds
+  FROM cands WHERE candidate IS NOT NULL)
+SELECT doc_id, candidate,
+       list_sum(list_transform(range(1, 17),
+           i -> CASE WHEN (16 - i) % 2 = 1
+                THEN CASE WHEN ds[i] * 2 > 9 THEN ds[i] * 2 - 9
+                          ELSE ds[i] * 2 END
+                ELSE ds[i] END)) % 10 = 0 AS luhn_valid
+FROM d
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -4209,6 +4276,7 @@ QUERIES = {
     "r81_time_travel": r81_time_travel,
     "r82_subject_access_report": r82_subject_access_report,
     "r83_skew_profile": r83_skew_profile,
+    "r84_luhn_validation": r84_luhn_validation,
 }
 
 ORACLE = {
@@ -4294,6 +4362,7 @@ ORACLE = {
     "r81_time_travel": R81_SQL,
     "r82_subject_access_report": R82_SQL,
     "r83_skew_profile": R83_SQL,
+    "r84_luhn_validation": R84_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }
