@@ -144,6 +144,7 @@ HEADLINE = [
     "l67_group_aware_split",
     "r83_skew_profile",
     "r84_luhn_validation",
+    "l68_threshold_sweep",
 ]
 
 

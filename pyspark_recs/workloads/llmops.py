@@ -2927,6 +2927,71 @@ FROM labels
 """
 
 
+# --------------------------------------------------------------------- l68
+def l68_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup threshold-sweep curve: for a ladder of Jaccard thresholds,
+    how many candidate pairs survive exact verification and how many
+    documents they touch — the tuning artifact a dedup operator reads
+    BEFORE committing a threshold (too low deletes the corpus, too
+    high keeps the near-dups); l51 audits the sketch against exact
+    Jaccard, this audits the THRESHOLD against corpus impact. One
+    verification pass feeds every ladder step (pairs explode against
+    the 5-value threshold array, never re-verified per step).
+
+    Scale: the pair set is the l05 block-bounded verification output;
+    the sweep is a 5× bounded explode + two combiner-friendly
+    aggregates. Jaccard is an exact small-integer division, so the
+    per-step counts are engine-agreed.
+    """
+    from pyspark_recs.llmops.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, group_cols=["lang", "source"], shingle_n=1, threshold=0.0
+    )
+    ladder = F.array(*[F.lit(t) for t in (10, 30, 50, 70, 90)])
+    e = pairs.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.explode(ladder).alias("thr_pct"),
+    ).filter(F.col("jaccard") * 100 >= F.col("thr_pct"))
+    n_pairs = e.groupBy("thr_pct").agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_docs = (
+        e.select("thr_pct", F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .groupBy("thr_pct")
+        .agg(F.countDistinct("d").alias("n_docs_affected"))
+    )
+    return n_pairs.join(n_docs, "thr_pct").select(
+        "thr_pct", "n_pairs", "n_docs_affected"
+    )
+
+
+L68_SQL = f"""
+WITH toks AS ({_TOKS}),
+g AS (SELECT doc_id, lang, source, list_distinct(words) AS grams
+      FROM toks WHERE len(words) >= 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+  FROM g a JOIN g b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id),
+e AS (
+  SELECT doc_a, doc_b, jaccard, unnest([10, 30, 50, 70, 90]) AS thr_pct
+  FROM pairs),
+kept AS (SELECT * FROM e WHERE jaccard * 100 >= thr_pct),
+np AS (SELECT thr_pct, CAST(count(*) AS BIGINT) AS n_pairs
+       FROM kept GROUP BY thr_pct),
+nd AS (
+  SELECT thr_pct, CAST(count(DISTINCT d) AS BIGINT) AS n_docs_affected
+  FROM (SELECT thr_pct, unnest([doc_a, doc_b]) AS d FROM kept)
+  GROUP BY thr_pct)
+SELECT np.thr_pct, np.n_pairs, nd.n_docs_affected
+FROM np JOIN nd USING (thr_pct)
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -2995,6 +3060,7 @@ QUERIES = {
     "l65_payload_dedup": l65_payload_dedup,
     "l66_attribution_union": l66_attribution_union,
     "l67_group_aware_split": l67_group_aware_split,
+    "l68_threshold_sweep": l68_threshold_sweep,
 }
 
 ORACLE = {
@@ -3065,4 +3131,5 @@ ORACLE = {
     "l65_payload_dedup": L65_SQL,
     "l66_attribution_union": L66_SQL,
     "l67_group_aware_split": L67_SQL,
+    "l68_threshold_sweep": L68_SQL,
 }
