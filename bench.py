@@ -145,6 +145,7 @@ HEADLINE = [
     "r83_skew_profile",
     "r84_luhn_validation",
     "l68_threshold_sweep",
+    "l69_corpus_diff",
 ]
 
 

@@ -2992,6 +2992,86 @@ FROM np JOIN nd USING (thr_pct)
 """
 
 
+# --------------------------------------------------------------------- l69
+def l69_corpus_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus VERSION diff: classify every document across two corpus
+    snapshots as ADDED / REMOVED / CHANGED / UNCHANGED by digest
+    comparison, rolled up per source — the release-notes artifact
+    between two dataset versions (l63's manifest says WHICH shard
+    moved; this says what happened inside it), and r63's CDC snapshot
+    diff applied to the document domain. Version 2 is synthesized
+    deterministically from version 1 (doc_id % 31 = 0 removed,
+    % 37 = 0 re-crawled with changed text, a shifted-id cohort added),
+    so every class is non-empty and engine-agreed.
+
+    Scale: one full-outer join on doc_id between two digest
+    projections (text never shuffles — digests do), then a map-side-
+    combined per-source rollup.
+    """
+    docs = load_table(spark, sf, "documents")
+    v1 = docs.select("doc_id", "source", F.md5("text").alias("d1"))
+    v2 = (
+        docs.filter(F.col("doc_id") % 31 != 0)
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 37 == 0,
+                    F.concat(F.col("text"), F.lit(" [recrawled]")),
+                ).otherwise(F.col("text"))
+            ).alias("d2"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 41 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                "source",
+                F.md5(F.concat(F.lit("new "), F.col("text"))).alias("d2"),
+            )
+        )
+    )
+    joined = v1.join(
+        v2.withColumnRenamed("source", "source2"), "doc_id", "full_outer"
+    )
+    status = (
+        F.when(F.col("d1").isNull(), F.lit("added"))
+        .when(F.col("d2").isNull(), F.lit("removed"))
+        .when(F.col("d1") != F.col("d2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce("source", "source2").alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+L69_SQL = """
+WITH v1 AS (
+  SELECT doc_id, source, md5(text) AS d1 FROM documents),
+v2 AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN doc_id % 37 = 0 THEN text || ' [recrawled]'
+                  ELSE text END) AS d2
+  FROM documents WHERE doc_id % 31 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, md5('new ' || text) AS d2
+  FROM documents WHERE doc_id % 41 = 0),
+joined AS (
+  SELECT COALESCE(v1.source, v2.source) AS source,
+         CASE WHEN v1.d1 IS NULL THEN 'added'
+              WHEN v2.d2 IS NULL THEN 'removed'
+              WHEN v1.d1 <> v2.d2 THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+FROM joined GROUP BY source, status
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -3061,6 +3141,7 @@ QUERIES = {
     "l66_attribution_union": l66_attribution_union,
     "l67_group_aware_split": l67_group_aware_split,
     "l68_threshold_sweep": l68_threshold_sweep,
+    "l69_corpus_diff": l69_corpus_diff,
 }
 
 ORACLE = {
@@ -3132,4 +3213,5 @@ ORACLE = {
     "l66_attribution_union": L66_SQL,
     "l67_group_aware_split": L67_SQL,
     "l68_threshold_sweep": L68_SQL,
+    "l69_corpus_diff": L69_SQL,
 }
