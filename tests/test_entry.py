@@ -93,3 +93,29 @@ def test_bench_headline_names_resolve_and_unique():
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert missing == []
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
+def test_sql_catalog_matches_dataframe_api(spark):
+    # register_tables exposes the engine to plain spark.sql; results
+    # must match the DataFrame API bit for bit (same timestamp
+    # normalization path).
+    from pyspark.sql import functions as F
+
+    from pyspark_recs.io import load_table, register_tables
+
+    register_tables(spark, SF_DIR)
+    sql_rows = spark.sql(
+        "SELECT o_custkey, count(*) AS n FROM orders "
+        "GROUP BY o_custkey ORDER BY o_custkey"
+    ).collect()
+    df_rows = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_custkey")
+        .collect()
+    )
+    assert sql_rows == df_rows
+    # events.ts must arrive as plain TIMESTAMP through SQL too
+    t = spark.sql("SELECT unix_micros(ts) AS u FROM events LIMIT 1").collect()
+    assert isinstance(t[0].u, int)

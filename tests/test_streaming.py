@@ -875,3 +875,38 @@ def test_streaming_corpus_admission_dedups_across_batches(
     q.awaitTermination(120)
     admitted = {r.doc_id for r in spark.read.parquet(corpus_dir).collect()}
     assert admitted == {1, 2, 4}  # d3 rejected as a near-copy of d1
+
+
+def test_progress_listener_records_batches(spark, event_dir, tmp_path):
+    import json as _json
+    import time as _time
+
+    from pyspark_recs.streaming.metrics import attach_progress_log
+
+    path, schema = event_dir
+    log_path = str(tmp_path / "progress.jsonl")
+    listener = attach_progress_log(spark, log_path)
+    try:
+        stream = read_event_stream(spark, path, schema)
+        out = _run_stream(
+            streaming_tumbling_agg(stream, window="1 day", watermark="2 days"),
+            tmp_path,
+        )
+        assert out.count() > 0
+        # listener events are delivered asynchronously
+        deadline = _time.time() + 30
+        rows = []
+        while _time.time() < deadline:
+            try:
+                with open(log_path) as f:
+                    rows = [_json.loads(l) for l in f if l.strip()]
+            except FileNotFoundError:
+                rows = []
+            if rows:
+                break
+            _time.sleep(0.5)
+        assert rows, "no progress events recorded"
+        assert sum(r["num_input_rows"] for r in rows) >= 5  # the 5 events
+        assert all("batch_id" in r and "duration_ms" in r for r in rows)
+    finally:
+        spark.streams.removeListener(listener)
