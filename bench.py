@@ -146,6 +146,7 @@ HEADLINE = [
     "r84_luhn_validation",
     "l68_threshold_sweep",
     "l69_corpus_diff",
+    "rs27_sampled_metrics_bias",
 ]
 
 

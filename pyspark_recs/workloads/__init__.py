@@ -45,7 +45,7 @@ _PRIORITY = [
     "rs26_rrf_fusion", "r80_master_merge", "l65_payload_dedup",
     "r81_time_travel", "r82_subject_access_report", "l66_attribution_union",
     "l67_group_aware_split", "r83_skew_profile", "r84_luhn_validation",
-    "l68_threshold_sweep", "l69_corpus_diff",
+    "l68_threshold_sweep", "l69_corpus_diff", "rs27_sampled_metrics_bias",
     # tier 1 — never driver-verified, round-robin l / r / rs / s
     "l36_fuzzy_edit_dedup", "r51_grouping_sets", "rs09_next_item_pairs",
     "s09_user_profile", "l37_heavy_hitters", "r52_mode_per_group",

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from pyspark_recs.io import load_table
 from pyspark_recs.sql import top_k_per_group
-from pyspark_recs.llmops.hashing import sql_md5_long
+from pyspark_recs.llmops.hashing import md5_long, sql_md5_long
 from pyspark_recs.workloads.common import dsum, sql_dsum
 
 
@@ -2005,6 +2005,296 @@ WHERE frank <= 5
 """
 
 
+# --------------------------------------------------------------------- rs27
+def rs27_sampled_metrics_bias(spark: SparkSession, sf: str) -> DataFrame:
+    """Sampled-vs-full evaluation bias, measured exactly (Krichene &
+    Rendle, KDD'20 "On Sampled Metrics for Item Recommendation"):
+    ranking each user's held-out item against 99 hash-sampled negatives
+    (the common offline shortcut) reports a far higher hit@10 than
+    ranking it against the FULL catalog neighbor list — on this corpus
+    the ratio is the bias the paper warns about, here computed as two
+    exact ppm rates side by side from the SAME rs24 protocol (train-
+    only co-occurrence scores, leave-one-out holdout, deterministic
+    tie-breaks), so the bias number itself is engine-agreed and
+    regression-testable.
+
+    Scale: negatives are 99 md5-derived candidates per user (pure
+    projection); scoring is one left join against the capped pair
+    table; the "full" side reuses rs24's bounded neighbor lists. No
+    all-pairs anywhere.
+    """
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    tagged_orders = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        (F.row_number().over(w) == 1).alias("is_test"),
+    )
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", F.col("l_partkey").alias("item_id")
+    )
+    tagged = li.join(
+        F.broadcast(tagged_orders), li.l_orderkey == tagged_orders.o_orderkey
+    ).select("user_id", "item_id", "is_test")
+    train = tagged.filter(~F.col("is_test"))
+    inter = train.groupBy("user_id", "item_id").agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )
+    by_strength = F.transform(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("n_purchases")).alias("neg"),
+                        F.col("item_id").alias("item"),
+                    )
+                )
+            ),
+            1,
+            20,
+        ),
+        lambda t: t["item"],
+    )
+    lists = inter.groupBy("user_id").agg(by_strength.alias("bs"))
+    lists = lists.select(
+        "user_id",
+        F.col("bs")[0].alias("anchor_item"),
+        F.array_sort("bs").alias("items"),
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    half = (
+        lists.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.item_a"), F.col("p.item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    co = half.unionByName(
+        half.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "n_ab",
+        )
+    )
+    # One held-out item per user: the smallest item of the test order
+    # (deterministic; rs24 scores the whole order, the rank protocol
+    # needs a single target).
+    holdout = (
+        tagged.filter(F.col("is_test"))
+        .groupBy("user_id")
+        .agg(F.min("item_id").alias("target"))
+    )
+    base = lists.select("user_id", "anchor_item").join(holdout, "user_id")
+    # target score vs the anchor
+    tgt = base.join(
+        co.select(
+            F.col("item_a").alias("anchor_item"),
+            F.col("item_b").alias("target"),
+            F.col("n_ab").alias("s_t"),
+        ),
+        ["anchor_item", "target"],
+        "left",
+    ).select(
+        "user_id",
+        "anchor_item",
+        "target",
+        F.coalesce("s_t", F.lit(0)).alias("s_t"),
+    )
+    # 99 deterministic hash negatives per user (may collide with real
+    # items — that IS the sampled-eval protocol)
+    max_item = load_table(spark, sf, "part").agg(
+        F.max("p_partkey").alias("mx")
+    )
+    negs = (
+        tgt.crossJoin(F.broadcast(max_item))
+        .select(
+            "user_id",
+            "anchor_item",
+            "target",
+            "s_t",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(99)),
+                    lambda j: F.pmod(
+                        md5_long(
+                            F.concat_ws(
+                                "_",
+                                F.lit("negs"),
+                                F.col("user_id").cast("string"),
+                                j.cast("string"),
+                            )
+                        ),
+                        F.col("mx"),
+                    )
+                    + 1,
+                )
+            ).alias("neg_item"),
+        )
+    )
+    scored_negs = negs.join(
+        co.select(
+            F.col("item_a").alias("anchor_item"),
+            F.col("item_b").alias("neg_item"),
+            F.col("n_ab").alias("s_n"),
+        ),
+        ["anchor_item", "neg_item"],
+        "left",
+    ).select(
+        "user_id",
+        "target",
+        "s_t",
+        "neg_item",
+        F.coalesce("s_n", F.lit(0)).alias("s_n"),
+    )
+    sampled = scored_negs.groupBy("user_id", "target", "s_t").agg(
+        F.sum(
+            (
+                (F.col("s_n") > F.col("s_t"))
+                | (
+                    (F.col("s_n") == F.col("s_t"))
+                    & (F.col("neg_item") < F.col("target"))
+                )
+            ).cast("long")
+        ).alias("n_above")
+    )
+    sampled_hit = sampled.select(
+        "user_id", (F.col("n_above") < 10).alias("hit")
+    )
+    # FULL protocol: target must appear in the anchor's true top-10
+    # neighbor list (rs24's rule).
+    wn = Window.partitionBy("item_a").orderBy(F.desc("n_ab"), F.asc("item_b"))
+    top10 = (
+        co.withColumn("r", F.row_number().over(wn))
+        .filter(F.col("r") <= 10)
+        .select(F.col("item_a").alias("anchor_item"), F.col("item_b"))
+    )
+    full_hit = base.join(
+        top10,
+        (base.anchor_item == top10.anchor_item)
+        & (base.target == top10.item_b),
+        "left_semi",
+    ).select("user_id").withColumn("hit", F.lit(True))
+    nu = base.agg(F.count(F.lit(1)).alias("n_users"))
+    s1 = (
+        sampled_hit.agg(F.sum(F.col("hit").cast("long")).alias("n_hits"))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            F.lit("sampled_99").alias("protocol"),
+            "n_users",
+            "n_hits",
+            F.expr("(1000000L * n_hits) div n_users").alias("hit_ppm"),
+        )
+    )
+    s2 = (
+        full_hit.agg(F.count(F.lit(1)).alias("n_hits"))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            F.lit("full_top10").alias("protocol"),
+            "n_users",
+            "n_hits",
+            F.expr("(1000000L * n_hits) div n_users").alias("hit_ppm"),
+        )
+    )
+    return s1.unionByName(s2)
+
+
+RS27_SQL = """
+WITH tagged_orders AS (
+  SELECT o_orderkey, o_custkey AS user_id,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+           AS is_test
+  FROM orders),
+tagged AS (
+  SELECT t.user_id, l.l_partkey AS item_id, t.is_test
+  FROM lineitem l JOIN tagged_orders t ON l.l_orderkey = t.o_orderkey),
+inter AS (
+  SELECT user_id, item_id, CAST(count(*) AS BIGINT) AS n_purchases
+  FROM tagged WHERE NOT is_test GROUP BY user_id, item_id),
+hist AS (
+  SELECT user_id, item_id FROM (
+    SELECT user_id, item_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY n_purchases DESC, item_id) AS hr
+    FROM inter) WHERE hr <= 20),
+half AS (
+  SELECT a.item_id AS item_a, b.item_id AS item_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM hist a JOIN hist b
+    ON a.user_id = b.user_id AND a.item_id < b.item_id
+  GROUP BY a.item_id, b.item_id HAVING count(*) >= 2),
+co AS (
+  SELECT item_a, item_b, n_ab FROM half
+  UNION ALL SELECT item_b, item_a, n_ab FROM half),
+anchors AS (
+  SELECT user_id, item_id AS anchor_item FROM (
+    SELECT user_id, item_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY n_purchases DESC, item_id) AS r
+    FROM inter) WHERE r = 1),
+holdout AS (
+  SELECT user_id, min(item_id) AS target
+  FROM tagged WHERE is_test GROUP BY user_id),
+base AS (
+  SELECT a.user_id, a.anchor_item, h.target
+  FROM anchors a JOIN holdout h USING (user_id)),
+tgt AS (
+  SELECT b.user_id, b.anchor_item, b.target,
+         COALESCE(c.n_ab, 0) AS s_t
+  FROM base b LEFT JOIN co c
+    ON b.anchor_item = c.item_a AND b.target = c.item_b),
+mx AS (SELECT max(p_partkey) AS mx FROM part),
+negs AS (
+  SELECT t.user_id, t.anchor_item, t.target, t.s_t,
+         (CAST(('0x' || substring(md5('negs_' || CAST(t.user_id AS VARCHAR)
+              || '_' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)
+          % m.mx) + 1 AS neg_item
+  FROM tgt t, mx m, (SELECT unnest(range(1, 100)) AS j)),
+scored AS (
+  SELECT n.user_id, n.target, n.s_t, n.neg_item,
+         COALESCE(c.n_ab, 0) AS s_n
+  FROM negs n LEFT JOIN co c
+    ON n.anchor_item = c.item_a AND n.neg_item = c.item_b),
+sampled AS (
+  SELECT user_id,
+         sum(CASE WHEN s_n > s_t OR (s_n = s_t AND neg_item < target)
+                  THEN 1 ELSE 0 END) < 10 AS hit
+  FROM scored GROUP BY user_id, target, s_t),
+top10 AS (
+  SELECT item_a AS anchor_item, item_b FROM (
+    SELECT item_a, item_b,
+           row_number() OVER (PARTITION BY item_a
+                              ORDER BY n_ab DESC, item_b) AS r
+    FROM co) WHERE r <= 10),
+nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+s1 AS (
+  SELECT 'sampled_99' AS protocol, nu.n AS n_users,
+         CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM sampled, nu GROUP BY nu.n),
+fh AS (
+  SELECT b.user_id FROM base b
+  SEMI JOIN top10 t
+    ON b.anchor_item = t.anchor_item AND b.target = t.item_b),
+s2 AS (
+  SELECT 'full_top10' AS protocol, nu.n AS n_users,
+         CAST(count(*) AS BIGINT) AS n_hits
+  FROM fh, nu GROUP BY nu.n)
+SELECT protocol, n_users, n_hits,
+       CAST((1000000 * n_hits) // n_users AS BIGINT) AS hit_ppm
+FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -2032,6 +2322,7 @@ QUERIES = {
     "rs24_cf_holdout_eval": rs24_cf_holdout_eval,
     "rs25_point_in_time_features": rs25_point_in_time_features,
     "rs26_rrf_fusion": rs26_rrf_fusion,
+    "rs27_sampled_metrics_bias": rs27_sampled_metrics_bias,
 }
 
 ORACLE = {
@@ -2061,4 +2352,5 @@ ORACLE = {
     "rs24_cf_holdout_eval": RS24_SQL,
     "rs25_point_in_time_features": RS25_SQL,
     "rs26_rrf_fusion": RS26_SQL,
+    "rs27_sampled_metrics_bias": RS27_SQL,
 }
