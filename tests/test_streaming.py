@@ -910,3 +910,33 @@ def test_progress_listener_records_batches(spark, event_dir, tmp_path):
         assert all("batch_id" in r and "duration_ms" in r for r in rows)
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_streaming_ewma_parity_on_real_events_table(spark, tmp_path):
+    """Streaming-vs-batch parity on the REAL driver testdata (not a
+    hand-made fixture): the stateful fold over sf0.001's ~1k events
+    must reproduce s10's batch array-fold bit for bit for every user."""
+    from pyspark_recs.io import load_table
+    from pyspark_recs.streaming import streaming_ewma
+    from pyspark_recs.workloads.streaming import s10_recursive_ewma
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "events_src")
+    # materialize through load_table so the stream source sees plain
+    # TIMESTAMP (the raw parquet may be nanos/NTZ)
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "ts", "event_type", "value", "user_id"
+    )
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = _run_stream(streaming_ewma(stream), tmp_path, mode="update")
+    streamed = {}
+    for r in out.collect():  # keep the row with the max n_events per user
+        cur = streamed.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            streamed[r.user_id] = (r.n_events, r.ewma)
+    batch = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in s10_recursive_ewma(spark, sf).collect()
+    }
+    assert streamed == batch  # bit-exact, every user
