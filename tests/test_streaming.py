@@ -940,3 +940,27 @@ def test_streaming_ewma_parity_on_real_events_table(spark, tmp_path):
         for r in s10_recursive_ewma(spark, sf).collect()
     }
     assert streamed == batch  # bit-exact, every user
+
+
+def test_streaming_sessionize_parity_on_real_events_table(spark, tmp_path):
+    from pyspark_recs.io import load_table
+    from pyspark_recs.workloads.streaming import s02_sessionize
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "events_src2")
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "ts", "event_type", "value", "user_id"
+    )
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = _run_stream(streaming_sessionize(stream), tmp_path, mode="update")
+    streamed = {}
+    for r in out.collect():
+        cur = streamed.get(r.user_id)
+        if cur is None or r.n_events > cur[1]:
+            streamed[r.user_id] = (r.n_sessions, r.n_events)
+    batch = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in s02_sessionize(spark, sf).collect()
+    }
+    assert streamed == batch
