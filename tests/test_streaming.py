@@ -964,3 +964,28 @@ def test_streaming_sessionize_parity_on_real_events_table(spark, tmp_path):
         for r in s02_sessionize(spark, sf).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_quantiles_parity_on_real_events_table(spark, tmp_path):
+    from pyspark_recs.io import load_table
+    from pyspark_recs.streaming import streaming_histogram_quantiles
+    from pyspark_recs.workloads.streaming import s15_histogram_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "events_src3")
+    ev = load_table(spark, sf, "events").select("event_type", "value")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = _run_stream(
+        streaming_histogram_quantiles(stream), tmp_path, mode="update"
+    )
+    streamed = {}
+    for r in out.collect():
+        cur = streamed.get(r.event_type)
+        if cur is None or r.n_events > cur[0]:
+            streamed[r.event_type] = (r.n_events, r.p50_est, r.p90_est, r.p99_est)
+    batch = {
+        r.event_type: (r.n_events, r.p50_est, r.p90_est, r.p99_est)
+        for r in s15_histogram_quantiles(spark, sf).collect()
+    }
+    assert streamed == batch
