@@ -846,7 +846,13 @@ def streaming_histogram_quantiles(
             counts, n = [0] * n_bins, 0
         for pdf in pdfs:
             for v in pdf["value"]:
-                b = min(n_bins - 1, int(math.floor(float(v) / bin_width)))
+                # Two-sided clamp: without max(0, ...) a negative value
+                # would be a negative list index that silently wraps to
+                # a top bin; batch twin s15 applies the same clamp.
+                b = min(
+                    n_bins - 1,
+                    max(0, int(math.floor(float(v) / bin_width))),
+                )
                 counts[b] += 1
                 n += 1
         state.update((counts, n))
@@ -1062,7 +1068,12 @@ def streaming_drift_monitor(
             counts, n = [0] * n_bins, 0
         for pdf in pdfs:
             for v in pdf["value"]:
-                b = min(n_bins - 1, int(math.floor(float(v) / bin_width)))
+                # Same two-sided clamp as the quantile sketch above
+                # (negative index would wrap); batch twin s16 matches.
+                b = min(
+                    n_bins - 1,
+                    max(0, int(math.floor(float(v) / bin_width))),
+                )
                 counts[b] += 1
                 n += 1
         state.update((counts, n))
@@ -1115,6 +1126,17 @@ def streaming_corpus_admission(
     FIXED arrival order the admitted set is deterministic (the gate and
     the index evolution are pure functions of prior batches) — the
     property the planted-order test asserts.
+
+    Replay safety: both sinks are partitioned by ``batch_id`` and
+    written with DYNAMIC partition overwrite, and the gate reads an
+    index SNAPSHOT that excludes the current batch_id's rows — so a
+    foreachBatch retry after a mid-batch failure overwrites its own
+    (possibly partial) partitions and never gates the batch against
+    grams its failed attempt already wrote (which would silently and
+    permanently drop the batch from the corpus). The index stays a SET:
+    only grams NOT already present (anti-join against the snapshot) are
+    appended, so a gram shared by admitted docs across batches is
+    stored once and the left-join gate cannot fan out batch rows.
     """
     import os
 
@@ -1129,9 +1151,21 @@ def streaming_corpus_admission(
         batch_df = batch_df.cache()
         long_enough = F.size(tokens(F.col("text"))) >= shingle_n
         if os.path.exists(index_dir):
-            seen = spark.read.parquet(index_dir).withColumn(
-                "seen", F.lit(1)
+            # Snapshot of every PRIOR batch's grams. Excluding the
+            # current batch_id makes a retry re-gate against exactly
+            # the state the failed attempt saw; .distinct() keeps the
+            # gate join fan-out-free even if older on-disk state has
+            # duplicates.
+            index_grams = (
+                spark.read.parquet(index_dir)
+                .filter(F.col("batch_id") != F.lit(batch_id))
+                .select("gram")
+                .distinct()
             )
+        else:
+            index_grams = None
+        if index_grams is not None:
+            seen = index_grams.withColumn("seen", F.lit(1))
             batch_grams = batch_df.filter(long_enough).select(
                 "doc_id",
                 F.explode(shingle_hashes(F.col("text"), shingle_n)).alias(
@@ -1162,17 +1196,37 @@ def streaming_corpus_admission(
         # read-your-own-write bug caught by the two-batch test — cache()
         # alone does not guarantee the second action hits the cache).
         admitted = batch_df.join(gated, "doc_id", "left_semi").localCheckpoint()
-        (
+        admitted_grams = (
             admitted.select(
                 F.explode(shingle_hashes(F.col("text"), shingle_n)).alias(
                     "gram"
                 )
             )
             .distinct()
-            .write.mode("append")
+        )
+        if index_grams is not None:
+            # Append ONLY novel grams: anti-join keeps the index a set.
+            admitted_grams = admitted_grams.join(
+                index_grams, "gram", "left_anti"
+            )
+        # Checkpoint before writing: the novel-gram plan reads
+        # index_dir, and Spark refuses to overwrite a path a plan is
+        # reading from.
+        admitted_grams = admitted_grams.localCheckpoint()
+        (
+            admitted_grams.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(index_dir)
         )
-        admitted.write.mode("append").parquet(corpus_dir)
+        (
+            admitted.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(corpus_dir)
+        )
         batch_df.unpersist()
 
     return process

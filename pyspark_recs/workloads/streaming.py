@@ -752,7 +752,13 @@ def s15_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     of event volume; the cumulative window runs over ≤64 rows per type.
     """
     ev = load_table(spark, sf, "events").select("event_type", "value")
-    b = F.least(F.lit(63), F.floor(F.col("value") / F.lit(8.0))).cast("int")
+    # Clamp BOTH ends: without greatest(0, ...) a negative value would
+    # land in its own negative bin here but wrap to a top bin in the
+    # streaming twin's Python list index — the clamp keeps batch and
+    # stream bit-identical for any real-world feed.
+    b = F.least(
+        F.lit(63), F.greatest(F.lit(0), F.floor(F.col("value") / F.lit(8.0)))
+    ).cast("int")
     hist = ev.groupBy("event_type", b.alias("bin")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -778,7 +784,7 @@ def s15_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
 S15_SQL = """
 WITH hist AS (
   SELECT event_type,
-         CAST(least(63, floor(value / 8.0)) AS INTEGER) AS bin,
+         CAST(least(63, greatest(0, floor(value / 8.0))) AS INTEGER) AS bin,
          CAST(count(*) AS BIGINT) AS cnt
   FROM events GROUP BY 1, 2),
 cum AS (
@@ -820,7 +826,11 @@ def s16_value_drift(spark: SparkSession, sf: str) -> DataFrame:
     bounds = ev.agg(
         F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
     )
-    b = F.least(F.lit(63), F.floor(F.col("value") / F.lit(8.0))).cast("int")
+    # Same two-sided clamp as s15 (see comment there): keeps the batch
+    # histogram bit-identical to the streaming twin for negative values.
+    b = F.least(
+        F.lit(63), F.greatest(F.lit(0), F.floor(F.col("value") / F.lit(8.0)))
+    ).cast("int")
     half = (F.col("ts_us") * 2 >= F.col("lo") + F.col("hi")).cast("int")
     hist = (
         ev.crossJoin(F.broadcast(bounds))
@@ -871,7 +881,7 @@ bounds AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM ev),
 hist AS (
   SELECT event_type,
          CAST(ts_us * 2 >= lo + hi AS INTEGER) AS half,
-         CAST(least(63, floor(value / 8.0)) AS INTEGER) AS bin,
+         CAST(least(63, greatest(0, floor(value / 8.0))) AS INTEGER) AS bin,
          CAST(count(*) AS BIGINT) AS cnt
   FROM ev, bounds GROUP BY 1, 2, 3),
 pivoted AS (

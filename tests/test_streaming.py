@@ -877,6 +877,71 @@ def test_streaming_corpus_admission_dedups_across_batches(
     assert admitted == {1, 2, 4}  # d3 rejected as a near-copy of d1
 
 
+def test_corpus_admission_index_stays_a_set(spark, tmp_path):
+    """Admitted docs across batches that SHARE grams must not inflate
+    the index: each gram is stored exactly once, so a later
+    partially-novel document is judged on true novelty (the old
+    append-all behavior fanned out the gate join and depressed
+    novelty_frac)."""
+    from pyspark_recs.streaming import streaming_corpus_admission
+
+    schema = "doc_id long, text string"
+    index_dir = str(tmp_path / "idx")
+    corpus_dir = str(tmp_path / "corp")
+    process = streaming_corpus_admission(index_dir, corpus_dir)
+    # batch 0: one doc
+    d1 = "alpha beta gamma delta epsilon zeta eta theta"
+    process(spark.createDataFrame([(1, d1)], schema), 0)
+    # batch 1: a doc sharing a 5-token prefix with d1 (some shared
+    # grams) but mostly novel -> must still be admitted
+    d2 = "alpha beta gamma delta epsilon omega psi chi phi upsilon tau"
+    process(spark.createDataFrame([(2, d2)], schema), 1)
+    # batch 2: another doc sharing the same prefix -> its shared grams
+    # now appear in the index from BOTH d1 and d2's admission; with a
+    # set index it is still >50% novel and admitted
+    d3 = "alpha beta gamma delta epsilon one two three four five six"
+    process(spark.createDataFrame([(3, d3)], schema), 2)
+    idx = spark.read.parquet(index_dir)
+    assert idx.count() == idx.select("gram").distinct().count()
+    admitted = {r.doc_id for r in spark.read.parquet(corpus_dir).collect()}
+    assert admitted == {1, 2, 3}
+
+
+def test_corpus_admission_replay_is_idempotent(spark, tmp_path):
+    """A foreachBatch retry (same batch_id) must leave the corpus and
+    index exactly as the first attempt did — the batch's documents are
+    NOT re-gated against their own grams and dropped."""
+    from pyspark_recs.streaming import streaming_corpus_admission
+
+    schema = "doc_id long, text string"
+    index_dir = str(tmp_path / "idx")
+    corpus_dir = str(tmp_path / "corp")
+    process = streaming_corpus_admission(index_dir, corpus_dir)
+    b0 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], schema
+    )
+    b1 = spark.createDataFrame(
+        [(2, "completely different content about spark shuffles")], schema
+    )
+    process(b0, 0)
+    process(b1, 1)
+    before_corpus = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(corpus_dir).collect()
+    )
+    before_idx = sorted(r.gram for r in spark.read.parquet(index_dir).collect())
+    # simulate the retry of batch 1 after a mid-batch failure
+    process(b1, 1)
+    after_corpus = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(corpus_dir).collect()
+    )
+    after_idx = sorted(r.gram for r in spark.read.parquet(index_dir).collect())
+    assert after_corpus == before_corpus == [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely different content about spark shuffles"),
+    ]
+    assert after_idx == before_idx
+
+
 def test_progress_listener_records_batches(spark, event_dir, tmp_path):
     import json as _json
     import time as _time
