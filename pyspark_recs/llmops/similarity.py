@@ -483,6 +483,173 @@ def lsh_topk(
     )
 
 
+def _lsh_plan(
+    in_dim: int,
+    num_hash_tables: int,
+    bucket_length: float,
+    seed: str,
+) -> tuple[list, int, int]:
+    """Shared deterministic-LSH parameters: md5-derived ±1 hyperplanes
+    plus the fixed-point bucket divisor W and positive offset OFF (a
+    multiple of W) that turn truncating integer division — which both
+    Spark's ``div`` and DuckDB's ``//`` do toward zero — into true
+    floor division for possibly-negative projections."""
+    signs = rademacher_signs(in_dim, num_hash_tables, seed)
+    w = int(round(bucket_length * 1e12))
+    off = w * 500_000
+    return signs, w, off
+
+
+def _lsh_proj_expr(vec_col: str, signs_row: list) -> str:
+    lit = "array(" + ",".join(str(s) for s in signs_row) + ")"
+    return (
+        f"aggregate(zip_with({vec_col}, {lit}, (x, s) ->"
+        " CAST(floor(CAST(x AS DOUBLE) * s * 1e12 + 0.5) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def lsh_topk_deterministic(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: str = "lsh",
+    max_candidates_per_query: int = 4096,
+) -> DataFrame:
+    """Random-projection LSH top-k with DETERMINISTIC md5-derived ±1
+    hyperplanes — same candidate-generation shape as :func:`lsh_topk`
+    (per-table bucket equi-join, pair dedup, bounded exact rescore) but
+    every number is engine-reproducible, so the whole operator is
+    DuckDB-oracle-checkable (`lsh_topk_oracle_sql` is the twin).
+
+    Bucketing is exact integer math: the projection onto each
+    hyperplane is a fixed-point ±-sum of the vector's quantized
+    components (the l46 Rademacher trick), and the bucket id is floor
+    division of that BIGINT by W = bucket_length·1e12 — computed as
+    ``(proj + OFF) div W − OFF/W`` with a positive offset so Spark's
+    and DuckDB's truncate-toward-zero integer division agree with
+    floor on negative projections. Distances are Euclidean over the
+    same fixed-point dot products (for unit-norm embeddings the
+    ranking equals cosine).
+
+    Scale: identical to lsh_topk — candidate volume is bounded by the
+    bucket equi-join plus the per-query cap, never all-pairs; the
+    hyperplanes are literals compiled into the plan (no fit job, no
+    broadcast of a model).
+    """
+    signs, w_fixed, off = _lsh_plan(
+        64, num_hash_tables, bucket_length, seed
+    )
+    off_div_w = off // w_fixed
+
+    def _buckets(df: DataFrame, id_out: str, vec_out: str) -> DataFrame:
+        projs = ", ".join(
+            f"({_lsh_proj_expr(vec_col, signs[t])} + {off}L)"
+            f" div {w_fixed}L - {off_div_w}L"
+            for t in range(num_hash_tables)
+        )
+        return df.select(
+            F.col(id_col).alias(id_out),
+            F.col(vec_col).alias(vec_out),
+            F.posexplode(F.expr(f"array({projs})")).alias(
+                "table_idx", "bucket"
+            ),
+        )
+
+    qb = _buckets(queries, "query_id", "qvec")
+    cb = _buckets(candidates, "neighbor_id", "nvec")
+    pairs = (
+        qb.join(cb, ["table_idx", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("qvec").alias("qvec"), F.first("nvec").alias("nvec"))
+    )
+    wcap = Window.partitionBy("query_id").orderBy(F.asc("neighbor_id"))
+    capped = pairs.withColumn(
+        "cand_rank", F.row_number().over(wcap)
+    ).filter(F.col("cand_rank") <= max_candidates_per_query)
+    dist = F.sqrt(
+        _fixed_dot(F.col("qvec"), F.col("qvec"))
+        + _fixed_dot(F.col("nvec"), F.col("nvec"))
+        - 2 * _fixed_dot(F.col("qvec"), F.col("nvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.asc("neighbor_id")
+    )
+    return (
+        capped.select("query_id", "neighbor_id", dist.alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk_oracle_sql(
+    k: int = 5,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: str = "lsh",
+    max_candidates_per_query: int = 4096,
+    query_pred: str = "vec_id < 10",
+) -> str:
+    """DuckDB twin of :func:`lsh_topk_deterministic` over the
+    ``embeddings`` view (queries = rows matching ``query_pred``)."""
+    signs, w_fixed, off = _lsh_plan(64, num_hash_tables, bucket_length, seed)
+    off_div_w = off // w_fixed
+    fd = (
+        "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)"
+        " * 1e12 + 0.5) AS BIGINT))) AS DOUBLE) / 1e12"
+    )
+    bucket_rows = []
+    for t in range(num_hash_tables):
+        lit = "[" + ",".join(str(s) for s in signs[t]) + "]"
+        proj = (
+            "list_sum(list_transform(list_zip(embedding, "
+            f"{lit}), p -> CAST(floor(CAST(p[1] AS DOUBLE) * p[2] * 1e12"
+            " + 0.5) AS BIGINT)))"
+        )
+        bucket_rows.append(
+            f"SELECT vec_id, {t} AS table_idx,"
+            f" ({proj} + {off}) // {w_fixed} - {off_div_w} AS bucket"
+            " FROM embeddings"
+        )
+    buckets = " UNION ALL ".join(bucket_rows)
+    return f"""
+WITH b AS ({buckets}),
+qb AS (SELECT * FROM b WHERE {query_pred}),
+pairs AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM qb q JOIN b c ON q.table_idx = c.table_idx AND q.bucket = c.bucket
+  WHERE q.vec_id <> c.vec_id),
+capped AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY neighbor_id) AS cand_rank
+    FROM pairs)
+  WHERE cand_rank <= {max_candidates_per_query}),
+scored AS (
+  SELECT p.query_id, p.neighbor_id,
+         sqrt(({fd.format(a='q.embedding', b='q.embedding')})
+              + ({fd.format(a='n.embedding', b='n.embedding')})
+              - 2 * ({fd.format(a='q.embedding', b='n.embedding')}))
+           AS dist
+  FROM capped p
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings n ON n.vec_id = p.neighbor_id)
+SELECT query_id, neighbor_id, dist, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def rademacher_signs(in_dim: int, out_dim: int, seed: str = "jl") -> list:
     """Deterministic ±1 Rademacher matrix for :func:`jl_project`,
     derived from md5 so any engine/language reproduces it — the random

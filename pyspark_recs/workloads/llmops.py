@@ -352,13 +352,28 @@ FROM documents
 
 # --------------------------------------------------------------------- l12
 def l12_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate nearest neighbors via BucketedRandomProjectionLSH —
-    the 100 TB scale path for l06. Model-seeded, so no SQL oracle
-    (rows-only check); recall-vs-bruteforce is asserted in tests/."""
+    """Approximate nearest neighbors via random-projection LSH — the
+    100 TB scale path for l06 (bucket equi-join candidate generation,
+    never all-pairs). Uses the DETERMINISTIC md5-derived-hyperplane
+    variant (llmops.similarity.lsh_topk_deterministic) so the full
+    operator — bucketing, candidate capping, exact rescore, top-k — is
+    hash-checked against the DuckDB oracle; the MLlib-seeded lsh_topk
+    remains available and is recall-tested in tests/."""
+    from pyspark_recs.llmops.similarity import lsh_topk_deterministic
+
     emb = load_table(spark, sf, "embeddings")
-    return lsh_topk(
+    return lsh_topk_deterministic(
         candidates=emb, queries=emb.filter(F.col("vec_id") < 10), k=5
     )
+
+
+def _l12_sql() -> str:
+    from pyspark_recs.llmops.similarity import lsh_topk_oracle_sql
+
+    return lsh_topk_oracle_sql(k=5, query_pred="vec_id < 10")
+
+
+L12_SQL = _l12_sql()
 
 
 # --------------------------------------------------------------------- l14
@@ -3156,7 +3171,7 @@ ORACLE = {
     "l09_token_stats": L09_SQL,
     "l10_char_fingerprints": L10_SQL,
     "l11_multimodal_decode": L11_SQL,
-    # l12: intentionally no oracle (seeded LSH model)
+    "l12_ann_lsh": L12_SQL,
     "l13_multimodal_features": L13_SQL,
     "l14_embedding_neardup": L14_SQL,
     "l15_ann_ivf": L15_SQL,

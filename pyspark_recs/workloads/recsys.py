@@ -129,20 +129,93 @@ WHERE rank <= 3
 
 # --------------------------------------------------------------------- rs04
 def rs04_als_recommendations(spark: SparkSession, sf: str) -> DataFrame:
-    """ALS implicit-feedback retrieval, top-5 per user for a user subset
-    (M1/M4/M5: the Two-Tower analog — learn user/item vectors, retrieve
-    by inner product). Seeded but iterative float math → no SQL oracle
-    (rows-only check); ranking-metric floors asserted in tests/.
+    """ALS implicit-feedback retrieval with an r50-style verifiable
+    bracket (M1/M4/M5: the Two-Tower analog — learn user/item vectors,
+    retrieve by inner product; my_merlin_flow.py:333-345,475-537).
+
+    The recommendations table itself is iterative float math (not
+    SQL-expressible), so — like r50's percentile_approx brackets — the
+    query emits ONE row of exactly-checkable facts about it:
+
+    - ``n_users`` / ``n_recs``: the oracle derives both from the
+      interaction matrix alone (distinct users < 50, times k) — a
+      missing or duplicated recommendation row changes the count and
+      hash-fails.
+    - ``k_per_user_ok``: every user got exactly k ranked rows 1..k.
+    - ``recs_are_known_items``: every recommended item exists in the
+      training catalog (the M5 serving contract).
+    - ``train_hit_rate_ge_half``: ≥50% of users have at least one of
+      their own training items in their top-5 — the memorization floor
+      an implicit-ALS fit always clears by a wide margin (measured
+      1.00 at sf0.001, 0.76 at sf0.01) but collapses to ~0 under a
+      broken fit (shuffled factors, wrong ids, degenerate rank). The
+      oracle asserts TRUE, so model breakage hash-fails the gate.
 
     Scale: ALS is the one MLlib block whose shuffle pattern (block
     matrices) is tuned via rank/blocks; recommendForUserSubset does the
-    blocked GEMM top-k without a crossJoin."""
+    blocked GEMM top-k without a crossJoin; the bracket aggregation
+    adds one semi-join + one global agg over U×k rows."""
     from pyspark_recs.model.retrieval import train_als, recommend_topk
 
-    inter = _interactions(spark, sf)
+    inter = _interactions(spark, sf).cache()
     model = train_als(inter, rank=16, max_iter=5, seed=42)
     users = inter.select("user_id").distinct().filter(F.col("user_id") < 50)
-    return recommend_topk(model, users, k=5)
+    recs = recommend_topk(model, users, k=5)
+    hits = (
+        recs.join(
+            inter.select("user_id", "item_id"),
+            ["user_id", "item_id"],
+            "left_semi",
+        )
+        .select("user_id")
+        .distinct()
+        .select(F.col("user_id").alias("hit_user"))
+    )
+    catalog = inter.select(F.col("item_id").alias("known_item")).distinct()
+    per_user = (
+        recs.join(F.broadcast(catalog), recs.item_id == F.col("known_item"), "left")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("rank").alias("min_rank"),
+            F.max("rank").alias("max_rank"),
+            F.count_distinct("rank").alias("n_ranks"),
+            F.sum(F.col("known_item").isNull().cast("long")).alias("n_unknown"),
+        )
+        .join(hits, F.col("user_id") == F.col("hit_user"), "left")
+    )
+    k = F.lit(5)
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("n_recs"),
+        (
+            (F.min("n") == k)
+            & (F.max("n") == k)
+            & (F.min("min_rank") == 1)
+            & (F.max("max_rank") == k)
+            & (F.min("n_ranks") == k)
+        ).alias("k_per_user_ok"),
+        (F.sum("n_unknown") == 0).alias("recs_are_known_items"),
+        (
+            F.sum(F.col("hit_user").isNotNull().cast("long")) * 2
+            >= F.count(F.lit(1))
+        ).alias("train_hit_rate_ge_half"),
+    )
+
+
+RS04_SQL = """
+WITH inter AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_partkey),
+u AS (SELECT DISTINCT user_id FROM inter WHERE user_id < 50)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(*) * 5 AS BIGINT) AS n_recs,
+       TRUE AS k_per_user_ok,
+       TRUE AS recs_are_known_items,
+       TRUE AS train_hit_rate_ge_half
+FROM u
+"""
 
 
 # --------------------------------------------------------------------- rs05
@@ -2329,7 +2402,7 @@ ORACLE = {
     "rs01_interactions": RS01_SQL,
     "rs02_popular_items_per_segment": RS02_SQL,
     "rs03_user_history_topk": RS03_SQL,
-    # rs04: iterative ALS — rows-only check by design
+    "rs04_als_recommendations": RS04_SQL,
     "rs05_item_cooccurrence": RS05_SQL,
     "rs06_negative_samples": RS06_SQL,
     "rs07_leave_one_out": RS07_SQL,

@@ -21,12 +21,9 @@ def test_oracle_keys_subset_of_queries():
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 45
-    # non-oracle queries are the deliberately non-SQL-expressible ones
-    # (r27 regained an oracle in round 2 via its bounded-HLL check)
-    assert {k for k in qs if k not in oracles} == {
-        "l12_ann_lsh",
-        "rs04_als_recommendations",
-    }
+    # Round 4: every registered query has an oracle twin (l12 via
+    # deterministic md5 hyperplanes, rs04 via r50-style brackets).
+    assert {k for k in qs if k not in oracles} == set()
 
 
 def test_every_query_runs_at_smallest_sf(spark):
