@@ -147,6 +147,9 @@ HEADLINE = [
     "l68_threshold_sweep",
     "l69_corpus_diff",
     "rs27_sampled_metrics_bias",
+    # round-4 additions: deterministic LSH ANN, real-tensor encoder
+    "l12_ann_lsh",
+    "l70_real_encoder_embed",
 ]
 
 
@@ -200,17 +203,27 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_val,
+        }
     )
+    # Robust reporting: persist the full JSON to a file BEFORE printing
+    # (round 3's stdout capture truncated the line's tail, losing the
+    # total), print on a fresh line, and flush explicitly so a crash in
+    # teardown can't eat the result.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_result.json"),
+        "w",
+    ) as f:
+        f.write(line + "\n")
+    sys.stdout.write("\n" + line + "\n")
+    sys.stdout.flush()
     spark.stop()
 
 

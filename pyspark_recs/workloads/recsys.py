@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from pyspark_recs.io import load_table
 from pyspark_recs.sql import top_k_per_group
 from pyspark_recs.llmops.hashing import md5_long, sql_md5_long
-from pyspark_recs.workloads.common import dsum, sql_dsum
+from pyspark_recs.workloads.common import dsum, shared_plan, sql_dsum
 
 
 def _interactions(spark: SparkSession, sf: str) -> DataFrame:
@@ -31,6 +31,198 @@ def _interactions(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_purchases"),
             dsum("l_quantity").alias("total_qty"),
         )
+    )
+
+
+# ------------------------------------------------- shared CF subplans
+# The co-occurrence family (rs05/rs21/rs22/rs23/rs26) and the holdout
+# evaluation family (rs24/rs27) each re-derived identical intermediate
+# aggregates per query. They are materialized once per session via
+# common.shared_plan — every cached entry is an aggregate (users×items,
+# bounded pair counts, one row per user), never a raw fact table.
+
+
+def _shared_interactions(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-cached _interactions for the multi-query CF family (rs01
+    itself stays uncached so its plan remains the pure two-phase agg)."""
+    return shared_plan(
+        spark, sf, "interactions", lambda: _interactions(spark, sf)
+    )
+
+
+def _top20_items() -> F.Column:
+    """Capped-history aggregate: top-20 items by (strength desc, item
+    asc), returned as a SORTED item array — the cap happens inside the
+    aggregation (no window), bounding the downstream pair expansion to
+    190 pairs/user before any shuffle."""
+    return F.array_sort(
+        F.transform(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("n_purchases")).alias("neg"),
+                            F.col("item_id").alias("item"),
+                        )
+                    )
+                ),
+                1,
+                20,
+            ),
+            lambda t: t["item"],
+        )
+    )
+
+
+def _pair_structs() -> F.Column:
+    """All a<b item pairs of a sorted ``items`` array, generated
+    JVM-side (indexed transform over the bounded array — the quadratic
+    expansion never goes through a self-join shuffle)."""
+    return F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+
+
+def _capped_lists(spark: SparkSession, sf: str) -> DataFrame:
+    """(user_id, items): capped top-20 histories — shared by
+    rs05/rs22/rs23 (one row per user, cached once per session)."""
+    return shared_plan(
+        spark,
+        sf,
+        "capped_lists",
+        lambda: _shared_interactions(spark, sf)
+        .groupBy("user_id")
+        .agg(_top20_items().alias("items")),
+    )
+
+
+def _pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """(item_a < item_b, n_pair): canonical-direction co-occurrence
+    counts over the capped histories — THE expensive aggregate of the
+    CF family, computed once per session. rs05 consumes it whole,
+    rs22/rs23 with a support filter."""
+    return shared_plan(
+        spark,
+        sf,
+        "pair_counts",
+        lambda: _capped_lists(spark, sf)
+        .select(F.explode(_pair_structs()).alias("p"))
+        .select(F.col("p.item_a"), F.col("p.item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_pair")),
+    )
+
+
+def _holdout_base(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-out split base for the evaluation family (rs24/rs27):
+    one (user_id, item_id) row with the TRAIN purchase count and a
+    was-in-test-order flag, from a single lineitem scan — tagging each
+    user's most recent order as holdout (rs07's rule). Both the train
+    interaction matrix and the test-item set are projections of this
+    one cached aggregate."""
+
+    def build() -> DataFrame:
+        orders = load_table(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_orderdate"), F.desc("o_orderkey")
+        )
+        tagged_orders = orders.select(
+            "o_orderkey",
+            F.col("o_custkey").alias("user_id"),
+            (F.row_number().over(w) == 1).alias("is_test"),
+        )
+        li = load_table(spark, sf, "lineitem").select(
+            "l_orderkey", F.col("l_partkey").alias("item_id")
+        )
+        return (
+            li.join(
+                F.broadcast(tagged_orders),
+                li.l_orderkey == tagged_orders.o_orderkey,
+            )
+            .groupBy("user_id", "item_id")
+            .agg(
+                F.sum((~F.col("is_test")).cast("long")).alias("n_train"),
+                F.max("is_test").alias("in_test"),
+            )
+        )
+
+    return shared_plan(spark, sf, "holdout_base", build)
+
+
+def _holdout_train_inter(spark: SparkSession, sf: str) -> DataFrame:
+    """(user_id, item_id, n_purchases) over TRAIN orders only."""
+    return (
+        _holdout_base(spark, sf)
+        .filter(F.col("n_train") > 0)
+        .select(
+            "user_id", "item_id", F.col("n_train").alias("n_purchases")
+        )
+    )
+
+
+def _holdout_test_items(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct (user_id, item_id) of each user's held-out order."""
+    return (
+        _holdout_base(spark, sf)
+        .filter(F.col("in_test"))
+        .select("user_id", "item_id")
+    )
+
+
+def _holdout_lists(spark: SparkSession, sf: str) -> DataFrame:
+    """(user_id, anchor_item, items): capped train histories plus the
+    anchor (strongest train item) from ONE per-user aggregate, shared
+    by rs24/rs27."""
+
+    def build() -> DataFrame:
+        by_strength = F.transform(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("n_purchases")).alias("neg"),
+                            F.col("item_id").alias("item"),
+                        )
+                    )
+                ),
+                1,
+                20,
+            ),
+            lambda t: t["item"],
+        )
+        lists = (
+            _holdout_train_inter(spark, sf)
+            .groupBy("user_id")
+            .agg(by_strength.alias("by_strength"))
+        )
+        return lists.select(
+            "user_id",
+            F.col("by_strength")[0].alias("anchor_item"),
+            F.array_sort("by_strength").alias("items"),
+        )
+
+    return shared_plan(spark, sf, "holdout_lists", build)
+
+
+def _holdout_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """(item_a < item_b, n_ab ≥ 2): train-only co-occurrence counts
+    over the capped holdout histories, shared by rs24/rs27."""
+    return shared_plan(
+        spark,
+        sf,
+        "holdout_pairs",
+        lambda: _holdout_lists(spark, sf)
+        .select(F.explode(_pair_structs()).alias("p"))
+        .select(F.col("p.item_a"), F.col("p.item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2),
     )
 
 
@@ -95,7 +287,7 @@ WHERE rank <= 5
 def rs03_user_history_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user top-3 repurchased items (personal-history recommender —
     M5's keyed predictions table shape, fully SQL-expressible)."""
-    inter = _interactions(spark, sf)
+    inter = _shared_interactions(spark, sf)
     return top_k_per_group(
         inter,
         partition_cols=["user_id"],
@@ -157,7 +349,7 @@ def rs04_als_recommendations(spark: SparkSession, sf: str) -> DataFrame:
     adds one semi-join + one global agg over U×k rows."""
     from pyspark_recs.model.retrieval import train_als, recommend_topk
 
-    inter = _interactions(spark, sf).cache()
+    inter = _shared_interactions(spark, sf)
     model = train_als(inter, rank=16, max_iter=5, seed=42)
     users = inter.select("user_id").distinct().filter(F.col("user_id") < 50)
     recs = recommend_topk(model, users, k=5)
@@ -231,51 +423,21 @@ def rs05_item_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
     aggregates map-side. This cap-then-expand shape is the standard
     production guard for co-occurrence at scale.
     """
-    inter = _interactions(spark, sf)
-    # Top-20 history per user WITHOUT a window: collect (−count, item)
-    # structs, sort, slice — the cap happens inside the aggregation.
-    # Pairs are then generated JVM-side from each bounded array
-    # (array_sort + indexed transform), so the quadratic expansion never
-    # goes through a self-join shuffle: co-occurrence costs two
-    # aggregations total.
-    top_items = F.array_sort(
-        F.transform(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("n_purchases")).alias("neg"),
-                            F.col("item_id").alias("item"),
-                        )
-                    )
-                ),
-                1,
-                20,
-            ),
-            lambda t: t["item"],
-        )
-    )
-    lists = inter.groupBy("user_id").agg(top_items.alias("items"))
+    # Top-20 history per user WITHOUT a window: the cap happens inside
+    # the aggregation (_top20_items). Pairs are generated JVM-side from
+    # each bounded array, so the quadratic expansion never goes through
+    # a self-join shuffle: co-occurrence costs two aggregations total —
+    # and both are session-cached (_capped_lists/_pair_counts), shared
+    # with rs21/rs22/rs23/rs26 instead of re-derived per query.
+    #
     # Count only the canonical a<b direction (the sorted items array
     # makes x<y structural), then mirror each AGGREGATED pair into both
     # directions with a 1→2 explode. This halves the rows through the
     # expensive pair aggregation; a post-hoc union of the table with its
     # swap would instead duplicate the whole upstream subplan (Spark has
     # no DataFrame-level CSE), doubling the shuffles.
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("items"),
-            lambda x, i: F.transform(
-                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
-                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
-            ),
-        )
-    )
-    canon = (
-        lists.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.item_a"), F.col("p.item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("n_users"))
+    canon = _pair_counts(spark, sf).select(
+        "item_a", "item_b", F.col("n_pair").alias("n_users")
     )
     sym = canon.select(
         F.explode(
@@ -345,7 +507,7 @@ def rs06_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
     join); the positive rejection is one shuffle on (user, item)."""
     from pyspark_recs.llmops.hashing import md5_long
 
-    inter = _interactions(spark, sf)
+    inter = _shared_interactions(spark, sf)
     n_items = load_table(spark, sf, "part").agg(
         F.max("p_partkey").alias("n_items")
     )
@@ -458,7 +620,7 @@ def rs08_feature_rerank(spark: SparkSession, sf: str) -> DataFrame:
     scores the full catalog."""
     from pyspark_recs.model.retrieval import rerank_with_features
 
-    inter = _interactions(spark, sf)
+    inter = _shared_interactions(spark, sf)
     cands = top_k_per_group(
         inter,
         partition_cols=["user_id"],
@@ -690,7 +852,7 @@ def rs13_diversified_topk(spark: SparkSession, sf: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    inter = _interactions(spark, sf)
+    inter = _shared_interactions(spark, sf)
     part = load_table(spark, sf, "part").select(
         F.col("p_partkey"), F.col("p_brand")
     )
@@ -1206,7 +1368,7 @@ def rs19_bias_baseline(spark: SparkSession, sf: str) -> DataFrame:
     item-bias table; nothing shuffles more than the interaction matrix.
     Output: one row per entity ('item' | 'user') with its bias.
     """
-    inter = _interactions(spark, sf).select(
+    inter = _shared_interactions(spark, sf).select(
         "user_id", "item_id", F.col("total_qty").alias("rating")
     )
     q = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")  # noqa: E731
@@ -1291,7 +1453,7 @@ def rs20_rec_coverage(spark: SparkSession, sf: str) -> DataFrame:
     a distinct over the interaction items.
     """
     recs = rs05_item_cooccurrence(spark, sf)
-    catalog = _interactions(spark, sf).agg(
+    catalog = _shared_interactions(spark, sf).agg(
         F.countDistinct("item_id").alias("n_catalog")
     )
     per_item = recs.groupBy("item_b").agg(F.count(F.lit(1)).alias("n_slots"))
@@ -1359,7 +1521,7 @@ def rs21_coldstart_fallback(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(0).alias("priority"),
         F.col("rank").cast("long").alias("src_rank"),
     )
-    inter = _interactions(spark, sf)
+    inter = _shared_interactions(spark, sf)
     part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
     pop = (
         inter.groupBy("item_id")
@@ -1475,47 +1637,16 @@ def rs22_item_lift(spark: SparkSession, sf: str) -> DataFrame:
     back onto the pair table; support ≥ 3 prunes the long noise tail
     before the joins.
     """
-    inter = _interactions(spark, sf)
-    top_items = F.array_sort(
-        F.transform(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("n_purchases")).alias("neg"),
-                            F.col("item_id").alias("item"),
-                        )
-                    )
-                ),
-                1,
-                20,
-            ),
-            lambda t: t["item"],
-        )
-    )
-    lists = inter.groupBy("user_id").agg(top_items.alias("items"))
+    lists = _capped_lists(spark, sf)
     n_total = lists.agg(F.count(F.lit(1)).alias("n_users_total"))
     marginals = (
         lists.select(F.explode("items").alias("item"))
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("items"),
-            lambda x, i: F.transform(
-                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
-                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
-            ),
-        )
-    )
-    pairs = (
-        lists.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.item_a"), F.col("p.item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= 3)
-    )
+    pairs = _pair_counts(spark, sf).select(
+        "item_a", "item_b", F.col("n_pair").alias("n_ab")
+    ).filter(F.col("n_ab") >= 3)
     ma = marginals.select(
         F.col("item").alias("item_a"), F.col("c").alias("n_a")
     )
@@ -1598,46 +1729,15 @@ def rs23_item_knn(spark: SparkSession, sf: str) -> DataFrame:
     marginals are catalog-bounded broadcasts; the final top-5 per item
     is WindowGroupLimit-pruned before its exchange.
     """
-    inter = _interactions(spark, sf)
-    top_items = F.array_sort(
-        F.transform(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("n_purchases")).alias("neg"),
-                            F.col("item_id").alias("item"),
-                        )
-                    )
-                ),
-                1,
-                20,
-            ),
-            lambda t: t["item"],
-        )
-    )
-    lists = inter.groupBy("user_id").agg(top_items.alias("items"))
+    lists = _capped_lists(spark, sf)
     marginals = (
         lists.select(F.explode("items").alias("item"))
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("items"),
-            lambda x, i: F.transform(
-                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
-                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
-            ),
-        )
-    )
-    half = (
-        lists.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.item_a"), F.col("p.item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= 3)
-    )
+    half = _pair_counts(spark, sf).select(
+        "item_a", "item_b", F.col("n_pair").alias("n_ab")
+    ).filter(F.col("n_ab") >= 3)
     mirrored = half.unionByName(
         half.select(
             F.col("item_b").alias("item_a"),
@@ -1729,71 +1829,13 @@ def rs24_cf_holdout_eval(spark: SparkSession, sf: str) -> DataFrame:
     WindowGroupLimit, anchors via one max(struct) aggregate, and the
     scoring join keyed on (user, item) against the holdout sliver.
     """
-    orders = load_table(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
-    )
-    tagged_orders = orders.select(
-        "o_orderkey",
-        F.col("o_custkey").alias("user_id"),
-        (F.row_number().over(w) == 1).alias("is_test"),
-    )
-    li = load_table(spark, sf, "lineitem").select(
-        "l_orderkey", F.col("l_partkey").alias("item_id")
-    )
-    tagged = li.join(
-        F.broadcast(tagged_orders), li.l_orderkey == tagged_orders.o_orderkey
-    ).select("user_id", "item_id", "is_test")
-    train = tagged.filter(~F.col("is_test"))
-    test_items = (
-        tagged.filter(F.col("is_test")).select("user_id", "item_id").distinct()
-    )
-
-    inter = train.groupBy("user_id", "item_id").agg(
-        F.count(F.lit(1)).alias("n_purchases")
-    )
-    # Capped histories -> mirrored pair counts (rs05 discipline). ONE
-    # per-user aggregate yields both the capped item list AND the
-    # anchor (strongest item = head of the strength-sorted slice), so
-    # the pairs branch and the anchors branch share the interaction
-    # aggregate up to its exchange instead of deriving it twice.
-    by_strength = F.transform(
-        F.slice(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        (-F.col("n_purchases")).alias("neg"),
-                        F.col("item_id").alias("item"),
-                    )
-                )
-            ),
-            1,
-            20,
-        ),
-        lambda t: t["item"],
-    )
-    lists = inter.groupBy("user_id").agg(by_strength.alias("by_strength"))
-    lists = lists.select(
-        "user_id",
-        F.col("by_strength")[0].alias("anchor_item"),
-        F.array_sort("by_strength").alias("items"),
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("items"),
-            lambda x, i: F.transform(
-                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
-                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
-            ),
-        )
-    )
-    half = (
-        lists.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.item_a"), F.col("p.item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= 2)
-    )
+    # All protocol intermediates (split base, capped train histories
+    # with anchors, >=2-support pair counts) come from the session-
+    # cached holdout subplans shared with rs27 — one lineitem scan and
+    # one pair expansion per session for the whole evaluation family.
+    test_items = _holdout_test_items(spark, sf)
+    lists = _holdout_lists(spark, sf)
+    half = _holdout_pair_counts(spark, sf)
     mirrored = half.unionByName(
         half.select(
             F.col("item_b").alias("item_a"),
@@ -1991,7 +2033,7 @@ def rs26_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
     cf = rs05_item_cooccurrence(spark, sf).select(
         "item_a", "item_b", F.col("rank").cast("long").alias("src_rank")
     )
-    inter = _interactions(spark, sf)
+    inter = _shared_interactions(spark, sf)
     part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
     pop = (
         inter.groupBy("item_id")
@@ -2096,62 +2138,11 @@ def rs27_sampled_metrics_bias(spark: SparkSession, sf: str) -> DataFrame:
     table; the "full" side reuses rs24's bounded neighbor lists. No
     all-pairs anywhere.
     """
-    orders = load_table(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
-    )
-    tagged_orders = orders.select(
-        "o_orderkey",
-        F.col("o_custkey").alias("user_id"),
-        (F.row_number().over(w) == 1).alias("is_test"),
-    )
-    li = load_table(spark, sf, "lineitem").select(
-        "l_orderkey", F.col("l_partkey").alias("item_id")
-    )
-    tagged = li.join(
-        F.broadcast(tagged_orders), li.l_orderkey == tagged_orders.o_orderkey
-    ).select("user_id", "item_id", "is_test")
-    train = tagged.filter(~F.col("is_test"))
-    inter = train.groupBy("user_id", "item_id").agg(
-        F.count(F.lit(1)).alias("n_purchases")
-    )
-    by_strength = F.transform(
-        F.slice(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        (-F.col("n_purchases")).alias("neg"),
-                        F.col("item_id").alias("item"),
-                    )
-                )
-            ),
-            1,
-            20,
-        ),
-        lambda t: t["item"],
-    )
-    lists = inter.groupBy("user_id").agg(by_strength.alias("bs"))
-    lists = lists.select(
-        "user_id",
-        F.col("bs")[0].alias("anchor_item"),
-        F.array_sort("bs").alias("items"),
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("items"),
-            lambda x, i: F.transform(
-                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
-                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
-            ),
-        )
-    )
-    half = (
-        lists.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.item_a"), F.col("p.item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= 2)
-    )
+    # Protocol intermediates come from the session-cached holdout
+    # subplans shared with rs24 (same split, same capped histories,
+    # same >=2-support pair counts).
+    lists = _holdout_lists(spark, sf)
+    half = _holdout_pair_counts(spark, sf)
     co = half.unionByName(
         half.select(
             F.col("item_b").alias("item_a"),
@@ -2163,7 +2154,7 @@ def rs27_sampled_metrics_bias(spark: SparkSession, sf: str) -> DataFrame:
     # (deterministic; rs24 scores the whole order, the rank protocol
     # needs a single target).
     holdout = (
-        tagged.filter(F.col("is_test"))
+        _holdout_test_items(spark, sf)
         .groupBy("user_id")
         .agg(F.min("item_id").alias("target"))
     )

@@ -38,3 +38,48 @@ def test_real_model_through_encoder_seam(spark):
     for r in out:
         norm = math.sqrt(sum(x * x for x in r.embedding))
         assert abs(norm - 1.0) < 1e-3
+
+
+def test_tiny_mlp_checkpoint_through_encoder_seam(spark):
+    """The ALWAYS-ON real-model integration (no network, no optional
+    deps): the shipped npz MLP checkpoint runs genuine float32 tensor
+    math through the same Arrow-batched encode_payloads path."""
+    from pyspark_recs.llmops.encoder import TinyMLPEncoder
+
+    enc = TinyMLPEncoder()
+    assert (enc.in_dim, enc.out_dim) == (64, 16)
+    base = b"the quick brown fox jumps over the lazy dog " * 4  # 180 B
+    near = base[:-1] + b"!"
+    far = bytes(reversed(base))
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, b"short")],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r.embedding for r in encode_payloads(docs, encoder=enc).collect()}
+    # reject rule: the 5-byte payload is dropped, the rest encoded
+    assert set(rows) == {1, 2, 3}
+    for v in rows.values():
+        assert len(v) == 16
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    # real-model semantics: a near-copy payload embeds much closer
+    # than a scrambled one (the MLP is Lipschitz in its input bytes)
+    assert cos(rows[1], rows[2]) > cos(rows[1], rows[3])
+    assert cos(rows[1], rows[2]) > 0.99
+
+
+def test_tiny_mlp_encoder_batch_shape_invariance():
+    """The forward pass must not depend on how rows are grouped into
+    Arrow batches — encoding [a, b, c] together equals encoding them
+    in any split (what makes maxRecordsPerBatch a pure tuning knob)."""
+    from pyspark_recs.llmops.encoder import TinyMLPEncoder
+
+    enc = TinyMLPEncoder()
+    pays = [bytes([i % 251]) * 100 for i in range(1, 8)]
+    whole = enc(pays)
+    split = enc(pays[:2]) + enc(pays[2:5]) + enc(pays[5:])
+    for a, b in zip(whole, split):
+        assert max(abs(x - y) for x, y in zip(a, b)) < 1e-6

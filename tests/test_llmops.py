@@ -876,3 +876,54 @@ def test_ivfpq_recall_vs_bruteforce(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
     for r in rows:
         assert r.adc_dist >= 0.0
+
+
+def test_group_aware_split_is_resumable_under_corpus_growth(spark):
+    """l67's docstring claims RESUMABILITY: when the corpus grows by
+    new near-dups of existing clusters (append-only doc ids), every
+    previously-assigned document keeps its split, and each new near-dup
+    inherits its cluster's split. Pin it: assignment depends only on
+    the canonical (min) doc id, which append-only growth cannot
+    change unless clusters merge."""
+    from pyspark_recs.llmops.dedup import (
+        connected_components,
+        verified_neardup_edges,
+    )
+    from pyspark_recs.workloads.llmops import split_from_labels
+
+    def assign(docs):
+        edges = verified_neardup_edges(docs, threshold=0.5)
+        labels = connected_components(edges, docs.select("doc_id")).select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("canonical_doc_id"),
+        )
+        return {
+            r.doc_id: (r.canonical_doc_id, r.split)
+            for r in split_from_labels(labels).collect()
+        }
+
+    base_texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again!"),
+        (3, "spark shuffles partition data across executors during joins"),
+        (4, "completely unrelated text about parquet footers and row groups"),
+        (5, "duckdb runs the oracle side of every registry query here"),
+    ]
+    schema = "doc_id long, text string"
+    v1 = assign(spark.createDataFrame(base_texts, schema))
+    # grow the corpus: 6 is a near-copy of 3, 7 of 4, 8 is novel —
+    # all with HIGHER ids than their cluster's members
+    grown = base_texts + [
+        (6, "spark shuffles partition data across executors during joins!"),
+        (7, "completely unrelated text about parquet footers and row group"),
+        (8, "yet another brand new document with its very own words"),
+    ]
+    v2 = assign(spark.createDataFrame(grown, schema))
+    # every previously-assigned doc keeps BOTH canonical id and split
+    for doc_id, before in v1.items():
+        assert v2[doc_id] == before, (doc_id, before, v2[doc_id])
+    # the near-dup growth actually merged (not singletons), and each
+    # new member inherited its cluster's split
+    assert v2[6] == v2[3]
+    assert v2[7] == v2[4]
+    assert v2[8][0] == 8  # novel doc forms its own cluster
