@@ -2359,6 +2359,90 @@ FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
 """
 
 
+# --------------------------------------------------------------------- rs28
+def rs28_content_model_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """TRAINED content-feature ranker, end to end (M1 parity: the
+    content-aware half the reference's Two-Tower has and plain ALS
+    lacks — item tower features workflow_builder.py:43-58, training
+    my_merlin_flow.py:307-323): F1–F5-engineered item/user features,
+    positives from the leave-one-out TRAIN split, rs06-style hash
+    negatives, MLlib logistic regression, M3 ranking metrics on the
+    held-out protocol (model/content.py).
+
+    r50/rs04-style bracket row: the PROTOCOL numbers (train positives/
+    negatives, eval users) are exact and oracle-derived from the same
+    split + md5-negative SQL, and two quality flags gate the float fit
+    — training AUC ≥ 0.52 (a broken fit scores ≈0.5; measured 0.559)
+    and held-out recall@10 ≥ 0.30 (random ranking of the candidate
+    sets lands ≈0.37 only WITH the popularity prior intact; measured
+    0.426 — the floor catches a model scoring garbage, the planted-
+    preference test in tests/test_model.py pins that the trainer
+    actually learns content signal).
+
+    Scale: features broadcast (dimension-sized); the fit is L-BFGS
+    treeAggregate passes (linear in |train|); eval scores only
+    (heldout ∪ 20 negatives) per user — never users × catalog."""
+    from pyspark_recs.model.content import (
+        build_content_training_data,
+        score_candidates,
+        train_content_model,
+    )
+    from pyspark_recs.model.metrics import ranking_metrics
+
+    data = build_content_training_data(spark, sf)
+    assembler, model = train_content_model(data.train, max_iter=10)
+    auc = model.summary.areaUnderROC
+    preds = score_candidates(assembler, model, data.eval_candidates, k=10)
+    met = ranking_metrics(preds, data.truth, k=10)
+    counts = data.train.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.agg(
+        F.sum(F.when(F.col("label") == 1.0, F.col("n"))).alias("n_train_pos"),
+        F.sum(F.when(F.col("label") == 0.0, F.col("n"))).alias("n_train_neg"),
+    ).select(
+        "n_train_pos",
+        "n_train_neg",
+        F.lit(met["n_users"]).cast("long").alias("n_eval_users"),
+        F.lit(bool(auc >= 0.52)).alias("train_auc_ge_052"),
+        F.lit(bool(met["recall_at_10"] >= 0.30)).alias("recall_at10_ge_030"),
+    )
+
+
+RS28_SQL = f"""
+WITH tagged_orders AS (
+  SELECT o_orderkey, o_custkey AS user_id,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+           AS is_test
+  FROM orders),
+tagged AS (
+  SELECT t.user_id, l.l_partkey AS item_id, t.is_test
+  FROM lineitem l JOIN tagged_orders t ON l.l_orderkey = t.o_orderkey),
+inter AS (
+  SELECT user_id, item_id FROM tagged WHERE NOT is_test
+  GROUP BY user_id, item_id),
+mx AS (SELECT max(p_partkey) AS n_items FROM part),
+neg AS (
+  SELECT DISTINCT c.user_id, c.item_id FROM (
+    SELECT u.user_id,
+           ({sql_md5_long(
+               "'train_' || CAST(u.user_id AS VARCHAR) || '_'"
+               " || CAST(s.sample_idx AS VARCHAR)")})
+             % m.n_items + 1 AS item_id
+    FROM (SELECT DISTINCT user_id FROM inter) u
+    CROSS JOIN (SELECT unnest(range(0, 5)) AS sample_idx) s
+    CROSS JOIN mx m) c
+  ANTI JOIN inter i ON c.user_id = i.user_id AND c.item_id = i.item_id),
+eu AS (SELECT DISTINCT user_id FROM tagged WHERE is_test)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM inter) AS n_train_pos,
+       (SELECT CAST(count(*) AS BIGINT) FROM neg) AS n_train_neg,
+       (SELECT CAST(count(*) AS BIGINT) FROM eu) AS n_eval_users,
+       TRUE AS train_auc_ge_052,
+       TRUE AS recall_at10_ge_030
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -2387,6 +2471,7 @@ QUERIES = {
     "rs25_point_in_time_features": rs25_point_in_time_features,
     "rs26_rrf_fusion": rs26_rrf_fusion,
     "rs27_sampled_metrics_bias": rs27_sampled_metrics_bias,
+    "rs28_content_model_eval": rs28_content_model_eval,
 }
 
 ORACLE = {
@@ -2417,4 +2502,5 @@ ORACLE = {
     "rs25_point_in_time_features": RS25_SQL,
     "rs26_rrf_fusion": RS26_SQL,
     "rs27_sampled_metrics_bias": RS27_SQL,
+    "rs28_content_model_eval": RS28_SQL,
 }
