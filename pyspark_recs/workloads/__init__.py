@@ -25,61 +25,27 @@ for _mod in (_relational, _llmops, _recsys, _streaming):
     _ALL_QUERIES.update(_mod.QUERIES)
     _ALL_ORACLE.update(getattr(_mod, "ORACLE", {}))
 
-# Round-3 rotation. Tier 1: the 51 queries with NO green driver row yet —
-# 46 added after round 2's verification window closed, plus the 5 whose
-# round-2 row errored and has since been fixed (s02/s04 NTZ, l13/l25/l29
-# array canonicalization) — family-interleaved (l/r/rs/s round-robin) so
-# even a tiny window samples every family. Tier 2: last verified in
-# round 1, unchecked since (drift watch — the round-2 NTZ regression
-# proved drift is real). Tier 3 (the trailing loop below): round-2 greens.
+# Round-4 rotation (driver checks a bounded ~50-entry prefix).
+# Tier 0: queries ADDED or CHANGED this round — new operators (rs28,
+# l70), newly-oracle-checkable entries (l12, rs04), the bin-clamp fix
+# (s15/s16), and every query whose plan moved onto the session-cached
+# shared subplans (CF family, holdout family, CC-label family) — same
+# semantics, but a materialization refactor is exactly the kind of
+# change a drift check exists for. Tier 1: last driver-verified in
+# round 1, unchecked since (3 rounds old — the oldest driver rows).
+# Tier 2: never driver-verified (judge-swept only in round 3).
+# Trailing fall-through: round-2/round-3 driver greens, newest last.
 _PRIORITY = [
-    # tier 0 — added late in round 3, never driver-verified
-    "l58_ivfpq_search", "r75_shipping_priority", "rs23_item_knn",
-    "s15_histogram_quantiles", "l59_token_drift",
-    "r76_late_shipment_priority", "rs24_cf_holdout_eval",
-    "l60_vocab_coverage", "r77_returned_customers",
-    "l61_fuzzy_decontaminate", "r78_promo_revenue",
-    "l62_cluster_balanced_sample", "r79_supplier_census",
-    "rs25_point_in_time_features", "l63_shard_manifest",
-    "s16_value_drift", "l64_decontaminate_spans",
-    "rs26_rrf_fusion", "r80_master_merge", "l65_payload_dedup",
-    "r81_time_travel", "r82_subject_access_report", "l66_attribution_union",
-    "l67_group_aware_split", "r83_skew_profile", "r84_luhn_validation",
-    "l68_threshold_sweep", "l69_corpus_diff", "rs27_sampled_metrics_bias",
-    # tier 1 — never driver-verified, round-robin l / r / rs / s
-    "l36_fuzzy_edit_dedup", "r51_grouping_sets", "rs09_next_item_pairs",
-    "s09_user_profile", "l37_heavy_hitters", "r52_mode_per_group",
-    "rs10_funnel", "s07_hopping_windows", "l38_rare_token_score",
-    "r53_sketch_rollup", "rs11_copurchase_triangles", "s08_new_user_events",
-    "l39_bpe_pair_counts", "r54_nation_trade", "rs12_item_transitions",
-    "s10_recursive_ewma", "l40_incremental_lsh", "r55_mad_outliers",
-    "rs13_diversified_topk", "s11_peak_concurrency",
-    "l41_winnow_fingerprints", "r56_set_ops", "rs14_retention_cohorts",
-    "s02_sessionize", "l42_matryoshka_energy", "r47_salted_join",
-    "rs15_association_rules", "s04_user_gap_stats", "l31_pii_redaction",
-    "r48_range_join", "rs16_personalized_pagerank", "l34_boilerplate_grams",
-    "r49_grouped_ols", "rs17_rfm_segments", "l35_novelty_gate",
-    "r50_quantile_bounds", "l32_decontaminate", "r57_pagerank_trade",
-    "l33_bm25_search", "r58_ewma_smoothing", "l43_semantic_dedup",
-    "r59_gap_fill", "l44_embedding_covariance", "r60_ks_drift",
-    "l45_hamming_neardup", "r61_seasonal_anomaly", "l46_jl_projection",
-    "l47_token_concentration", "l13_multimodal_features",
-    "l25_scalar_quantize", "l29_image_fetch_encode",
-    # tier 1b — added mid-round-3 (also never driver-verified)
-    "l48_segment_dedup", "r62_chisq_independence", "rs18_decayed_covisitation",
-    "s12_debounce", "l49_pq_encode", "r63_snapshot_diff", "rs19_bias_baseline",
-    "r64_disjunctive_pushdown", "r65_table_profile", "l50_hybrid_search",
-    "l51_minhash_jaccard_audit", "rs20_rec_coverage", "l52_weighted_sample",
-    "r66_trimmed_mean", "rs21_coldstart_fallback", "s13_late_arrival_audit",
-    "r67_min_cost_supplier", "r68_big_spender_orders",
-    "l53_weighted_reservoir", "s14_utouch_attribution",
-    "rs22_item_lift", "r69_mann_whitney", "l54_countmin_sketch",
-    "l55_containment_pairs", "r70_bitmap_distinct", "r71_rolling_distinct",
-    "l56_linear_model_score", "r72_sql_model_chain",
-    "r73_delete_propagation", "r74_fk_discovery", "l57_source_leakage",
-    # tier 2 — round-1-verified, unchecked since (drift watch);
-    # r45/r46 were green in round 2 but reworked since (de-vacuated
-    # constants) so they rotate forward with this tier
+    # tier 0 — added or changed in round 4
+    "rs28_content_model_eval", "l70_real_encoder_embed", "l12_ann_lsh",
+    "rs04_als_recommendations", "s15_histogram_quantiles", "s16_value_drift",
+    "rs05_item_cooccurrence", "rs21_coldstart_fallback", "rs22_item_lift",
+    "rs23_item_knn", "rs24_cf_holdout_eval", "rs26_rrf_fusion",
+    "rs27_sampled_metrics_bias", "l21_dedup_components",
+    "l66_attribution_union", "l67_group_aware_split",
+    "rs03_user_history_topk", "rs06_negative_samples", "rs08_feature_rerank",
+    "rs18_decayed_covisitation", "rs19_bias_baseline", "rs20_rec_coverage",
+    # tier 1 — round-1-verified, unchecked by the driver since (oldest)
     "r45_dominant_suppliers", "r46_idle_rich_customers",
     "r02_frequent_customers", "r03_frequent_customer_orders", "r04_dedup_exact",
     "r05_dedup_last_value", "r06_latest_batch", "r07_json_extract",
@@ -95,6 +61,26 @@ _PRIORITY = [
     "r38_props_extract", "r39_local_supplier_volume", "r40_small_order_parts",
     "r41_sole_late_supplier", "r43_market_share", "r44_custdist",
     "l04_simhash",
+    # tier 2 — never driver-verified (judge-only coverage in round 3)
+    "r56_set_ops", "rs14_retention_cohorts", "s02_sessionize",
+    "l42_matryoshka_energy", "r47_salted_join", "rs15_association_rules",
+    "s04_user_gap_stats", "l31_pii_redaction", "r48_range_join",
+    "rs16_personalized_pagerank", "l34_boilerplate_grams", "r49_grouped_ols",
+    "rs17_rfm_segments", "l35_novelty_gate", "r50_quantile_bounds",
+    "l32_decontaminate", "r57_pagerank_trade", "l33_bm25_search",
+    "r58_ewma_smoothing", "l43_semantic_dedup", "r59_gap_fill",
+    "l44_embedding_covariance", "r60_ks_drift", "l45_hamming_neardup",
+    "r61_seasonal_anomaly", "l46_jl_projection", "l47_token_concentration",
+    "l13_multimodal_features", "l25_scalar_quantize", "l29_image_fetch_encode",
+    "l48_segment_dedup", "r62_chisq_independence", "s12_debounce",
+    "l49_pq_encode", "r63_snapshot_diff", "r64_disjunctive_pushdown",
+    "r65_table_profile", "l50_hybrid_search", "l51_minhash_jaccard_audit",
+    "l52_weighted_sample", "r66_trimmed_mean", "s13_late_arrival_audit",
+    "r67_min_cost_supplier", "r68_big_spender_orders",
+    "l53_weighted_reservoir", "s14_utouch_attribution", "r69_mann_whitney",
+    "l54_countmin_sketch", "l55_containment_pairs", "r70_bitmap_distinct",
+    "r71_rolling_distinct", "l56_linear_model_score", "r72_sql_model_chain",
+    "r73_delete_propagation", "r74_fk_discovery", "l57_source_leakage",
 ]
 
 QUERIES = {}

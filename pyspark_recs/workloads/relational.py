@@ -2985,34 +2985,42 @@ def r74_fk_discovery(spark: SparkSession, sf: str) -> DataFrame:
     alone, to call direction.
 
     Scale: everything operates on per-column DISTINCT sets (map-side
-    combined — shuffle is key-cardinality, not row count); the match
-    count is a semi-join of those sets, and each pair's profile is
+    combined — shuffle is key-cardinality, not row count); each pair's
+    three counts (child, parent, matched) come from ONE full-outer
+    join of the two distinct sets — a single co-partitioned pass, so
+    every base table is scanned exactly once per pair (the naive
+    semi-join + two count subqueries re-derives the child distinct
+    three times; Spark has no DataFrame-level CSE). Pairs are
     independent (embarrassingly parallel across the candidate list).
     """
     out = None
     for child_t, child_c, parent_t, parent_c in R74_CANDIDATES:
-        child = (
-            load_table(spark, sf, child_t).select(child_c).distinct()
+        child_d = (
+            load_table(spark, sf, child_t)
+            .select(F.col(child_c).alias("k"))
+            .distinct()
+            .withColumn("c", F.lit(1))
         )
-        parent = (
-            load_table(spark, sf, parent_t).select(parent_c).distinct()
-        )
-        matched = child.join(
-            parent,
-            child[child_c] == parent[parent_c],
-            "left_semi",
+        parent_d = (
+            load_table(spark, sf, parent_t)
+            .select(F.col(parent_c).alias("k"))
+            .distinct()
+            .withColumn("p", F.lit(1))
         )
         row = (
-            child.agg(F.count(F.lit(1)).alias("n_child"))
-            .crossJoin(
-                F.broadcast(
-                    parent.agg(F.count(F.lit(1)).alias("n_parent"))
-                )
-            )
-            .crossJoin(
-                F.broadcast(
-                    matched.agg(F.count(F.lit(1)).alias("n_matched"))
-                )
+            child_d.join(parent_d, "k", "full")
+            .agg(
+                F.sum("c").alias("n_child"),
+                F.sum("p").alias("n_parent"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("c").isNotNull() & F.col("p").isNotNull(),
+                            1,
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("n_matched"),
             )
             .select(
                 F.lit(f"{child_t}.{child_c}").alias("child_col"),

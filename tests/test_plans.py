@@ -57,6 +57,14 @@ def test_topk_prunes_before_exchange(spark):
 def test_aggregation_single_shuffle_with_partial(spark):
     # rs01 (join + groupBy): map-side partial aggregation means two
     # HashAggregate nodes and exactly one non-broadcast exchange.
+    # Other tests may have persisted the session-shared interactions
+    # subplan (workloads.common.shared_plan) — Spark's cache manager
+    # would then substitute an InMemoryRelation into this identical
+    # subtree; drop caches so the CANONICAL uncached plan is asserted.
+    spark.catalog.clearCache()
+    from pyspark_recs.workloads import common
+
+    common._SHARED.clear()
     plan = plan_of(QUERIES["rs01_interactions"](spark, SF_DIR))
     # formatted mode lists each node once in the detail section as
     # "(n) NodeName" — count those to avoid substring/tree duplicates.
