@@ -150,6 +150,7 @@ HEADLINE = [
     # round-4 additions: deterministic LSH ANN, real-tensor encoder
     "l12_ann_lsh",
     "l70_real_encoder_embed",
+    "l71_bpe_train",
 ]
 
 

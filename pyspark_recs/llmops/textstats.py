@@ -574,3 +574,135 @@ def winnow_fingerprints(
         F.array_min(fps).alias("min_fp"),
         F.array_max(fps).alias("max_fp"),
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed BPE TOKENIZER TRAINING — the iterative loop whose
+    single-step statistic ``bpe_pair_counts`` (l39) exposes: start from
+    character-level word forms, and for each of ``n_merges`` rounds
+    (1) count adjacent symbol pairs over the corpus vocabulary weighted
+    by word frequency (one map-side-combined shuffle of pair keys),
+    (2) pick the most frequent pair (count desc, pair asc — a total
+    order, so training is deterministic), (3) apply the merge to every
+    word form. Returns the learned merge table:
+    (round, pair, merged, pair_count) — the artifact a tokenizer ships.
+
+    Merge application is a delimiter-safe string replace: symbols are
+    separated by TWO spaces and the form is padded with one space each
+    side, so the pattern ``' a  b '`` consumes one space from each
+    flank and the replacement ``' ab '`` restores them — consecutive
+    occurrences (``a b a b``) merge in the same pass and a symbol
+    ending in ``a`` can never false-match. Both engines' ``replace``
+    are literal, non-overlapping, left-to-right, so the fold is
+    engine-agreed by construction (the oracle replays it with the
+    identical expressions, best pair via scalar subquery).
+
+    Scale: after the first aggregation everything operates on the
+    VOCABULARY (word, freq) table — corpus size only matters for the
+    initial word count. Per round: one pair-count shuffle (keys =
+    distinct pairs), one single-row argmax to the driver (the scalar
+    fit statistic, like any fit-transform stat), one projection. The
+    vocabulary is cached once; at a 10^8-type vocabulary, swap the
+    driver argmax for ``F.max_by`` into a 1-row DataFrame and keep the
+    loop fully lazy.
+    """
+    wf = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.expr(
+                "array_join(transform(sequence(1, length(w)),"
+                " i -> substring(w, i, 1)), '  ')"
+            ).alias("form"),
+            "freq",
+        )
+        .cache()
+    )
+    spark = df.sparkSession
+    forms = wf
+    out_rows = []
+    for rnd in range(1, n_merges + 1):
+        syms = F.split(F.col("form"), "  ")
+        pair_arr = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.concat(
+                    F.element_at(syms, i),
+                    F.lit(" "),
+                    F.element_at(syms, i + 1),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        best = (
+            forms.select(F.explode(pair_arr).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, count = best[0].pair, int(best[0].c)
+        a, b = pair.split(" ")
+        out_rows.append((rnd, pair, a + b, count))
+        pattern, repl = f" {a}  {b} ", f" {a}{b} "
+        forms = forms.select(
+            F.expr(
+                "btrim(replace(' ' || form || ' ', "
+                f"'{pattern}', '{repl}'), ' ')"
+            ).alias("form"),
+            "freq",
+        )
+    return spark.createDataFrame(
+        out_rows, "merge_round int, pair string, merged string, pair_count bigint"
+    )
+
+
+def bpe_train_oracle_sql(n_merges: int = 3, toks_cte: str = "") -> str:
+    """DuckDB twin of :func:`bpe_train_merges` over the ``documents``
+    view: the merge loop unrolled as CTE rounds, the best pair chosen
+    by the identical (count desc, pair asc) rule via window, and the
+    merge applied with the same delimiter-safe replace."""
+    parts = [
+        f"""wf AS (
+  SELECT array_to_string(list_transform(range(1, length(w) + 1),
+             i -> substring(w, i, 1)), '  ') AS form,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(words) AS w FROM toks) GROUP BY w)"""
+    ]
+    prev = "wf"
+    selects = []
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""p{r} AS (
+  SELECT unnest(list_transform(range(1, len(s)),
+             i -> s[i] || ' ' || s[i + 1])) AS pair, freq
+  FROM (SELECT string_split(form, '  ') AS s, freq FROM {prev})),
+best{r} AS (
+  SELECT pair, c FROM (
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS c FROM p{r} GROUP BY pair)
+  ORDER BY c DESC, pair LIMIT 1),
+f{r} AS (
+  SELECT trim(replace(' ' || form || ' ',
+             ' ' || replace(b.pair, ' ', '  ') || ' ',
+             ' ' || replace(b.pair, ' ', '') || ' '), ' ') AS form, freq
+  FROM {prev}, best{r} b)"""
+        )
+        selects.append(
+            f"SELECT {r} AS merge_round, pair, replace(pair, ' ', '') AS merged,"
+            f" c AS pair_count FROM best{r}"
+        )
+        prev = f"f{r}"
+    return (
+        "WITH toks AS (" + toks_cte + "),\n"
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )

@@ -3128,6 +3128,29 @@ FROM documents WHERE octet_length(CAST(text AS BLOB)) >= 64
 """
 
 
+# --------------------------------------------------------------------- l71
+def l71_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterative BPE tokenizer TRAINING (3 merge rounds) — the full
+    loop whose one-step statistic l39 exposes: corpus-weighted pair
+    counts → deterministic argmax → delimiter-safe merge application,
+    per round. Output is the learned merge table. Exactly replayed by
+    the oracle (unrolled CTE rounds, identical replace semantics).
+    See llmops/textstats.py:bpe_train_merges for the scale contract
+    (vocabulary-sized state after the first aggregation)."""
+    from pyspark_recs.llmops.textstats import bpe_train_merges
+
+    return bpe_train_merges(load_table(spark, sf, "documents"), n_merges=3)
+
+
+def _l71_sql() -> str:
+    from pyspark_recs.llmops.textstats import bpe_train_oracle_sql
+
+    return bpe_train_oracle_sql(n_merges=3, toks_cte=_TOKS)
+
+
+L71_SQL = _l71_sql()
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -3199,6 +3222,7 @@ QUERIES = {
     "l68_threshold_sweep": l68_threshold_sweep,
     "l69_corpus_diff": l69_corpus_diff,
     "l70_real_encoder_embed": l70_real_encoder_embed,
+    "l71_bpe_train": l71_bpe_train,
 }
 
 ORACLE = {
@@ -3272,4 +3296,5 @@ ORACLE = {
     "l68_threshold_sweep": L68_SQL,
     "l69_corpus_diff": L69_SQL,
     "l70_real_encoder_embed": L70_SQL,
+    "l71_bpe_train": L71_SQL,
 }

@@ -927,3 +927,21 @@ def test_group_aware_split_is_resumable_under_corpus_growth(spark):
     assert v2[6] == v2[3]
     assert v2[7] == v2[4]
     assert v2[8][0] == 8  # novel doc forms its own cluster
+
+
+def test_bpe_train_merges_hand_computed(spark):
+    """3-round BPE on a corpus small enough to fold by hand — pins the
+    weighted pair counts, the (count desc, pair asc) argmax, and the
+    delimiter-safe merge application (consecutive 'a a a' merges
+    greedily left-to-right: (aa)(a), not (a)(aa))."""
+    from pyspark_recs.llmops.textstats import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "ab")], "doc_id long, text string"
+    )
+    rows = [tuple(r) for r in bpe_train_merges(docs, n_merges=3).collect()]
+    assert rows == [
+        (1, "a a", "aa", 4),   # aaab×2: two 'a a' pairs each
+        (2, "a b", "ab", 3),   # after merge: aa|a|b ×2 plus a|b ×1
+        (3, "aa ab", "aaab", 2),
+    ]
