@@ -3151,6 +3151,70 @@ def _l71_sql() -> str:
 L71_SQL = _l71_sql()
 
 
+# --------------------------------------------------------------------- l72
+def l72_intra_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document repetition score — the degenerate-text filter for
+    model-generated or boilerplate-looping content (the WITHIN-doc
+    sibling of l48's cross-corpus segment dedup and l08's global
+    quality ratios; Gopher's repetition rules, arXiv:2112.11446 §A1.1,
+    use exactly this family): per document, the fraction of 3-gram
+    positions occupied by a gram already seen earlier in the SAME
+    document, in exact ppm, plus the distinct/total gram counts.
+
+    Scale: pure projection — grams, array_distinct and the ratio are
+    all JVM-side per-row expressions; no shuffle, no join, no state.
+    """
+    from pyspark_recs.llmops.hashing import MINHASH_PRIME, SHINGLE_BASE
+
+    docs = load_table(spark, sf, "documents")
+    # POSITIONAL 3-gram hashes (every occurrence, not the distinct set
+    # shingle_hashes returns): word hashes Horner-folded per window.
+    toks = tokens(F.col("text"))
+    wh = F.transform(toks, lambda w: md5_long(w) % MINHASH_PRIME)
+    m = F.greatest(F.size(wh) - 2, F.lit(0))
+    acc = F.slice(wh, 1, m)
+    for j in range(1, 3):
+        acc = F.zip_with(
+            acc,
+            F.slice(wh, 1 + j, m),
+            lambda a, b: (a * F.lit(SHINGLE_BASE) + b) % MINHASH_PRIME,
+        )
+    g = docs.select("doc_id", acc.alias("grams")).filter(
+        F.size("grams") > 0
+    )
+    return g.select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_grams"),
+        F.size(F.array_distinct("grams")).cast("long").alias(
+            "n_distinct_grams"
+        ),
+        F.expr(
+            "CAST((1000000 * (size(grams) - size(array_distinct(grams))))"
+            " div size(grams) AS BIGINT)"
+        ).alias("repetition_ppm"),
+    )
+
+
+L72_SQL = f"""
+WITH toks AS ({_TOKS}),
+wh AS (
+  SELECT doc_id, list_transform(words,
+      w -> {_sql_md5_long('w')} % {MINHASH_PRIME}) AS wh
+  FROM toks WHERE len(words) >= 3),
+pg AS (
+  SELECT doc_id, list_transform(range(1, len(wh) - 1),
+      i -> (((wh[i] * {SHINGLE_BASE} + wh[i + 1]) % {MINHASH_PRIME})
+             * {SHINGLE_BASE} + wh[i + 2]) % {MINHASH_PRIME}) AS grams
+  FROM wh)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+       CAST((1000000 * (len(grams) - len(list_distinct(grams))))
+            // len(grams) AS BIGINT) AS repetition_ppm
+FROM pg
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -3223,6 +3287,7 @@ QUERIES = {
     "l69_corpus_diff": l69_corpus_diff,
     "l70_real_encoder_embed": l70_real_encoder_embed,
     "l71_bpe_train": l71_bpe_train,
+    "l72_intra_doc_repetition": l72_intra_doc_repetition,
 }
 
 ORACLE = {
@@ -3297,4 +3362,5 @@ ORACLE = {
     "l69_corpus_diff": L69_SQL,
     "l70_real_encoder_embed": L70_SQL,
     "l71_bpe_train": L71_SQL,
+    "l72_intra_doc_repetition": L72_SQL,
 }

@@ -4200,6 +4200,219 @@ FROM d
 """
 
 
+# --------------------------------------------------------------------- r85
+def r85_forecast_revenue_change(spark: SparkSession, sf: str) -> DataFrame:
+    """Forecasting revenue change (TPC-H Q6 shape): the amount revenue
+    would rise if discounts in a band were eliminated — ONE fully
+    pushed-down filter-scan + a single global fixed-point sum, the
+    canonical "does your engine push predicates and combine partials"
+    probe. With Q6 in place the suite covers every TPC-H query shape
+    1–22 (Q12's conditional-count join idiom lives in r43/r76; Q9/Q11
+    are adapted to the schema's missing partsupp — see r86/r88).
+
+    Scale: no shuffle beyond one-row partial sums; the three predicates
+    all reach the parquet scan (PushedFilters), so I/O is the bound.
+    """
+    li = load_table(spark, sf, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+R85_SQL = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.04
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------- r86
+def r86_product_type_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-type profit measure (TPC-H Q9 shape, adapted): profit by
+    (supplier nation, order year) for parts whose type contains a
+    keyword. Q9's ps_supplycost has no home in this schema (no
+    partsupp table), so cost is the documented stand-in
+    0.8·p_retailprice·l_quantity — the SHAPE (two dim filters, a
+    fact⋈fact join, per-line profit arithmetic, two-key rollup) is
+    what's exercised, and the oracle pins the adapted semantics.
+
+    Scale: part (filtered) and supplier⋈nation broadcast into the
+    lineitem scan; orders joins on the orderkey (bucket both to
+    co-locate at rest); the (nation, year) rollup combines map-side to
+    nations×years rows.
+    """
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    part = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_type").contains("a"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, sf, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey"), F.col("n_name").alias("nation")
+    )
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.8) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", "o_year")
+        .agg(dsum(profit).alias("sum_profit"))
+    )
+
+
+R86_SQL = f"""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       {sql_dsum('l.l_extendedprice * (1.0 - l.l_discount)'
+                 ' - 0.8 * p.p_retailprice * l.l_quantity')} AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type LIKE '%a%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+
+# --------------------------------------------------------------------- r87
+def r87_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Top supplier(s) by quarterly revenue (TPC-H Q15 shape): build
+    the per-supplier revenue "view" over a 3-month ship window, then
+    keep the supplier(s) whose revenue EQUALS the global max — Q15's
+    defining idiom is the scalar-max subquery over a derived view,
+    which Spark expresses as a 1-row broadcast join (never a window
+    over all suppliers, never a driver collect).
+
+    Fixed-point revenue sums make the equality comparison exact — the
+    max filter on a float aggregate would otherwise be an engine
+    lottery.
+
+    Scale: the revenue view is supplier-sized after one combiner-
+    friendly aggregation; the max is one more partial-agg pass over
+    supplier rows; the final filter broadcasts one row.
+    """
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = load_table(spark, sf, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+R87_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {sql_dsum('l_extendedprice * (1.0 - l_discount)')}
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM revenue r
+JOIN supplier s ON r.supplier_no = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+# --------------------------------------------------------------------- r88
+def r88_important_stock(spark: SparkSession, sf: str) -> DataFrame:
+    """Important stock identification (TPC-H Q11 shape, adapted): the
+    (supplier, part) value table for suppliers of one nation, keeping
+    the pairs whose value exceeds a FRACTION of the nation's total —
+    Q11's global-HAVING-threshold idiom. partsupp doesn't exist here,
+    so pair value is shipped lineitem value (documented adaptation;
+    the shape — grouped agg, scalar fraction subquery, threshold
+    filter — is intact, fixed-point so the threshold compare is
+    engine-exact).
+
+    Scale: one combiner-friendly (supp, part) aggregation of the
+    nation-filtered fact sliver; the threshold is a 1-row broadcast;
+    output is value-ranked pairs.
+    """
+    supp = (
+        load_table(spark, sf, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf, "nation").filter(
+                    F.col("n_nationkey") % 5 == 0
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf, "lineitem")
+    value = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("pair_value")
+        )
+    )
+    threshold = value.agg(
+        (dsum("pair_value") * F.lit(0.001)).alias("cutoff")
+    )
+    return (
+        value.crossJoin(F.broadcast(threshold))
+        .filter(F.col("pair_value") > F.col("cutoff"))
+        .select("l_suppkey", "l_partkey", "pair_value")
+    )
+
+
+R88_SQL = f"""
+WITH supp AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_nationkey % 5 = 0),
+pairval AS (
+  SELECT l_suppkey, l_partkey,
+         {sql_dsum('l_extendedprice * (1.0 - l_discount)')} AS pair_value
+  FROM lineitem SEMI JOIN supp ON l_suppkey = s_suppkey
+  GROUP BY l_suppkey, l_partkey)
+SELECT l_suppkey, l_partkey, pair_value
+FROM pairval
+WHERE pair_value > (SELECT {sql_dsum('pair_value')} * 0.001 FROM pairval)
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -4285,6 +4498,10 @@ QUERIES = {
     "r82_subject_access_report": r82_subject_access_report,
     "r83_skew_profile": r83_skew_profile,
     "r84_luhn_validation": r84_luhn_validation,
+    "r85_forecast_revenue_change": r85_forecast_revenue_change,
+    "r86_product_type_profit": r86_product_type_profit,
+    "r87_top_supplier": r87_top_supplier,
+    "r88_important_stock": r88_important_stock,
 }
 
 ORACLE = {
@@ -4371,6 +4588,10 @@ ORACLE = {
     "r82_subject_access_report": R82_SQL,
     "r83_skew_profile": R83_SQL,
     "r84_luhn_validation": R84_SQL,
+    "r85_forecast_revenue_change": R85_SQL,
+    "r86_product_type_profit": R86_SQL,
+    "r87_top_supplier": R87_SQL,
+    "r88_important_stock": R88_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }
