@@ -151,6 +151,11 @@ HEADLINE = [
     "l12_ann_lsh",
     "l70_real_encoder_embed",
     "l71_bpe_train",
+    "l72_intra_doc_repetition",
+    "r85_forecast_revenue_change",
+    "r86_product_type_profit",
+    "r87_top_supplier",
+    "r88_important_stock",
 ]
 
 

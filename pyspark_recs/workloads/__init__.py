@@ -37,7 +37,10 @@ for _mod in (_relational, _llmops, _recsys, _streaming):
 # Trailing fall-through: round-2/round-3 driver greens, newest last.
 _PRIORITY = [
     # tier 0 — added or changed in round 4
-    "rs28_content_model_eval", "l71_bpe_train", "l70_real_encoder_embed", "l12_ann_lsh",
+    "rs28_content_model_eval", "l71_bpe_train", "l72_intra_doc_repetition",
+    "r85_forecast_revenue_change", "r86_product_type_profit",
+    "r87_top_supplier", "r88_important_stock",
+    "l70_real_encoder_embed", "l12_ann_lsh",
     "rs04_als_recommendations", "s15_histogram_quantiles", "s16_value_drift",
     "rs05_item_cooccurrence", "rs21_coldstart_fallback", "rs22_item_lift",
     "rs23_item_knn", "rs24_cf_holdout_eval", "rs26_rrf_fusion",

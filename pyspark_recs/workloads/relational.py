@@ -4259,7 +4259,7 @@ def r86_product_type_profit(spark: SparkSession, sf: str) -> DataFrame:
     )
     part = (
         load_table(spark, sf, "part")
-        .filter(F.col("p_type").contains("a"))
+        .filter(F.col("p_type").contains("A"))
         .select("p_partkey", "p_retailprice")
     )
     supp = load_table(spark, sf, "supplier").select(
@@ -4288,7 +4288,7 @@ SELECT n.n_name AS nation,
        {sql_dsum('l.l_extendedprice * (1.0 - l.l_discount)'
                  ' - 0.8 * p.p_retailprice * l.l_quantity')} AS sum_profit
 FROM lineitem l
-JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type LIKE '%a%'
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type LIKE '%A%'
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -4354,8 +4354,10 @@ WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
 def r88_important_stock(spark: SparkSession, sf: str) -> DataFrame:
     """Important stock identification (TPC-H Q11 shape, adapted): the
     (supplier, part) value table for suppliers of one nation, keeping
-    the pairs whose value exceeds a FRACTION of the nation's total —
-    Q11's global-HAVING-threshold idiom. partsupp doesn't exist here,
+    the pairs whose value exceeds a multiple of the MEAN pair value —
+    Q11's global-HAVING-threshold idiom with the cutoff normalized the
+    way TPC-H itself does (Q11 divides its fraction by SF so the
+    surviving head stays scale-free). partsupp doesn't exist here,
     so pair value is shipped lineitem value (documented adaptation;
     the shape — grouped agg, scalar fraction subquery, threshold
     filter — is intact, fixed-point so the threshold compare is
@@ -4388,7 +4390,9 @@ def r88_important_stock(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     threshold = value.agg(
-        (dsum("pair_value") * F.lit(0.001)).alias("cutoff")
+        (dsum("pair_value") / F.count(F.lit(1)) * F.lit(2.0)).alias(
+            "cutoff"
+        )
     )
     return (
         value.crossJoin(F.broadcast(threshold))
@@ -4409,7 +4413,7 @@ pairval AS (
   GROUP BY l_suppkey, l_partkey)
 SELECT l_suppkey, l_partkey, pair_value
 FROM pairval
-WHERE pair_value > (SELECT {sql_dsum('pair_value')} * 0.001 FROM pairval)
+WHERE pair_value > (SELECT {sql_dsum('pair_value')} / count(*) * 2.0 FROM pairval)
 """
 
 
