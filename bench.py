@@ -156,6 +156,7 @@ HEADLINE = [
     "r86_product_type_profit",
     "r87_top_supplier",
     "r88_important_stock",
+    "rs29_markov_next_item_eval",
 ]
 
 

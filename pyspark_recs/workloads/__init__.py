@@ -39,7 +39,7 @@ _PRIORITY = [
     # tier 0 — added or changed in round 4
     "rs28_content_model_eval", "l71_bpe_train", "l72_intra_doc_repetition",
     "r85_forecast_revenue_change", "r86_product_type_profit",
-    "r87_top_supplier", "r88_important_stock",
+    "r87_top_supplier", "r88_important_stock", "rs29_markov_next_item_eval",
     "l70_real_encoder_embed", "l12_ann_lsh",
     "rs04_als_recommendations", "s15_histogram_quantiles", "s16_value_drift",
     "rs05_item_cooccurrence", "rs21_coldstart_fallback", "rs22_item_lift",

@@ -2413,6 +2413,124 @@ def rs28_content_model_eval(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------- rs29
+def rs29_markov_next_item_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential-recommender evaluation, end to end and EXACTLY
+    oracle-checkable: leave each user's LAST event out, train rs12's
+    first-order Markov transition matrix on the prefixes, predict the
+    held-out item from the user's final train item via the top-5
+    transition list, and emit (user_id, context_item, target_item,
+    hit). This closes the sequential loop the way rs24 closes the CF
+    loop — the deterministic protocol (total event order, count-desc/
+    item-asc tie-breaks) is what makes a session-recommender
+    regression-testable; a GRU4Rec-class model drops into the same
+    harness as a different scorer.
+
+    Scale: one row_number window on user_id tags the splits; transition
+    counts shuffle (src, dst) pairs (support-bounded, not event-
+    bounded); the top-5 cut is WindowGroupLimit-pruned; scoring is one
+    semi-join of user-sized rows against the capped transition lists.
+    """
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("CAST(get_json_object(props, '$.k') AS BIGINT)").alias(
+            "item"
+        ),
+    ).filter(F.col("item").isNotNull())
+    w_desc = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    tagged = ev.withColumn("rn", F.row_number().over(w_desc))
+    base = (
+        tagged.filter(F.col("rn") <= 2)
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("item"))).alias(
+                "context_item"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("item"))).alias(
+                "target_item"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") == 2)
+        .select("user_id", "context_item", "target_item")
+    )
+    train = tagged.filter(F.col("rn") >= 2)
+    w_asc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        train.select("user_id", "ts", "event_id", F.col("item").alias("src"))
+        .withColumn("dst", F.lead("src").over(w_asc))
+        .filter(F.col("dst").isNotNull())
+    )
+    counts = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top5 = top_k_per_group(
+        counts,
+        partition_cols=["src"],
+        order_cols=[F.desc("cnt"), F.asc("dst")],
+        k=5,
+        rank_alias="prank",
+    ).select("src", "dst")
+    hits = base.join(
+        top5,
+        (base.context_item == top5.src) & (base.target_item == top5.dst),
+        "left_semi",
+    ).select("user_id", F.lit(True).alias("hit"))
+    return base.join(hits, "user_id", "left").select(
+        "user_id",
+        "context_item",
+        "target_item",
+        F.coalesce("hit", F.lit(False)).alias("hit"),
+    )
+
+
+RS29_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+tagged AS (
+  SELECT user_id, ts, event_id, item,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev),
+base AS (
+  SELECT user_id,
+         max(CASE WHEN rn = 2 THEN item END) AS context_item,
+         max(CASE WHEN rn = 1 THEN item END) AS target_item
+  FROM tagged WHERE rn <= 2 GROUP BY user_id
+  HAVING count(*) = 2),
+train AS (SELECT * FROM tagged WHERE rn >= 2),
+pairs AS (
+  SELECT src, dst FROM (
+    SELECT item AS src,
+           lead(item) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS dst
+    FROM train)
+  WHERE dst IS NOT NULL),
+counts AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY src, dst),
+top5 AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cnt DESC, dst) AS prank
+    FROM counts)
+  WHERE prank <= 5)
+SELECT b.user_id, b.context_item, b.target_item,
+       EXISTS (SELECT 1 FROM top5 t
+               WHERE t.src = b.context_item
+                 AND t.dst = b.target_item) AS hit
+FROM base b
+"""
+
+
 RS28_SQL = f"""
 WITH tagged_orders AS (
   SELECT o_orderkey, o_custkey AS user_id,
@@ -2476,6 +2594,7 @@ QUERIES = {
     "rs26_rrf_fusion": rs26_rrf_fusion,
     "rs27_sampled_metrics_bias": rs27_sampled_metrics_bias,
     "rs28_content_model_eval": rs28_content_model_eval,
+    "rs29_markov_next_item_eval": rs29_markov_next_item_eval,
 }
 
 ORACLE = {
@@ -2507,4 +2626,5 @@ ORACLE = {
     "rs26_rrf_fusion": RS26_SQL,
     "rs27_sampled_metrics_bias": RS27_SQL,
     "rs28_content_model_eval": RS28_SQL,
+    "rs29_markov_next_item_eval": RS29_SQL,
 }

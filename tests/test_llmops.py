@@ -945,3 +945,62 @@ def test_bpe_train_merges_hand_computed(spark):
         (2, "a b", "ab", 3),   # after merge: aa|a|b ×2 plus a|b ×1
         (3, "aa ab", "aaab", 2),
     ]
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """Property check on randomized corpora: the distributed BPE
+    trainer must equal an independent pure-Python implementation of
+    the same spec (frequency-weighted pair counts, count-desc/pair-asc
+    argmax, greedy left-to-right non-overlapping merge application) —
+    pinning that the delimiter-safe string-replace fold really is the
+    symbol-pairwise merge it claims to be."""
+    import random
+
+    from pyspark_recs.llmops.textstats import bpe_train_merges
+
+    def ref_bpe(word_freqs, n_merges):
+        forms = [(list(w), f) for w, f in sorted(word_freqs.items())]
+        merges = []
+        for rnd in range(1, n_merges + 1):
+            counts = {}
+            for syms, f in forms:
+                for x, y in zip(syms, syms[1:]):
+                    counts[(x, y)] = counts.get((x, y), 0) + f
+            if not counts:
+                break
+            (a, b), c = min(
+                counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+            )
+            merges.append((rnd, f"{a} {b}", a + b, c))
+            nxt = []
+            for syms, f in forms:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nxt.append((out, f))
+            forms = nxt
+        return merges
+
+    rng = random.Random(7)
+    for trial in range(4):
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            for _ in range(30)
+        ]
+        # repetition-heavy corpus so merges chain into multi-char tokens
+        corpus = words * 2 + words[:10]
+        freqs = {}
+        for w in corpus:
+            freqs[w] = freqs.get(w, 0) + 1
+        docs = spark.createDataFrame(
+            [(i, " ".join(corpus[i::3])) for i in range(3)],
+            "doc_id long, text string",
+        )
+        got = [tuple(r) for r in bpe_train_merges(docs, n_merges=4).collect()]
+        want = ref_bpe(freqs, 4)
+        assert got == want, (trial, got, want)
