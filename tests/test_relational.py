@@ -504,3 +504,32 @@ def test_scalable_prefix_max_matches_single_task_window(spark):
         for r in df.withColumn("m", F.max("v").over(w)).collect()
     }
     assert got == want
+
+
+def test_shared_plan_memoizes_per_session_and_sf(spark):
+    """The session-scoped materialization memo must (1) build once per
+    (session, sf, key) and return the SAME persisted frame after, (2)
+    keep different sf dirs separate, (3) produce results identical to
+    a fresh build."""
+    from pyspark.sql import functions as F
+
+    from pyspark_recs.workloads.common import _SHARED, shared_plan
+
+    calls = {"n": 0}
+
+    def builder():
+        calls["n"] += 1
+        return spark.range(5).select(F.col("id"), (F.col("id") * 2).alias("y"))
+
+    a = shared_plan(spark, "sfA", "t_memo", builder)
+    b = shared_plan(spark, "sfA", "t_memo", builder)
+    assert a is b and calls["n"] == 1
+    c = shared_plan(spark, "sfB", "t_memo", builder)
+    assert calls["n"] == 2 and c is not a
+    assert sorted(tuple(r) for r in a.collect()) == [
+        (i, 2 * i) for i in range(5)
+    ]
+    assert a.storageLevel.useMemory  # persisted, spill-safe
+    # cleanup so other tests' cache-clearing assertions stay valid
+    for k in [k for k in _SHARED if k[2] == "t_memo"]:
+        _SHARED.pop(k).unpersist()
