@@ -336,12 +336,15 @@ def rs04_als_recommendations(spark: SparkSession, sf: str) -> DataFrame:
     - ``k_per_user_ok``: every user got exactly k ranked rows 1..k.
     - ``recs_are_known_items``: every recommended item exists in the
       training catalog (the M5 serving contract).
-    - ``train_hit_rate_ge_half``: ≥50% of users have at least one of
+    - ``train_hit_ge_floor``: ≥10% of users have at least one of
       their own training items in their top-5 — the memorization floor
-      an implicit-ALS fit always clears by a wide margin (measured
-      1.00 at sf0.001, 0.76 at sf0.01) but collapses to ~0 under a
-      broken fit (shuffled factors, wrong ids, degenerate rank). The
-      oracle asserts TRUE, so model breakage hash-fails the gate.
+      an implicit-ALS fit clears at every scale (measured 1.00 at
+      sf0.001, 0.76 at sf0.01, 0.26 at sf0.1 — the rate falls as the
+      catalog grows, which is why the floor is set against the CHANCE
+      baseline of ~1% at sf0.1, not against the small-sf rate) but
+      collapses to chance under a broken fit (shuffled factors, wrong
+      ids, degenerate rank). The oracle asserts TRUE, so model
+      breakage hash-fails the gate.
 
     Scale: ALS is the one MLlib block whose shuffle pattern (block
     matrices) is tuned via rank/blocks; recommendForUserSubset does the
@@ -389,9 +392,9 @@ def rs04_als_recommendations(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("k_per_user_ok"),
         (F.sum("n_unknown") == 0).alias("recs_are_known_items"),
         (
-            F.sum(F.col("hit_user").isNotNull().cast("long")) * 2
+            F.sum(F.col("hit_user").isNotNull().cast("long")) * 10
             >= F.count(F.lit(1))
-        ).alias("train_hit_rate_ge_half"),
+        ).alias("train_hit_ge_floor"),
     )
 
 
@@ -405,7 +408,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_users,
        CAST(count(*) * 5 AS BIGINT) AS n_recs,
        TRUE AS k_per_user_ok,
        TRUE AS recs_are_known_items,
-       TRUE AS train_hit_rate_ge_half
+       TRUE AS train_hit_ge_floor
 FROM u
 """
 
