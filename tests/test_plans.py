@@ -455,3 +455,32 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     # correctness: only January partitions survive
     expected = dim.count()
     assert joined.count() == expected
+
+
+def test_q6_pushes_all_predicates_to_scan(spark):
+    # r85 (TPC-H Q6): all three predicate families (date window,
+    # discount band, quantity cap) must reach the parquet scan as
+    # PushedFilters — the query is I/O-bound by design.
+    plan = plan_of(QUERIES["r85_forecast_revenue_change"](spark, SF_DIR))
+    m = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    # and no shuffle beyond the final single-row aggregation exchange
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_q15_scalar_max_is_broadcast_not_window(spark):
+    # r87 (TPC-H Q15): the max-revenue comparison must be a 1-row
+    # broadcast join — never a global window over all suppliers.
+    plan = plan_of(QUERIES["r87_top_supplier"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan
+
+
+def test_markov_eval_prunes_topk_before_exchange(spark):
+    # rs29: the top-5 transition cut must plan WindowGroupLimit
+    # (per-task pruning to k rows per src before the shuffle).
+    plan = plan_of(QUERIES["rs29_markov_next_item_eval"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
