@@ -341,7 +341,17 @@ def decontaminate_spans(
     )
 
     tr = train.select("doc_id", tokens(F.col(text_col)).alias("toks"))
-    wh = F.transform(F.col("toks"), lambda w: md5_long(w) % MINHASH_PRIME)
+    # Word hashes as their own projection: inlined, the shingle_n slice
+    # references would re-run the md5 transform shingle_n times per doc
+    # (same fix as l72 — measured ~25% off the whole query at sf0.1).
+    hashed = tr.select(
+        "doc_id",
+        "toks",
+        F.transform(
+            F.col("toks"), lambda w: md5_long(w) % MINHASH_PRIME
+        ).alias("wh"),
+    )
+    wh = F.col("wh")
     m = F.greatest(F.size(F.col("toks")) - (shingle_n - 1), F.lit(0))
     acc = F.slice(wh, 1, m)
     for j in range(1, shingle_n):
@@ -350,7 +360,7 @@ def decontaminate_spans(
             F.slice(wh, 1 + j, m),
             lambda a, b: (a * F.lit(SHINGLE_BASE) + b) % MINHASH_PRIME,
         )
-    with_grams = tr.withColumn("pos_grams", acc)
+    with_grams = hashed.select("doc_id", "toks", acc.alias("pos_grams"))
     starts = (
         with_grams.select(
             "doc_id", F.posexplode("pos_grams").alias("pos", "g")
