@@ -226,6 +226,41 @@ def _holdout_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _holdout_co(spark: SparkSession, sf: str) -> DataFrame:
+    """Both-direction mirror of the holdout pair counts — rs27 probes
+    it three times (target score, negative scores, top-10), rs24 once,
+    so the union is materialized rather than re-derived per consumer."""
+    def build() -> DataFrame:
+        half = _holdout_pair_counts(spark, sf)
+        return half.unionByName(
+            half.select(
+                F.col("item_b").alias("item_a"),
+                F.col("item_a").alias("item_b"),
+                "n_ab",
+            )
+        )
+
+    return shared_plan(spark, sf, "holdout_co", build)
+
+
+def _holdout_top10(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-item top-10 train-only neighbor list (n_ab desc, item_b asc)
+    — the serving artifact rs24 recommends from and rs27's full
+    protocol scores against; one WindowGroupLimit pass, shared."""
+    def build() -> DataFrame:
+        wn = Window.partitionBy("item_a").orderBy(
+            F.desc("n_ab"), F.asc("item_b")
+        )
+        return (
+            _holdout_co(spark, sf)
+            .withColumn("nrank", F.row_number().over(wn))
+            .filter(F.col("nrank") <= 10)
+            .select("item_a", "item_b")
+        )
+
+    return shared_plan(spark, sf, "holdout_top10", build)
+
+
 # --------------------------------------------------------------------- rs01
 def rs01_interactions(spark: SparkSession, sf: str) -> DataFrame:
     """The assembled interaction matrix (input contract of the retrieval
@@ -1838,20 +1873,7 @@ def rs24_cf_holdout_eval(spark: SparkSession, sf: str) -> DataFrame:
     # one pair expansion per session for the whole evaluation family.
     test_items = _holdout_test_items(spark, sf)
     lists = _holdout_lists(spark, sf)
-    half = _holdout_pair_counts(spark, sf)
-    mirrored = half.unionByName(
-        half.select(
-            F.col("item_b").alias("item_a"),
-            F.col("item_a").alias("item_b"),
-            "n_ab",
-        )
-    )
-    wn = Window.partitionBy("item_a").orderBy(F.desc("n_ab"), F.asc("item_b"))
-    neighbors = (
-        mirrored.withColumn("nrank", F.row_number().over(wn))
-        .filter(F.col("nrank") <= 10)
-        .select("item_a", "item_b")
-    )
+    neighbors = _holdout_top10(spark, sf)
     anchors = lists.select("user_id", "anchor_item")
     recs = anchors.join(
         neighbors, anchors.anchor_item == neighbors.item_a, "left"
@@ -2145,14 +2167,7 @@ def rs27_sampled_metrics_bias(spark: SparkSession, sf: str) -> DataFrame:
     # subplans shared with rs24 (same split, same capped histories,
     # same >=2-support pair counts).
     lists = _holdout_lists(spark, sf)
-    half = _holdout_pair_counts(spark, sf)
-    co = half.unionByName(
-        half.select(
-            F.col("item_b").alias("item_a"),
-            F.col("item_a").alias("item_b"),
-            "n_ab",
-        )
-    )
+    co = _holdout_co(spark, sf)
     # One held-out item per user: the smallest item of the test order
     # (deterministic; rs24 scores the whole order, the rank protocol
     # needs a single target).
@@ -2183,9 +2198,16 @@ def rs27_sampled_metrics_bias(spark: SparkSession, sf: str) -> DataFrame:
     # (element_at inside a higher-order filter) measured 40% SLOWER at
     # sf0.1 — Spark map lookups are linear scans, and popular anchors
     # carry thousands of neighbors, so the hash join wins.
+    #
+    # Respread before the ×99 expansion: AQE coalesces the user-sized
+    # join output to ONE partition, which would run the 1.5M md5
+    # generations single-threaded (measured 3.3 s → 0.4 s at sf0.1).
+    # The repartition shuffles only user-sized rows — always cheaper
+    # than serializing the hash work it unlocks.
     max_item = load_table(spark, sf, "part").agg(
         F.max("p_partkey").alias("mx")
     )
+    tgt = tgt.repartition(spark.sparkContext.defaultParallelism)
     negs = (
         tgt.crossJoin(F.broadcast(max_item))
         .select(
@@ -2242,12 +2264,10 @@ def rs27_sampled_metrics_bias(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", (F.col("n_above") < 10).alias("hit")
     )
     # FULL protocol: target must appear in the anchor's true top-10
-    # neighbor list (rs24's rule).
-    wn = Window.partitionBy("item_a").orderBy(F.desc("n_ab"), F.asc("item_b"))
-    top10 = (
-        co.withColumn("r", F.row_number().over(wn))
-        .filter(F.col("r") <= 10)
-        .select(F.col("item_a").alias("anchor_item"), F.col("item_b"))
+    # neighbor list (rs24's rule — the SAME shared _holdout_top10
+    # artifact rs24 recommends from).
+    top10 = _holdout_top10(spark, sf).select(
+        F.col("item_a").alias("anchor_item"), F.col("item_b")
     )
     full_hit = base.join(
         top10,
