@@ -121,9 +121,17 @@ def hash_negatives(
     sizes — the property that makes the training set debuggable."""
     from pyspark_recs.llmops.hashing import md5_long
 
-    cand = (
+    spark = inter.sparkSession
+    users = (
         inter.select("user_id")
         .distinct()
+        # AQE coalesces the distinct's output to one partition at test
+        # scale, which would serialize the ×n_neg md5 generation below
+        # (same fix as rs27's negative expansion).
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    cand = (
+        users
         .crossJoin(F.broadcast(n_items_df))
         .select(
             "user_id",
