@@ -5,13 +5,13 @@ over the driver testdata, each with a DuckDB oracle-SQL twin.
 feed /root/repo/__spark_entry__.py (the driver correctness contract).
 
 Ordering matters: the driver's correctness gate checks a bounded prefix
-of the registry (rounds 1 and 2 each covered ~50 entries), so the
-registry interleaves families — to guarantee every family lands green
-rows in ``CORRECTNESS_r{N}.json`` regardless of the exact window size —
-and ROTATES per round: (1) queries never driver-verified (new this
-round), (2) queries whose round-2 row errored and was since fixed,
-(3) queries last verified in round 1 (drift check — the round-2 NTZ
-regression showed drift is real), (4) queries green in round 2.
+of the registry (~50 entries per round), so the registry ROTATES each
+round so every query's driver row stays at most a couple of rounds old:
+(1) queries added or semantically/plan-wise changed this round,
+(2) the oldest driver-verified entries (drift watch — the round-2 NTZ
+regression proved drift is real), (3) entries never driver-verified,
+then the freshest greens. See the _PRIORITY comment for this round's
+tiers.
 """
 
 from pyspark_recs.workloads import llmops as _llmops
