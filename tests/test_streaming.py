@@ -1054,3 +1054,61 @@ def test_streaming_quantiles_parity_on_real_events_table(spark, tmp_path):
         for r in s15_histogram_quantiles(spark, sf).collect()
     }
     assert streamed == batch
+
+
+def test_histogram_negative_values_clamp_batch_stream_identical(
+    spark, tmp_path, tmp_path_factory
+):
+    """Negative values must land in bin 0 on BOTH sides (the streaming
+    side's unclamped floor once produced a negative Python list index
+    that silently wrapped to a top bin — the clamp keeps batch and
+    stream bit-identical on any real feed)."""
+    from pyspark.sql import Window
+
+    from pyspark_recs.streaming import streaming_histogram_quantiles
+
+    vals = [-50.0, -8.0, -0.5, 1.0, 9.0, 17.0, 600.0]
+    path = str(tmp_path_factory.mktemp("hqneg"))
+    df = spark.createDataFrame(
+        [("click", v) for v in vals], "event_type string, value double"
+    )
+    df.write.parquet(path, mode="overwrite")
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = _run_stream(
+        streaming_histogram_quantiles(stream), tmp_path, mode="update"
+    )
+    got = {
+        r.event_type: (r.n_events, r.p50_est, r.p90_est, r.p99_est)
+        for r in out.collect()
+    }
+    # batch twin rule, clamped both ends (s15's expression)
+    b = F.least(
+        F.lit(63), F.greatest(F.lit(0), F.floor(F.col("value") / F.lit(8.0)))
+    ).cast("int")
+    hist = df.groupBy("event_type", b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wc = Window.partitionBy("event_type").orderBy("bin")
+    wt = Window.partitionBy("event_type")
+    cum = hist.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
+        "n", F.sum("cnt").over(wt)
+    )
+
+    def est(q):
+        hit = F.col("cum") >= F.expr(f"({q}L * n + 99) div 100")
+        return F.min(F.when(hit, F.col("bin"))) * F.lit(8.0)
+
+    batch = {
+        r.event_type: (r.n, r.p50, r.p90, r.p99)
+        for r in cum.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            est(50).alias("p50"),
+            est(90).alias("p90"),
+            est(99).alias("p99"),
+        )
+        .collect()
+    }
+    assert got == batch
+    # the three negatives clamp into bin 0 → p50 of 7 values = bin 0
+    assert got["click"][1] == 0.0
