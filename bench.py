@@ -157,6 +157,7 @@ HEADLINE = [
     "r87_top_supplier",
     "r88_important_stock",
     "rs29_markov_next_item_eval",
+    "l73_bpe_apply",
 ]
 
 

@@ -706,3 +706,92 @@ f{r} AS (
         + "\n"
         + "\nUNION ALL\n".join(selects)
     )
+
+
+def bpe_apply_counts(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge table (``bpe_train_merges`` output
+    rows, in order) to every document and report the compression it
+    buys: per doc, the character-symbol count before any merge and the
+    symbol count after the chained merges, plus the saving in exact
+    ppm — the tokenizer-efficiency statistic that decides whether a
+    merge table is worth shipping.
+
+    The per-word fold is the EXACT transform the trainer applied to
+    its vocabulary forms (pad → literal replace → trim per round, on
+    the double-space symbol encoding), expressed as one nested
+    JVM-side expression over the token array — pure projection, no
+    shuffle, no Python.
+    """
+    form = (
+        "array_join(transform(sequence(1, length(w)),"
+        " i -> substring(w, i, 1)), '  ')"
+    )
+    for row in merges:
+        a, b = row.pair.split(" ")
+        form = (
+            f"btrim(replace(' ' || {form} || ' ',"
+            f" ' {a}  {b} ', ' {a}{b} '), ' ')"
+        )
+    counts = (
+        "aggregate(transform(" + "tokens_arr" + ", w -> struct("
+        "length(w) AS nc,"
+        f" size(split({form}, '  ')) AS ns)),"
+        " struct(CAST(0 AS BIGINT) AS nc, CAST(0 AS BIGINT) AS ns),"
+        " (acc, x) -> struct(acc.nc + x.nc AS nc, acc.ns + x.ns AS ns))"
+    )
+    toks = df.select(
+        "doc_id", tokens(F.col(text_col)).alias("tokens_arr")
+    ).filter(F.size("tokens_arr") > 0)
+    return (
+        toks.select("doc_id", F.expr(counts).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.nc").alias("n_char_symbols"),
+            F.col("c.ns").alias("n_bpe_symbols"),
+        )
+        .withColumn(
+            "saved_ppm",
+            F.expr(
+                "CAST((1000000 * (n_char_symbols - n_bpe_symbols))"
+                " div n_char_symbols AS BIGINT)"
+            ),
+        )
+    )
+
+
+def bpe_apply_oracle_sql(n_merges: int = 3, toks_cte: str = "") -> str:
+    """DuckDB twin of :func:`bpe_apply_counts` with the merge table
+    re-derived in-query (the ``bpe_train_oracle_sql`` CTE chain) and
+    the same pad → replace → trim fold chained per word."""
+    train = bpe_train_oracle_sql(n_merges=n_merges, toks_cte=toks_cte)
+    # reuse the training CTEs; cut the final merge-table SELECT off
+    ctes = train[: train.rindex("\nSELECT 1 AS merge_round")]
+    form = (
+        "array_to_string(list_transform(range(1, length(w) + 1),"
+        " i -> substring(w, i, 1)), '  ')"
+    )
+    for r in range(1, n_merges + 1):
+        form = (
+            f"trim(replace(' ' || {form} || ' ',"
+            f" ' ' || replace(b{r}.pair, ' ', '  ') || ' ',"
+            f" ' ' || replace(b{r}.pair, ' ', '') || ' '), ' ')"
+        )
+    froms = ", ".join(f"best{r} b{r}" for r in range(1, n_merges + 1))
+    return f"""{ctes},
+docw AS (
+  SELECT doc_id, unnest(words) AS w FROM toks WHERE len(words) >= 1),
+applied AS (
+  SELECT doc_id, CAST(length(w) AS BIGINT) AS nc,
+         CAST(len(string_split({form}, '  ')) AS BIGINT) AS ns
+  FROM docw, {froms})
+SELECT doc_id,
+       CAST(sum(nc) AS BIGINT) AS n_char_symbols,
+       CAST(sum(ns) AS BIGINT) AS n_bpe_symbols,
+       CAST((1000000 * (sum(nc) - sum(ns))) // sum(nc) AS BIGINT)
+         AS saved_ppm
+FROM applied GROUP BY doc_id
+"""

@@ -38,6 +38,7 @@ for _mod in (_relational, _llmops, _recsys, _streaming):
 _PRIORITY = [
     # tier 0 — added or changed in round 4
     "rs28_content_model_eval", "l71_bpe_train", "l72_intra_doc_repetition",
+    "l73_bpe_apply",
     "r85_forecast_revenue_change", "r86_product_type_profit",
     "r87_top_supplier", "r88_important_stock", "rs29_markov_next_item_eval",
     "l70_real_encoder_embed", "l12_ann_lsh",

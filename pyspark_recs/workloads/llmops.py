@@ -3235,6 +3235,39 @@ FROM pg
 """
 
 
+# --------------------------------------------------------------------- l73
+def l73_bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Apply l71's learned merge table back to the corpus: per
+    document, symbol counts before/after the chained merges and the
+    saving in exact ppm — tokenizer-efficiency accounting, the second
+    half of the train→encode loop (train once on the corpus, encode
+    everything with the shipped merges). The merges are re-derived by
+    the same trainer (driver-side 3-row collect, the fit statistic);
+    the oracle re-derives them in-query and applies the identical
+    pad→replace→trim fold. See llmops/textstats.py:bpe_apply_counts
+    (pure projection — encoding cost scales with tokens, not with any
+    shuffle)."""
+    from pyspark_recs.llmops.textstats import (
+        bpe_apply_counts,
+        bpe_train_merges,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    merges = bpe_train_merges(docs, n_merges=3).collect()
+    from pyspark_recs.io.loaders import spread_partitions
+
+    return bpe_apply_counts(spread_partitions(docs), merges)
+
+
+def _l73_sql() -> str:
+    from pyspark_recs.llmops.textstats import bpe_apply_oracle_sql
+
+    return bpe_apply_oracle_sql(n_merges=3, toks_cte=_TOKS)
+
+
+L73_SQL = _l73_sql()
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -3308,6 +3341,7 @@ QUERIES = {
     "l70_real_encoder_embed": l70_real_encoder_embed,
     "l71_bpe_train": l71_bpe_train,
     "l72_intra_doc_repetition": l72_intra_doc_repetition,
+    "l73_bpe_apply": l73_bpe_apply,
 }
 
 ORACLE = {
@@ -3383,4 +3417,5 @@ ORACLE = {
     "l70_real_encoder_embed": L70_SQL,
     "l71_bpe_train": L71_SQL,
     "l72_intra_doc_repetition": L72_SQL,
+    "l73_bpe_apply": L73_SQL,
 }
