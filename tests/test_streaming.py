@@ -1112,3 +1112,53 @@ def test_histogram_negative_values_clamp_batch_stream_identical(
     assert got == batch
     # the three negatives clamp into bin 0 → p50 of 7 values = bin 0
     assert got["click"][1] == 0.0
+
+
+def test_streaming_drift_monitor_parity_on_real_events_table(
+    spark, tmp_path
+):
+    """Real-table parity for the drift monitor: freeze the FIRST time
+    half of sf0.001's events as the reference histograms, stream the
+    SECOND half, and the final per-type total-variation ppm must equal
+    s16's batch computation bit for bit (same clamped bins, same
+    cross-multiplied integer numerators)."""
+    import math
+
+    from pyspark_recs.io import load_table
+    from pyspark_recs.streaming import streaming_drift_monitor
+    from pyspark_recs.workloads.streaming import s16_value_drift
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "event_type", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    # reference: first-half histograms with the two-sided clamp
+    ref_rows = (
+        ev.filter(F.col("ts_us") * 2 < lo + hi)
+        .select("event_type", "value")
+        .collect()
+    )
+    reference = {}
+    for r in ref_rows:
+        counts = reference.setdefault(r.event_type, [0] * 64)
+        counts[min(63, max(0, int(math.floor(r.value / 8.0))))] += 1
+    cur = ev.filter(F.col("ts_us") * 2 >= lo + hi).select(
+        "event_type", "value"
+    )
+    src = str(tmp_path / "events_cur")
+    cur.write.parquet(src)
+    stream = spark.readStream.schema(cur.schema).parquet(src)
+    out = _run_stream(
+        streaming_drift_monitor(stream, reference), tmp_path, mode="update"
+    )
+    streamed = {}
+    for r in out.collect():
+        prev = streamed.get(r.event_type)
+        if prev is None or r.n_cur > prev[1]:
+            streamed[r.event_type] = (r.n_ref, r.n_cur, r.tv_ppm)
+    batch = {
+        r.event_type: (r.n_ref, r.n_cur, r.tv_ppm)
+        for r in s16_value_drift(spark, sf).collect()
+    }
+    assert streamed == batch  # bit-exact, every event type
