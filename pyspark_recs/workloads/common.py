@@ -84,15 +84,24 @@ def sql_davg(expr: str, scale: int = 6) -> str:
 # once per pipeline run" discipline: every entry cached here is an
 # AGGREGATE (users×items, item pairs, one row per user) — never a raw
 # fact table — so cache volume is key-bounded, not data-bounded.
+import threading
+
 _SHARED: dict = {}
+_SHARED_LOCK = threading.Lock()
 
 
 def shared_plan(spark, sf: str, key: str, builder):
-    """Return ``builder()`` materialized once per (session, sf, key)."""
+    """Return ``builder()`` materialized once per (session, sf, key).
+    Double-checked locking: concurrent callers (grid-search threads,
+    a multi-threaded driver harness) must not race two persists of the
+    same subplan."""
     ck = (spark.sparkContext.applicationId, sf, key)
     df = _SHARED.get(ck)
     if df is None:
-        df = builder().persist()
-        df.count()  # eager: later queries see only InMemoryTableScan
-        _SHARED[ck] = df
+        with _SHARED_LOCK:
+            df = _SHARED.get(ck)
+            if df is None:
+                df = builder().persist()
+                df.count()  # eager: consumers see only InMemoryTableScan
+                _SHARED[ck] = df
     return df
