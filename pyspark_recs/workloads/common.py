@@ -87,7 +87,10 @@ def sql_davg(expr: str, scale: int = 6) -> str:
 import threading
 
 _SHARED: dict = {}
-_SHARED_LOCK = threading.Lock()
+# RLock, NOT Lock: builders nest (the capped-lists builder resolves the
+# shared interactions entry inside the critical section) — a plain Lock
+# self-deadlocks on the re-entrant acquire.
+_SHARED_LOCK = threading.RLock()
 
 
 def shared_plan(spark, sf: str, key: str, builder):
