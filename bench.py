@@ -231,7 +231,27 @@ def main() -> None:
     ) as f:
         f.write(line + "\n")
     sys.stdout.write("\n" + line + "\n")
+    # The driver's BENCH artifact keeps only a 2000-char stdout TAIL; the
+    # full line (~4 KB with 128 per-query timings) loses its head there,
+    # so BENCH_r04.json recorded parsed: null. Emit a compact, complete
+    # JSON object as the FINAL stdout line — it always fits in the tail
+    # whole, so any line-wise JSON scan of the tail parses the totals.
+    # Full per-query detail stays in the long line and bench_result.json.
+    compact = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "sf": sf_val,
+            "n_queries": len(timings),
+            "queries_file": "bench_result.json",
+        }
+    )
+    sys.stdout.write(compact + "\n")
     sys.stdout.flush()
+    from pyspark_recs.workloads.common import unpersist_shared
+
+    unpersist_shared(spark)
     spark.stop()
 
 

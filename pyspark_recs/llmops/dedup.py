@@ -308,13 +308,19 @@ def verified_neardup_edges(
     shingle_n: int = 3,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate generation + verification halves of the near-dup
     pipeline: LSH banding proposes pairs, exact shingle-set Jaccard
     confirms them. Only candidate pairs are ever scored — the all-pairs
-    quadratic never materializes."""
-    cand = lsh_candidate_pairs(minhash_signatures(df, text_col, shingle_n),
-                               rows_per_band)
+    quadratic never materializes. ``candidates`` lets callers supply a
+    pre-materialized (doc_a, doc_b) LSH pair table (the l03 output)
+    instead of re-banding."""
+    cand = candidates
+    if cand is None:
+        cand = lsh_candidate_pairs(
+            minhash_signatures(df, text_col, shingle_n), rows_per_band
+        )
     sets = df.select(
         "doc_id", word_shingles(F.col(text_col), shingle_n).alias("grams")
     )
@@ -482,6 +488,8 @@ def incremental_lsh_admit(
     text_col: str = "text",
     shingle_n: int = 3,
     rows_per_band: int = 2,
+    batch_sigs: DataFrame | None = None,
+    corpus_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental MinHash-LSH dedup: gate an ARRIVING batch against the
     existing corpus's band index instead of re-deduping the corpus —
@@ -501,12 +509,14 @@ def incremental_lsh_admit(
     O(batch × bands), independent of corpus row count. The corpus
     never rescans.
     """
-    b_keys = band_keys(
-        minhash_signatures(batch, text_col, shingle_n), rows_per_band
-    )
-    c_index = band_keys(
-        minhash_signatures(corpus, text_col, shingle_n), rows_per_band
-    ).select("band_key").distinct()
+    if batch_sigs is None:
+        batch_sigs = minhash_signatures(batch, text_col, shingle_n)
+    if corpus_sigs is None:
+        corpus_sigs = minhash_signatures(corpus, text_col, shingle_n)
+    b_keys = band_keys(batch_sigs, rows_per_band)
+    c_index = band_keys(corpus_sigs, rows_per_band).select(
+        "band_key"
+    ).distinct()
     hits = (
         b_keys.join(c_index, "band_key", "left_semi")
         .groupBy("doc_id")

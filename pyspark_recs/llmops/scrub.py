@@ -200,6 +200,7 @@ def decontaminate(
     benchmark: DataFrame,
     shingle_n: int = 5,
     text_col: str = "text",
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Train/eval decontamination: flag training documents sharing any
     ``shingle_n``-gram with a benchmark (eval) set — the standard
@@ -217,19 +218,27 @@ def decontaminate(
     strings — measured ~7x cheaper at bench scale, and collisions can
     only ever over-flag (the conservative direction for
     decontamination). The oracle twin reproduces the identical
-    md5-derived fold, so the hash choice is still exactly checked."""
+    md5-derived fold, so the hash choice is still exactly checked.
+
+    ``bench_grams`` (one ``gram`` column, pre-DISTINCT'd) lets callers
+    share a materialized benchmark index across decontamination passes
+    — the index is identical for the doc-level and span-level variants,
+    so pipelines build it once (workloads._bench_grams5)."""
     # Guard: shingle_hashes slices assume ≥ n words; shorter docs have no
     # n-grams and are definitionally uncontaminated.
     from pyspark_recs.io.loaders import spread_partitions
 
     long_enough = F.size(tokens(F.col(text_col))) >= shingle_n
-    bench_grams = (
-        benchmark.filter(long_enough)
-        .select(
-            F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("gram")
+    if bench_grams is None:
+        bench_grams = (
+            benchmark.filter(long_enough)
+            .select(
+                F.explode(
+                    shingle_hashes(F.col(text_col), shingle_n)
+                ).alias("gram")
+            )
+            .distinct()
         )
-        .distinct()
-    )
     train_grams = spread_partitions(train.filter(long_enough)).select(
         "doc_id",
         F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("gram"),
@@ -255,6 +264,8 @@ def fuzzy_decontaminate(
     benchmark: DataFrame,
     rows_per_band: int = 2,
     text_col: str = "text",
+    train_sigs: DataFrame | None = None,
+    bench_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """FUZZY train/eval decontamination: flag training documents whose
     MinHash signature shares any LSH band with any benchmark document —
@@ -274,16 +285,21 @@ def fuzzy_decontaminate(
     pairwise. Collisions only ever over-flag, the conservative
     direction. Same shape as ``novelty_gate`` but at the signature
     level, so cost is independent of document length.
+
+    ``train_sigs`` / ``bench_sigs`` let callers pass pre-materialized
+    signature tables (MinHash is a pure per-row projection, so a shared
+    whole-corpus signature table filtered by the split predicate is
+    identical to signing each split separately).
     """
     from pyspark_recs.llmops.dedup import band_keys, minhash_signatures
 
-    train_bands = band_keys(
-        minhash_signatures(train, text_col), rows_per_band
-    )
+    if train_sigs is None:
+        train_sigs = minhash_signatures(train, text_col)
+    if bench_sigs is None:
+        bench_sigs = minhash_signatures(benchmark, text_col)
+    train_bands = band_keys(train_sigs, rows_per_band)
     bench_bands = (
-        band_keys(minhash_signatures(benchmark, text_col), rows_per_band)
-        .select("band_key")
-        .distinct()
+        band_keys(bench_sigs, rows_per_band).select("band_key").distinct()
     )
     hits = (
         train_bands.join(bench_bands, "band_key", "left_semi")
@@ -308,6 +324,7 @@ def decontaminate_spans(
     benchmark: DataFrame,
     shingle_n: int = 5,
     text_col: str = "text",
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """SPAN-LEVEL train/eval decontamination: instead of dropping whole
     flagged documents (``decontaminate``), surgically excise only the
@@ -332,13 +349,19 @@ def decontaminate_spans(
     from pyspark_recs.llmops.dedup import shingle_hashes
     from pyspark_recs.llmops.hashing import MINHASH_PRIME, SHINGLE_BASE, md5_long
 
-    bench = (
-        benchmark.filter(F.size(tokens(F.col(text_col))) >= shingle_n)
-        .select(
-            F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("g")
+    if bench_grams is None:
+        bench = (
+            benchmark.filter(F.size(tokens(F.col(text_col))) >= shingle_n)
+            .select(
+                F.explode(
+                    shingle_hashes(F.col(text_col), shingle_n)
+                ).alias("g")
+            )
+            .distinct()
         )
-        .distinct()
-    )
+    else:
+        # Same pre-built index decontaminate() shares (column "gram").
+        bench = bench_grams.select(F.col("gram").alias("g"))
 
     tr = train.select("doc_id", tokens(F.col(text_col)).alias("toks"))
     # Word hashes as their own projection: inlined, the shingle_n slice

@@ -519,6 +519,7 @@ def lsh_topk_deterministic(
     num_hash_tables: int = 3,
     seed: str = "lsh",
     max_candidates_per_query: int = 4096,
+    in_dim: int = 64,
 ) -> DataFrame:
     """Random-projection LSH top-k with DETERMINISTIC md5-derived ±1
     hyperplanes — same candidate-generation shape as :func:`lsh_topk`
@@ -540,9 +541,17 @@ def lsh_topk_deterministic(
     bucket equi-join plus the per-query cap, never all-pairs; the
     hyperplanes are literals compiled into the plan (no fit job, no
     broadcast of a model).
+
+    ``in_dim`` MUST match the embedding dimension (the hyperplanes are
+    compiled for exactly that many components). A mismatched vector is
+    a hard runtime error, not a silent drop: ``zip_with`` against a
+    shorter/longer hyperplane would otherwise null the projection and
+    make the row vanish — an engine/oracle divergence the guard turns
+    into a diagnosable failure. Share the same value with
+    :func:`lsh_topk_oracle_sql`.
     """
     signs, w_fixed, off = _lsh_plan(
-        64, num_hash_tables, bucket_length, seed
+        in_dim, num_hash_tables, bucket_length, seed
     )
     off_div_w = off // w_fixed
 
@@ -552,12 +561,20 @@ def lsh_topk_deterministic(
             f" div {w_fixed}L - {off_div_w}L"
             for t in range(num_hash_tables)
         )
+        proj_arr = F.when(
+            F.size(F.col(vec_col)) == in_dim, F.expr(f"array({projs})")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"lsh_topk_deterministic: vector dimension != {in_dim}"
+                    " (pass in_dim= matching the embedding column)"
+                )
+            )
+        )
         return df.select(
             F.col(id_col).alias(id_out),
             F.col(vec_col).alias(vec_out),
-            F.posexplode(F.expr(f"array({projs})")).alias(
-                "table_idx", "bucket"
-            ),
+            F.posexplode(proj_arr).alias("table_idx", "bucket"),
         )
 
     qb = _buckets(queries, "query_id", "qvec")
@@ -594,10 +611,14 @@ def lsh_topk_oracle_sql(
     seed: str = "lsh",
     max_candidates_per_query: int = 4096,
     query_pred: str = "vec_id < 10",
+    in_dim: int = 64,
 ) -> str:
     """DuckDB twin of :func:`lsh_topk_deterministic` over the
-    ``embeddings`` view (queries = rows matching ``query_pred``)."""
-    signs, w_fixed, off = _lsh_plan(64, num_hash_tables, bucket_length, seed)
+    ``embeddings`` view (queries = rows matching ``query_pred``).
+    ``in_dim`` must be the value the Spark side was called with."""
+    signs, w_fixed, off = _lsh_plan(
+        in_dim, num_hash_tables, bucket_length, seed
+    )
     off_div_w = off // w_fixed
     fd = (
         "CAST(list_sum(list_transform(list_zip({a}, {b}), "

@@ -652,14 +652,23 @@ def bpe_train_merges(
         pair, count = best[0].pair, int(best[0].c)
         a, b = pair.split(" ")
         out_rows.append((rnd, pair, a + b, count))
-        pattern, repl = f" {a}  {b} ", f" {a}{b} "
+        # Learned symbols go in as Column LITERALS, never interpolated
+        # into SQL text — a corpus token containing a quote or backslash
+        # (don't, C:\x) must not be able to break or re-shape the
+        # generated expression.
+        pattern, repl = F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
         forms = forms.select(
-            F.expr(
-                "btrim(replace(' ' || form || ' ', "
-                f"'{pattern}', '{repl}'), ' ')"
+            F.btrim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("form"), F.lit(" ")),
+                    pattern,
+                    repl,
+                ),
+                F.lit(" "),
             ).alias("form"),
             "freq",
         )
+    wf.unpersist()  # all collects have happened; nothing reads it again
     return spark.createDataFrame(
         out_rows, "merge_round int, pair string, merged string, pair_count bigint"
     )
@@ -724,30 +733,51 @@ def bpe_apply_counts(
     its vocabulary forms (pad → literal replace → trim per round, on
     the double-space symbol encoding), expressed as one nested
     JVM-side expression over the token array — pure projection, no
-    shuffle, no Python.
+    shuffle, no Python. Merge symbols enter as Column LITERALS (same
+    escaping-proof rule as the trainer): a learned pair containing a
+    quote or backslash must not break the expression.
     """
-    form = (
-        "array_join(transform(sequence(1, length(w)),"
-        " i -> substring(w, i, 1)), '  ')"
-    )
-    for row in merges:
-        a, b = row.pair.split(" ")
-        form = (
-            f"btrim(replace(' ' || {form} || ' ',"
-            f" ' {a}  {b} ', ' {a}{b} '), ' ')"
+
+    def _bpe_form(w):
+        form = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length(w)),
+                lambda i: F.substring(w, i, F.lit(1)),
+            ),
+            "  ",
         )
-    counts = (
-        "aggregate(transform(" + "tokens_arr" + ", w -> struct("
-        "length(w) AS nc,"
-        f" size(split({form}, '  ')) AS ns)),"
-        " struct(CAST(0 AS BIGINT) AS nc, CAST(0 AS BIGINT) AS ns),"
-        " (acc, x) -> struct(acc.nc + x.nc AS nc, acc.ns + x.ns AS ns))"
+        for row in merges:
+            a, b = row.pair.split(" ")
+            form = F.btrim(
+                F.replace(
+                    F.concat(F.lit(" "), form, F.lit(" ")),
+                    F.lit(f" {a}  {b} "),
+                    F.lit(f" {a}{b} "),
+                ),
+                F.lit(" "),
+            )
+        return form
+
+    per_word = lambda w: F.struct(  # noqa: E731
+        F.length(w).cast("long").alias("nc"),
+        F.size(F.split(_bpe_form(w), "  ")).cast("long").alias("ns"),
+    )
+    counts = F.aggregate(
+        F.transform(F.col("tokens_arr"), per_word),
+        F.struct(
+            F.lit(0).cast("long").alias("nc"),
+            F.lit(0).cast("long").alias("ns"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["nc"] + x["nc"]).alias("nc"),
+            (acc["ns"] + x["ns"]).alias("ns"),
+        ),
     )
     toks = df.select(
         "doc_id", tokens(F.col(text_col)).alias("tokens_arr")
     ).filter(F.size("tokens_arr") > 0)
     return (
-        toks.select("doc_id", F.expr(counts).alias("c"))
+        toks.select("doc_id", counts.alias("c"))
         .select(
             "doc_id",
             F.col("c.nc").alias("n_char_symbols"),

@@ -87,24 +87,64 @@ def sql_davg(expr: str, scale: int = 6) -> str:
 import threading
 
 _SHARED: dict = {}
-# RLock, NOT Lock: builders nest (the capped-lists builder resolves the
-# shared interactions entry inside the critical section) — a plain Lock
-# self-deadlocks on the re-entrant acquire.
-_SHARED_LOCK = threading.RLock()
+# Per-key build locks: two threads materializing the SAME subplan must
+# serialize (one persist), but builders of DIFFERENT keys run their
+# Spark jobs concurrently — a single global lock would serialize every
+# first-build in a parallel driver behind one job. RLocks, NOT Locks:
+# builders nest (the capped-lists builder resolves the shared
+# interactions entry inside its own build) — re-entrant acquire of the
+# same key's lock must not self-deadlock.
+_KEY_LOCKS: dict = {}
+_REGISTRY_LOCK = threading.Lock()  # guards the two dicts only (cheap ops)
+
+
+def _key_lock(ck):
+    with _REGISTRY_LOCK:
+        lk = _KEY_LOCKS.get(ck)
+        if lk is None:
+            lk = _KEY_LOCKS[ck] = threading.RLock()
+        return lk
 
 
 def shared_plan(spark, sf: str, key: str, builder):
     """Return ``builder()`` materialized once per (session, sf, key).
-    Double-checked locking: concurrent callers (grid-search threads,
-    a multi-threaded driver harness) must not race two persists of the
-    same subplan."""
+    Double-checked locking per key: concurrent callers (grid-search
+    threads, a multi-threaded driver harness) must not race two persists
+    of the same subplan, but unrelated keys build concurrently."""
     ck = (spark.sparkContext.applicationId, sf, key)
     df = _SHARED.get(ck)
     if df is None:
-        with _SHARED_LOCK:
+        with _key_lock(ck):
             df = _SHARED.get(ck)
             if df is None:
                 df = builder().persist()
                 df.count()  # eager: consumers see only InMemoryTableScan
-                _SHARED[ck] = df
+                with _REGISTRY_LOCK:
+                    _SHARED[ck] = df
     return df
+
+
+def unpersist_shared(spark=None) -> int:
+    """Release every cached shared subplan (all sessions, or just
+    ``spark``'s). Wired into bench/oracle teardown so a long-lived
+    session sweeping many SF dirs doesn't grow persisted storage
+    monotonically. Returns the number of entries released."""
+    with _REGISTRY_LOCK:
+        if spark is None:
+            items = list(_SHARED.items())
+            _SHARED.clear()
+            _KEY_LOCKS.clear()
+        else:
+            app = spark.sparkContext.applicationId
+            items = [(k, v) for k, v in _SHARED.items() if k[0] == app]
+            for k, _ in items:
+                _SHARED.pop(k, None)
+                _KEY_LOCKS.pop(k, None)
+    n = 0
+    for _, df in items:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — blocks are gone anyway
+    return n

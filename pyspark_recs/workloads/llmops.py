@@ -105,6 +105,87 @@ SELECT doc_id, {_SIG_SELECTS} FROM ihs
 """
 
 
+# ------------------------------------------------- shared subplans
+# The gram/signature-index family: l02/l03/l51 and the l21 edge builder
+# all derive the SAME 3-shingle MinHash signature table and 2-row-band
+# candidate pairs; l32/l64 both build the SAME distinct benchmark 5-gram
+# index (%97 split); l05/l68 both expand the SAME blocked unigram
+# Jaccard pair table. Each is materialized once per session via
+# workloads.common.shared_plan — the same materialize-once warehouse
+# discipline as the recsys holdout family. Cache volumes are bounded:
+# signatures are (doc_id + 8 longs) — ~1% of corpus bytes; band pairs
+# and blocked pairs are candidate-pair-sized (banding/blocking keeps
+# them far sub-quadratic); the bench gram index is eval-split-sized.
+
+
+def _doc_sigs(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-shared MinHash signature table over ``documents``
+    (3-word shingles, 8 permutations — the l02 projection)."""
+    from pyspark_recs.workloads.common import shared_plan
+
+    return shared_plan(
+        spark,
+        sf,
+        "minhash_sigs_n3",
+        lambda: minhash_signatures(load_table(spark, sf, "documents")),
+    )
+
+
+def _band_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-shared LSH candidate pairs (2-row bands over the shared
+    signature table — the l03 output)."""
+    from pyspark_recs.workloads.common import shared_plan
+
+    return shared_plan(
+        spark,
+        sf,
+        "band_pairs_n3_r2",
+        lambda: lsh_candidate_pairs(_doc_sigs(spark, sf), rows_per_band=2),
+    )
+
+
+def _bench_grams5(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-shared distinct benchmark 5-gram index (Horner-fold
+    hashes of the ``doc_id % 97 = 0`` eval split) — the broadcast probe
+    side of both l32's doc-level and l64's span-level decontamination.
+    One column ``gram``; eval-split-sized, always broadcastable."""
+    from pyspark_recs.llmops.dedup import shingle_hashes
+    from pyspark_recs.workloads.common import shared_plan
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf, "documents")
+        return (
+            docs.filter(F.col("doc_id") % 97 == 0)
+            .filter(F.size(tokens(F.col("text"))) >= 5)
+            .select(
+                F.explode(shingle_hashes(F.col("text"), 5)).alias("gram")
+            )
+            .distinct()
+        )
+
+    return shared_plan(spark, sf, "bench_grams_n5_mod97", build)
+
+
+def _blocked_unigram_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-shared blocked unigram-Jaccard pair table (lang+source
+    blocking, threshold 0 — every within-block pair with its exact
+    Jaccard). l05 filters it at 0.5; l68 sweeps a threshold ladder over
+    it."""
+    from pyspark_recs.workloads.common import shared_plan
+
+    return shared_plan(
+        spark,
+        sf,
+        "blocked_jaccard_u1",
+        lambda: ngram_jaccard_pairs(
+            load_table(spark, sf, "documents"),
+            group_cols=["lang", "source"],
+            shingle_n=1,
+            threshold=0.0,
+        ),
+    )
+
+
 # --------------------------------------------------------------------- l01
 def l01_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup by content digest (generalizes A2)."""
@@ -120,8 +201,9 @@ FROM documents GROUP BY md5(text)
 
 # --------------------------------------------------------------------- l02
 def l02_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash signatures over 3-word shingles (pure projection)."""
-    return minhash_signatures(load_table(spark, sf, "documents"))
+    """MinHash signatures over 3-word shingles (pure projection;
+    session-shared with l03/l51/l61's signature consumers)."""
+    return _doc_sigs(spark, sf)
 
 
 L02_SQL = _SIGNATURES
@@ -130,9 +212,8 @@ L02_SQL = _SIGNATURES
 # --------------------------------------------------------------------- l03
 def l03_lsh_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH banding: candidate near-dup pairs via bucket
-    self-join (never all-pairs)."""
-    sigs = minhash_signatures(load_table(spark, sf, "documents"))
-    return lsh_candidate_pairs(sigs, rows_per_band=2)
+    self-join (never all-pairs; session-shared with l51)."""
+    return _band_pairs(spark, sf)
 
 
 _BAND_KEYS = ", ".join(
@@ -189,10 +270,10 @@ SELECT doc_id, CAST({_FP_SUM} AS BIGINT) AS simhash FROM v
 # --------------------------------------------------------------------- l05
 def l05_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Blocked n-gram Jaccard similarity (verification-step shape;
-    unigram sets, metadata blocking on lang+source)."""
-    docs = load_table(spark, sf, "documents")
-    return ngram_jaccard_pairs(
-        docs, group_cols=["lang", "source"], shingle_n=1, threshold=0.5
+    unigram sets, metadata blocking on lang+source). Filters the
+    session-shared threshold-0 pair table l68 also sweeps."""
+    return _blocked_unigram_pairs(spark, sf).filter(
+        F.col("jaccard") >= F.lit(0.5)
     )
 
 
@@ -623,7 +704,9 @@ def _cc_labels(spark: SparkSession, sf: str) -> DataFrame:
 
     def build() -> DataFrame:
         docs = load_table(spark, sf, "documents")
-        edges = verified_neardup_edges(docs, threshold=0.5)
+        edges = verified_neardup_edges(
+            docs, threshold=0.5, candidates=_band_pairs(spark, sf)
+        )
         return connected_components(edges, docs.select("doc_id")).select(
             F.col("node").alias("doc_id"),
             F.col("label").alias("canonical_doc_id"),
@@ -1129,11 +1212,16 @@ def l32_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Train/eval decontamination: flag corpus documents sharing any
     5-gram with the benchmark subset (doc_id % 97 = 0 stands in for the
     eval set). Broadcast semi-join over distinct benchmark grams — the
-    standard pre-release decontamination pass; see llmops/scrub.py."""
+    standard pre-release decontamination pass; see llmops/scrub.py.
+    The benchmark gram index is session-shared with l64's span pass."""
     from pyspark_recs.llmops.scrub import decontaminate
 
     docs = load_table(spark, sf, "documents")
-    return decontaminate(docs, docs.filter(F.col("doc_id") % 97 == 0))
+    return decontaminate(
+        docs,
+        docs.filter(F.col("doc_id") % 97 == 0),
+        bench_grams=_bench_grams5(spark, sf),
+    )
 
 
 L32_SQL = f"""
@@ -1425,13 +1513,17 @@ def l40_incremental_lsh(spark: SparkSession, sf: str) -> DataFrame:
     (doc_id % 3 = 0) probes the existing corpus's DISTINCT band index —
     near-dup crawl dedup whose cost is O(batch), independent of corpus
     rows (the signature-level sibling of l35's gram novelty gate). See
-    llmops/dedup.py:incremental_lsh_admit."""
+    llmops/dedup.py:incremental_lsh_admit. Both splits' signatures are
+    filters of the session-shared l02 signature table."""
     from pyspark_recs.llmops.dedup import incremental_lsh_admit
 
     docs = load_table(spark, sf, "documents")
+    sigs = _doc_sigs(spark, sf)
     return incremental_lsh_admit(
         docs.filter(F.col("doc_id") % 3 == 0),
         docs.filter(F.col("doc_id") % 3 != 0),
+        batch_sigs=sigs.filter(F.col("doc_id") % 3 == 0),
+        corpus_sigs=sigs.filter(F.col("doc_id") % 3 != 0),
     )
 
 
@@ -1886,18 +1978,16 @@ def l51_minhash_jaccard_audit(spark: SparkSession, sf: str) -> DataFrame:
     Scale: estimates need only the (id, 8 ints) signature rows for the
     CANDIDATE pairs (never all pairs); the exact side joins the
     distinct shingle-hash arrays for those same candidates only.
+    Signatures and candidate pairs ride the session-shared l02/l03
+    subplans instead of recomputing the sketch per query.
     """
-    from pyspark_recs.llmops.dedup import (
-        lsh_candidate_pairs,
-        minhash_signatures,
-        shingle_hashes,
-    )
+    from pyspark_recs.llmops.dedup import shingle_hashes
     from pyspark_recs.llmops.hashing import MINHASH_COEFFS
 
     docs = load_table(spark, sf, "documents")
     k = len(MINHASH_COEFFS)
-    sigs = minhash_signatures(docs)
-    cand = lsh_candidate_pairs(sigs, rows_per_band=2)
+    sigs = _doc_sigs(spark, sf)
+    cand = _band_pairs(spark, sf)
     sig_a = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"sig_{i}").alias(f"sa_{i}") for i in range(k)],
@@ -2623,13 +2713,19 @@ def l61_fuzzy_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     (llmops/scrub.py:fuzzy_decontaminate): flags training docs whose
     signature shares any LSH band with the eval split (doc_id % 5 = 0,
     l32's split) — catching paraphrased eval leakage the exact 5-gram
-    pass misses, at O(train bands) cost via one band-key semi-join."""
+    pass misses, at O(train bands) cost via one band-key semi-join.
+    Both splits' signatures are filters of the session-shared l02
+    signature table (MinHash is per-row, so split-then-sign equals
+    sign-then-split)."""
     from pyspark_recs.llmops.scrub import fuzzy_decontaminate
 
     docs = load_table(spark, sf, "documents")
+    sigs = _doc_sigs(spark, sf)
     return fuzzy_decontaminate(
         docs.filter(F.col("doc_id") % 5 != 0),
         docs.filter(F.col("doc_id") % 5 == 0),
+        train_sigs=sigs.filter(F.col("doc_id") % 5 != 0),
+        bench_sigs=sigs.filter(F.col("doc_id") % 5 == 0),
     )
 
 
@@ -2735,13 +2831,15 @@ def l64_decontaminate_spans(spark: SparkSession, sf: str) -> DataFrame:
     excise only the 5-token windows overlapping a benchmark 5-gram
     (same % 97 eval split as l32) and keep the rest of each document —
     per-doc removed-token audit plus a digest proving byte-identical
-    excision across engines."""
+    excision across engines. The benchmark gram index is session-shared
+    with l32's doc-level pass."""
     from pyspark_recs.llmops.scrub import decontaminate_spans
 
     docs = load_table(spark, sf, "documents")
     return decontaminate_spans(
         docs.filter(F.col("doc_id") % 97 != 0),
         docs.filter(F.col("doc_id") % 97 == 0),
+        bench_grams=_bench_grams5(spark, sf),
     )
 
 
@@ -2953,17 +3051,13 @@ def l68_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
     verification pass feeds every ladder step (pairs explode against
     the 5-value threshold array, never re-verified per step).
 
-    Scale: the pair set is the l05 block-bounded verification output;
+    Scale: the pair set is the l05 block-bounded verification output
+    (session-shared — one blocked-pair expansion feeds both queries);
     the sweep is a 5× bounded explode + two combiner-friendly
     aggregates. Jaccard is an exact small-integer division, so the
     per-step counts are engine-agreed.
     """
-    from pyspark_recs.llmops.dedup import ngram_jaccard_pairs
-
-    docs = load_table(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(
-        docs, group_cols=["lang", "source"], shingle_n=1, threshold=0.0
-    )
+    pairs = _blocked_unigram_pairs(spark, sf)
     ladder = F.array(*[F.lit(t) for t in (10, 30, 50, 70, 90)])
     e = pairs.select(
         "doc_a",

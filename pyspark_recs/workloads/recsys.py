@@ -433,6 +433,13 @@ def rs04_als_recommendations(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Oracle asserts the quality flags as literal TRUE, so the gate depends
+# on the seeded MLlib fit clearing its floor. Measured margins (Spark
+# 4.1.2, local[32], seed 42): train-hit 0.26 vs floor 0.10 at sf0.1,
+# 0.76 vs 0.10 at sf0.01 — comfortable, but partitioning-sensitive in
+# principle. RE-BASELINE these floors (re-measure the rates at each sf)
+# when bumping the Spark version or changing core counts; a failure
+# here means "fit quality moved", not "SQL drifted".
 RS04_SQL = """
 WITH inter AS (
   SELECT o_custkey AS user_id, l_partkey AS item_id
@@ -2554,6 +2561,10 @@ FROM base b
 """
 
 
+# Same floor discipline as RS04_SQL: TRUE-asserted quality flags gate
+# seeded MLlib fits. Measured margins (Spark 4.1.2, local[32], seed 7):
+# AUC 0.559 vs floor 0.52; recall@10 0.426 vs floor 0.30 at sf0.01.
+# RE-BASELINE when bumping Spark or core counts.
 RS28_SQL = f"""
 WITH tagged_orders AS (
   SELECT o_orderkey, o_custkey AS user_id,

@@ -1004,3 +1004,62 @@ def test_bpe_train_matches_pure_python_reference(spark):
         got = [tuple(r) for r in bpe_train_merges(docs, n_merges=4).collect()]
         want = ref_bpe(freqs, 4)
         assert got == want, (trial, got, want)
+
+
+def test_bpe_train_and_apply_survive_quotes_and_backslashes(spark):
+    """Regression: learned merge symbols used to be f-string-interpolated
+    into F.expr SQL, so a corpus where the best pair contains a single
+    quote (English apostrophes: don't) or a backslash (C:\\x) raised a
+    ParseException — or worse, silently mis-parsed the replace. Symbols
+    now enter as Column literals; this corpus forces both characters
+    into winning pairs."""
+    from pyspark_recs.llmops.textstats import (
+        bpe_apply_counts,
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "n't n't n't n't"),
+            (2, r"a\b a\b a\b"),
+            (3, "n't a'b"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = bpe_train_merges(docs, n_merges=3).collect()
+    assert len(merges) == 3
+    # round 1: (', t) and (n, ') both count 5; pair-asc tiebreak picks
+    # "' t" (0x27 < 'n') — an apostrophe INSIDE the applied pattern.
+    assert merges[0].pair == "' t" and merges[0].merged == "'t"
+    assert merges[1].pair == "n 't" and merges[1].merged == "n't"
+    assert any("\\" in m.pair for m in merges), "backslash pair never won"
+    out = {
+        r.doc_id: (r.n_char_symbols, r.n_bpe_symbols)
+        for r in bpe_apply_counts(docs, merges).collect()
+    }
+    # doc 1: 4 words x 3 chars = 12 char symbols; "n't" fully merges
+    # round-1 (n')+t then round-? ... at minimum one merge applied/word.
+    assert out[1][0] == 12 and out[1][1] < 12
+    assert out[2][0] == 9 and out[2][1] < 9
+
+
+def test_lsh_topk_deterministic_rejects_wrong_dimension(spark):
+    """Regression: a vector whose length differs from in_dim used to
+    silently vanish (zip_with null-padded the projection); now it is a
+    hard runtime error naming the expected dimension."""
+    import pytest
+    from pyspark_recs.llmops.similarity import lsh_topk_deterministic
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    ok = lsh_topk_deterministic(
+        emb, emb.filter("vec_id < 2"), k=2, in_dim=8
+    )
+    assert ok.count() > 0  # correct dim: works end to end
+
+    with pytest.raises(Exception, match="dimension"):
+        lsh_topk_deterministic(
+            emb, emb.filter("vec_id < 2"), k=2, in_dim=64
+        ).collect()

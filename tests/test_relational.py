@@ -533,3 +533,55 @@ def test_shared_plan_memoizes_per_session_and_sf(spark):
     # cleanup so other tests' cache-clearing assertions stay valid
     for k in [k for k in _SHARED if k[2] == "t_memo"]:
         _SHARED.pop(k).unpersist()
+
+
+def test_shared_plan_concurrent_distinct_keys_overlap(spark):
+    """Per-key locking: two threads first-building DIFFERENT keys must
+    run their builders concurrently (the old global lock serialized
+    them), while two threads racing the SAME key build it exactly
+    once. unpersist_shared() then releases every cached entry."""
+    import threading
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pyspark_recs.workloads.common import (
+        _SHARED,
+        shared_plan,
+        unpersist_shared,
+    )
+
+    inside = {"now": 0, "max": 0, "builds": 0}
+    gate = threading.Lock()
+
+    def slow_builder():
+        with gate:
+            inside["now"] += 1
+            inside["builds"] += 1
+            inside["max"] = max(inside["max"], inside["now"])
+        time.sleep(0.4)  # hold the build open so overlap is observable
+        with gate:
+            inside["now"] -= 1
+        return spark.range(3).select(F.col("id"))
+
+    threads = [
+        threading.Thread(
+            target=lambda k=k: shared_plan(spark, "sfC", k, slow_builder)
+        )
+        for k in ("t_conc_a", "t_conc_b")
+    ] + [
+        threading.Thread(
+            target=lambda: shared_plan(spark, "sfC", "t_conc_a", slow_builder)
+        )
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert inside["max"] >= 2, "distinct keys serialized behind one lock"
+    assert inside["builds"] == 2, "same key must build exactly once"
+
+    assert any(k[2].startswith("t_conc_") for k in _SHARED)
+    released = unpersist_shared(spark)
+    assert released >= 2
+    assert not any(k[2].startswith("t_conc_") for k in _SHARED)
