@@ -363,6 +363,9 @@ def decontaminate_spans(
         # Same pre-built index decontaminate() shares (column "gram").
         bench = bench_grams.select(F.col("gram").alias("g"))
 
+    # (No spread_partitions here: measured at sf0.1 the cost is the
+    # exploded-gram semi-join + collect_set shuffle, not scan-side
+    # parallelism — repartitioning the token arrays first was neutral.)
     tr = train.select("doc_id", tokens(F.col(text_col)).alias("toks"))
     # Word hashes as their own projection: inlined, the shingle_n slice
     # references would re-run the md5 transform shingle_n times per doc

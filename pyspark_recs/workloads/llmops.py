@@ -166,6 +166,39 @@ def _bench_grams5(spark: SparkSession, sf: str) -> DataFrame:
     return shared_plan(spark, sf, "bench_grams_n5_mod97", build)
 
 
+def _cand_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-shared per-doc audit profile for documents appearing in
+    any LSH candidate pair: (doc_id, sig_0..sig_7, hs) where ``hs`` is
+    the distinct 3-shingle hash set. CANDIDATE-BOUNDED (one row per doc
+    in the sparse pair table), so caching and broadcasting it stays
+    cheap at any scale where pair-level auditing is tractable at all.
+    The heavy shingle hashing runs once per session, only for candidate
+    docs."""
+    from pyspark_recs.io.loaders import spread_partitions
+    from pyspark_recs.llmops.dedup import shingle_hashes
+    from pyspark_recs.workloads.common import shared_plan
+
+    def build() -> DataFrame:
+        cand = _band_pairs(spark, sf)
+        cand_ids = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        docs = spread_partitions(
+            load_table(spark, sf, "documents").join(
+                F.broadcast(cand_ids), "doc_id", "left_semi"
+            )
+        )
+        grams = docs.filter(F.size(tokens(F.col("text"))) >= 3).select(
+            "doc_id",
+            F.array_distinct(shingle_hashes(F.col("text"))).alias("hs"),
+        )
+        return _doc_sigs(spark, sf).join(grams, "doc_id")
+
+    return shared_plan(spark, sf, "cand_doc_profile_n3", build)
+
+
 def _blocked_unigram_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Session-shared blocked unigram-Jaccard pair table (lang+source
     blocking, threshold 0 — every within-block pair with its exact
@@ -1981,19 +2014,26 @@ def l51_minhash_jaccard_audit(spark: SparkSession, sf: str) -> DataFrame:
     Signatures and candidate pairs ride the session-shared l02/l03
     subplans instead of recomputing the sketch per query.
     """
-    from pyspark_recs.llmops.dedup import shingle_hashes
     from pyspark_recs.llmops.hashing import MINHASH_COEFFS
 
-    docs = load_table(spark, sf, "documents")
     k = len(MINHASH_COEFFS)
-    sigs = _doc_sigs(spark, sf)
     cand = _band_pairs(spark, sf)
-    sig_a = sigs.select(
+    # Candidate-doc profile (signatures + exact shingle-hash set), one
+    # row per doc that appears in any candidate pair — session-shared
+    # and CANDIDATE-BOUNDED: banding keeps candidates sparse, so
+    # hashing the whole corpus again for the audit was pure waste, and
+    # the profile is small enough to broadcast at any scale where the
+    # audit itself is tractable. The query is then one broadcast-join
+    # stage over the pair table: zero shuffles after the build.
+    prof = _cand_doc_profile(spark, sf)
+    sig_a = prof.select(
         F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("ha"),
         *[F.col(f"sig_{i}").alias(f"sa_{i}") for i in range(k)],
     )
-    sig_b = sigs.select(
+    sig_b = prof.select(
         F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hb"),
         *[F.col(f"sig_{i}").alias(f"sb_{i}") for i in range(k)],
     )
     matches = sum(
@@ -2003,16 +2043,9 @@ def l51_minhash_jaccard_audit(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.lit(0),
     )
-    grams = docs.filter(F.size(tokens(F.col("text"))) >= 3).select(
-        "doc_id", F.array_distinct(shingle_hashes(F.col("text"))).alias("hs")
-    )
-    g_a = grams.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
-    g_b = grams.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
     return (
-        cand.join(sig_a, "doc_a")
-        .join(sig_b, "doc_b")
-        .join(g_a, "doc_a")
-        .join(g_b, "doc_b")
+        cand.join(F.broadcast(sig_a), "doc_a")
+        .join(F.broadcast(sig_b), "doc_b")
         .select(
             "doc_a",
             "doc_b",

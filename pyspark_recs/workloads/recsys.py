@@ -2599,6 +2599,225 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM inter) AS n_train_pos,
 """
 
 
+# --------------------------------------------------------------------- rs30
+def _ens_als_factors(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-shared ALS factor table trained on the leave-one-out
+    TRAIN split (rank 16, 5 iters, seed 42) — the retriever half of the
+    rs30 ensemble, stored as one (side, id, features) frame so a single
+    fit serves both towers. Aggregate-sized: (users+items) × 16
+    floats."""
+    from pyspark_recs.model.retrieval import train_als
+
+    def build() -> DataFrame:
+        model = train_als(
+            _holdout_train_inter(spark, sf), rank=16, max_iter=5, seed=42
+        )
+        return model.userFactors.select(
+            F.lit("u").alias("side"), "id", "features"
+        ).unionByName(
+            model.itemFactors.select(
+                F.lit("i").alias("side"), "id", "features"
+            )
+        )
+
+    return shared_plan(spark, sf, "ens_als_factors", build)
+
+
+def rs30_ensemble_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL SERVING-STACK ensemble, end to end — the complete analog of
+    the reference DAG (my_merlin_flow.py:265-537: retrieve → rank →
+    top-k → metric): ALS retrieval scores (rs04's model family) and the
+    rs28 trained content ranker each rank the SAME per-user candidate
+    sets (held-out items ∪ 99 deterministic hash negatives — the rs27
+    sampled protocol; 20 negatives saturates hit@10 and drowns the
+    ensemble signal in ceiling effects), their top-10 lists fuse via
+    rs26's exact integer reciprocal-rank rule, and the fused top-10 is
+    scored against the rs24 leave-one-out holdout.
+
+    r50/rs04-style bracket row: the PROTOCOL numbers are oracle-exact —
+    ``n_eval_users`` (holdout users with train history) and
+    ``n_candidates`` (their md5-derived candidate rows) re-derive in
+    SQL from the same split + negative formula. Three flags gate the
+    float fits: ``k_per_user_ok`` (every user got exactly
+    least(10, n_candidates) fused rows) and the ensemble-quality claim
+    ``ens_hit_ge_als`` / ``ens_hit_ge_content`` — fused hit@10 must
+    match or beat BOTH sources. Measured (Spark 4.1.2, local[32],
+    seeds 42): sf0.001 ens .6463 = ALS .6463 > content .5238;
+    sf0.01 ens .3529 > ALS .3509 > content .3386; sf0.1 ens .3337 >
+    content .3315 > ALS .3311 — consistent but THIN margins (3 users
+    at sf0.01), so re-baseline on Spark/core-count bumps, same
+    discipline as RS04_SQL.
+
+    Scale: every stage is the bounded shape of its parent — candidate
+    sets are O(users · 21) not users × catalog, ALS scoring is a factor
+    join (no GEMM against the catalog), fusion is a union + map-side
+    sum, and the only full-width aggregates are per-user counts."""
+    from pyspark_recs.model.content import (
+        build_content_training_data,
+        score_candidates,
+        train_content_model,
+    )
+
+    data = build_content_training_data(spark, sf, n_neg_eval=99)
+    test_items = _holdout_test_items(spark, sf)
+    eval_users = (
+        test_items.select("user_id")
+        .distinct()
+        .join(
+            _holdout_train_inter(spark, sf).select("user_id").distinct(),
+            "user_id",
+            "left_semi",
+        )
+    )
+    cands = data.eval_candidates.join(
+        F.broadcast(eval_users), "user_id", "left_semi"
+    )
+
+    # Ranker source: rs28's trained LR over content features.
+    assembler, model = train_content_model(data.train, max_iter=10)
+    content_r = score_candidates(assembler, model, cands, k=10)
+
+    # Retriever source: ALS inner-product scores over the SAME
+    # candidate sets (cold items with no factor rank last,
+    # deterministically by item_id).
+    fac = _ens_als_factors(spark, sf)
+    uf = fac.filter(F.col("side") == "u").select(
+        F.col("id").alias("user_id"), F.col("features").alias("uvec")
+    )
+    itf = fac.filter(F.col("side") == "i").select(
+        F.col("id").alias("item_id"), F.col("features").alias("ivec")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "uvec", "ivec", lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_als = Window.partitionBy("user_id").orderBy(
+        F.desc_nulls_last("als_score"), F.asc("item_id")
+    )
+    als_r = (
+        cands.select("user_id", "item_id")
+        .join(uf, "user_id", "left")
+        .join(F.broadcast(itf), "item_id", "left")
+        .withColumn("als_score", dot)
+        .withColumn("rank", F.row_number().over(w_als))
+        .filter(F.col("rank") <= 10)
+        .select("user_id", "item_id", "rank")
+    )
+
+    # rs26's RRF: exact integer reciprocals, engine-agreed ordering.
+    fused = (
+        als_r.unionByName(content_r)
+        .withColumn("rr_q", F.expr("1000000000L div (60L + rank)"))
+        .groupBy("user_id", "item_id")
+        .agg(F.sum("rr_q").alias("rrf_q"))
+    )
+    w_f = Window.partitionBy("user_id").orderBy(
+        F.desc("rrf_q"), F.asc("item_id")
+    )
+    ens = (
+        fused.withColumn("frank", F.row_number().over(w_f))
+        .filter(F.col("frank") <= 10)
+        .select("user_id", "item_id")
+    )
+
+    t = test_items.withColumn("t", F.lit(1))
+
+    def _hits(recs: DataFrame, name: str) -> DataFrame:
+        return (
+            recs.join(t, ["user_id", "item_id"], "left")
+            .groupBy("user_id")
+            .agg(F.max(F.col("t").isNotNull()).alias(name))
+        )
+
+    peru = (
+        eval_users.join(
+            _hits(als_r.select("user_id", "item_id"), "hit_als"),
+            "user_id",
+            "left",
+        )
+        .join(
+            _hits(content_r.select("user_id", "item_id"), "hit_content"),
+            "user_id",
+            "left",
+        )
+        .join(_hits(ens, "hit_ens"), "user_id", "left")
+        .join(
+            cands.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_cand")),
+            "user_id",
+            "left",
+        )
+        .join(
+            ens.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ens")),
+            "user_id",
+            "left",
+        )
+    )
+    return peru.agg(
+        F.count(F.lit(1)).alias("n_eval_users"),
+        F.sum("n_cand").alias("n_candidates"),
+        F.min(
+            F.col("n_ens") == F.least(F.lit(10), F.col("n_cand"))
+        ).alias("k_per_user_ok"),
+        F.sum(F.col("hit_als").cast("long")).alias("ha"),
+        F.sum(F.col("hit_content").cast("long")).alias("hc"),
+        F.sum(F.col("hit_ens").cast("long")).alias("he"),
+    ).select(
+        "n_eval_users",
+        "n_candidates",
+        "k_per_user_ok",
+        (F.col("he") >= F.col("ha")).alias("ens_hit_ge_als"),
+        (F.col("he") >= F.col("hc")).alias("ens_hit_ge_content"),
+    )
+
+
+# Floor discipline: see RS04_SQL's comment. The two ensemble flags are
+# the rs30 quality gate; measured margins live in the rs30 docstring.
+RS30_SQL = f"""
+WITH tagged_orders AS (
+  SELECT o_orderkey, o_custkey AS user_id,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+           AS is_test
+  FROM orders),
+tagged AS (
+  SELECT t.user_id, l.l_partkey AS item_id, t.is_test
+  FROM lineitem l JOIN tagged_orders t ON l.l_orderkey = t.o_orderkey),
+test_items AS (
+  SELECT DISTINCT user_id, item_id FROM tagged WHERE is_test),
+inter AS (
+  SELECT user_id, item_id FROM tagged WHERE NOT is_test
+  GROUP BY user_id, item_id),
+eu AS (
+  SELECT DISTINCT t.user_id FROM test_items t
+  SEMI JOIN inter i ON t.user_id = i.user_id),
+mx AS (SELECT max(p_partkey) AS n_items FROM part),
+eval_neg AS (
+  SELECT DISTINCT c.user_id, c.item_id FROM (
+    SELECT u.user_id,
+           ({sql_md5_long(
+               "'eval_' || CAST(u.user_id AS VARCHAR) || '_'"
+               " || CAST(s.sample_idx AS VARCHAR)")})
+             % m.n_items + 1 AS item_id
+    FROM (SELECT DISTINCT user_id FROM inter) u
+    CROSS JOIN (SELECT unnest(range(0, 99)) AS sample_idx) s
+    CROSS JOIN mx m) c
+  ANTI JOIN inter i ON c.user_id = i.user_id AND c.item_id = i.item_id),
+cand AS (
+  SELECT user_id, item_id FROM test_items
+  UNION
+  SELECT user_id, item_id FROM eval_neg),
+ec AS (SELECT c.user_id FROM cand c SEMI JOIN eu ON c.user_id = eu.user_id)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM eu) AS n_eval_users,
+       (SELECT CAST(count(*) AS BIGINT) FROM ec) AS n_candidates,
+       TRUE AS k_per_user_ok,
+       TRUE AS ens_hit_ge_als,
+       TRUE AS ens_hit_ge_content
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -2629,6 +2848,7 @@ QUERIES = {
     "rs27_sampled_metrics_bias": rs27_sampled_metrics_bias,
     "rs28_content_model_eval": rs28_content_model_eval,
     "rs29_markov_next_item_eval": rs29_markov_next_item_eval,
+    "rs30_ensemble_eval": rs30_ensemble_eval,
 }
 
 ORACLE = {
@@ -2661,4 +2881,5 @@ ORACLE = {
     "rs27_sampled_metrics_bias": RS27_SQL,
     "rs28_content_model_eval": RS28_SQL,
     "rs29_markov_next_item_eval": RS29_SQL,
+    "rs30_ensemble_eval": RS30_SQL,
 }

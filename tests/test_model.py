@@ -279,3 +279,19 @@ def test_content_grid_search_selects_best_reg(spark):
     # a crushing regularization (10.0) flattens the model toward the
     # intercept and must not win over the unregularized fits
     assert results[0]["reg_param"] != 10.0
+
+
+def test_rs30_ensemble_bracket_flags_hold(spark):
+    """End-to-end serving-stack ensemble (rs30): at sf0.001 the bracket
+    row's protocol counts are positive and every quality flag holds —
+    the fused top-10 matches or beats both sources and each user got
+    exactly least(10, n_candidates) fused rows. This is the full
+    retrieve -> rank -> fuse -> top-k -> metric DAG in one query."""
+    from pyspark_recs.workloads.recsys import rs30_ensemble_eval
+
+    row = rs30_ensemble_eval(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n_eval_users > 100
+    assert row.n_candidates > row.n_eval_users * 50  # ~99 negs + holdout
+    assert row.k_per_user_ok
+    assert row.ens_hit_ge_als
+    assert row.ens_hit_ge_content

@@ -1162,3 +1162,94 @@ def test_streaming_drift_monitor_parity_on_real_events_table(
         for r in s16_value_drift(spark, sf).collect()
     }
     assert streamed == batch  # bit-exact, every event type
+
+
+def test_stateful_midstream_crash_same_checkpoint_exactly_once(
+    spark, tmp_path_factory, tmp_path
+):
+    """MID-STREAM kill + SAME-checkpoint resume for the stateful
+    sessionizer — the exactly-once claim under FAILURE, not just the
+    clean-restart case above: run 1 commits its first micro-batch, then
+    the sink raises AFTER the stateful work of the second batch already
+    executed (state-store writes exist but the batch never commits).
+    The resume from the same checkpoint must replay exactly that batch
+    against the last COMMITTED state — final per-user session/event
+    counts equal the single-pass fold over all events, with nothing
+    lost and nothing double-counted."""
+    import datetime as dt
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from pyspark_recs.streaming import streaming_sessionize
+
+    src = str(tmp_path_factory.mktemp("crash_events"))
+    schema = (
+        "event_id long, ts timestamp, event_type string,"
+        " value double, user_id long"
+    )
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+    # file 1: u7 two events 10 min apart (1 session) + a second session
+    #         50 min later; u8 one event.
+    write_batch(
+        [
+            (1, t0, "click", 1.0, 7),
+            (2, t0 + 10 * m, "click", 1.0, 7),
+            (3, t0 + 60 * m, "click", 1.0, 7),
+            (4, t0, "view", 1.0, 8),
+        ]
+    )
+    # file 2: u7 continues session 2 (+5 min) then opens session 3
+    #         (2 h later); u8 opens session 2.
+    write_batch(
+        [
+            (5, t0 + 65 * m, "click", 1.0, 7),
+            (6, t0 + 180 * m, "click", 1.0, 7),
+            (7, t0 + 120 * m, "view", 1.0, 8),
+        ]
+    )
+
+    ckpt = str(tmp_path / "crash_ckpt")
+    emitted: dict = {}
+
+    def run(crash_from_batch):
+        def sink(batch_df, batch_id):
+            rows = batch_df.collect()  # stateful work RUNS before the crash
+            if batch_id >= crash_from_batch:
+                raise RuntimeError("injected mid-stream crash")
+            for r in rows:
+                emitted[r.user_id] = (r.n_sessions, r.n_events)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)  # force 2 micro-batches
+            .parquet(src)
+        )
+        q = (
+            streaming_sessionize(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    import pytest as _pytest
+
+    with _pytest.raises(StreamingQueryException, match="injected"):
+        run(crash_from_batch=1)
+    # batch 0 committed before the crash: partial totals visible
+    assert emitted[7] == (2, 3) and emitted[8] == (1, 1)
+
+    run(crash_from_batch=99)  # resume, no crash this time
+    # exactly-once after replay: the failed batch's state writes were
+    # not committed, so its replay must not double-count sessions.
+    assert emitted[7] == (3, 5)
+    assert emitted[8] == (2, 2)
