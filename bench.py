@@ -158,6 +158,8 @@ HEADLINE = [
     "r88_important_stock",
     "rs29_markov_next_item_eval",
     "l73_bpe_apply",
+    # round-5 additions: two-tower real-tensor alignment
+    "l74_two_tower_align",
 ]
 
 

@@ -29,6 +29,11 @@ _WEIGHTS_PATH = os.path.join(
     "models",
     "tiny_mlp_encoder.npz",
 )
+_TEXT_WEIGHTS_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "models",
+    "tiny_text_encoder.npz",
+)
 
 
 class TinyMLPEncoder:
@@ -40,12 +45,21 @@ class TinyMLPEncoder:
     sample ``in_dim`` bytes of the payload and scale to [0, 1] (the
     byte-level analog of downsampling pixels), then run the real
     forward pass — float32 matmul, tanh, matmul, L2 normalize — over
-    the whole batch at once. Payloads shorter than ``in_dim`` bytes are
-    rejected (``None``), matching ``tiny_image_encoder``'s dead-letter
-    rule.
+    the whole batch at once. With the default ``pad_mode="reject"``,
+    payloads shorter than ``in_dim`` bytes are rejected (``None``),
+    matching ``tiny_image_encoder``'s dead-letter rule;
+    ``pad_mode="cycle"`` instead tiles short payloads to ``in_dim``
+    bytes (the analog of upsampling a small image), so URL-sized and
+    prompt-sized inputs encode too — only empty payloads reject.
     """
 
-    def __init__(self, weights_path: str = _WEIGHTS_PATH) -> None:
+    def __init__(
+        self,
+        weights_path: str = _WEIGHTS_PATH,
+        pad_mode: str = "reject",
+    ) -> None:
+        if pad_mode not in ("reject", "cycle"):
+            raise ValueError(f"unknown pad_mode: {pad_mode!r}")
         w = np.load(weights_path)
         self.w1 = w["w1"]
         self.b1 = w["b1"]
@@ -53,11 +67,17 @@ class TinyMLPEncoder:
         self.b2 = w["b2"]
         self.in_dim = int(self.w1.shape[0])
         self.out_dim = int(self.w2.shape[1])
+        self.pad_mode = pad_mode
 
     def _prep(self, payload) -> np.ndarray | None:
         n = len(payload)
         if n < self.in_dim:
-            return None
+            if self.pad_mode == "reject" or n == 0:
+                return None
+            arr = np.resize(
+                np.frombuffer(bytes(payload), dtype=np.uint8), self.in_dim
+            )
+            return arr.astype(np.float32) / np.float32(255.0)
         stride = n // self.in_dim
         idx = np.arange(self.in_dim) * stride
         arr = np.frombuffer(bytes(payload), dtype=np.uint8)[idx]
@@ -81,3 +101,28 @@ class TinyMLPEncoder:
             for j, i in enumerate(keep):
                 out[i] = [float(v) for v in y[j]]
         return out
+
+
+class TinyTextEncoder(TinyMLPEncoder):
+    """The TEXT tower of the two-tower pair (reference: CLIP's text
+    encoder next to its image encoder, app_utils.py:10-26): a
+    64 -> 64 tanh -> 16 MLP with the same Arrow-batch contract as
+    :class:`TinyMLPEncoder`, but with its OWN trained checkpoint
+    (``models/tiny_text_encoder.npz``) projecting prompt bytes into
+    the image tower's 16-dim space, and cycle padding so short prompts
+    encode.
+
+    The checkpoint is DISTILLED (tools/train_text_tower.py, seeded
+    numpy Adam, no network): prompts ``"photo of asset <id>"`` are
+    trained to land on the image tower's embedding of asset <id>'s
+    payload, and the fit GENERALIZES to held-out ids (ids = 0 mod 7
+    never seen in training; matched cosine ~0.999 mean on them). What
+    the sandbox cannot provide is CLIP's open-vocabulary semantics —
+    the synthetic asset bytes are hash-like in the id, so matched
+    alignment (absolute cosine above the image-cloud baseline) is the
+    strongest honestly-verifiable cross-tower property here; swapping
+    in real CLIP towers changes only the two checkpoints.
+    """
+
+    def __init__(self, weights_path: str = _TEXT_WEIGHTS_PATH) -> None:
+        super().__init__(weights_path=weights_path, pad_mode="cycle")

@@ -3395,6 +3395,95 @@ def _l73_sql() -> str:
 L73_SQL = _l73_sql()
 
 
+# --------------------------------------------------------------------- l74
+def l74_two_tower_align(spark: SparkSession, sf: str) -> DataFrame:
+    """TWO-TOWER cross-modal encoding with REAL tensors on BOTH sides
+    (M7, closing l30's remaining stub half — reference CLIP text+image
+    towers, app_utils.py:10-26): asset payloads go through the image
+    tower (``TinyMLPEncoder``, shipped npz, cycle prep) and the paired
+    prompts ``"photo of asset <id>"`` through the DISTILLED text tower
+    (``TinyTextEncoder``, its own trained npz, tools/
+    train_text_tower.py) — two genuine float32 forward passes over the
+    same Arrow ``mapInPandas`` seam, no network at any point.
+
+    r50-style bracket row. Oracle-exact: ``n_pairs`` (fetch-surviving
+    docs). Flags gating the tensors: ``unit_norm_ok``/``dim_ok`` (a
+    broken forward pass loses both) and the LEARNED-distillation claim
+    ``matched_mean_ge_099`` — mean matched cosine ≥ 0.99, which ONLY a
+    trained text tower clears (measured 0.9949 at 500 docs / 0.9994 at
+    5000; the best possible CONSTANT tower — the image-cloud center —
+    reaches 0.9785 and a random tower ~0.08; see
+    tools/train_text_tower.py for the calibration, including why
+    margin-vs-mismatch statistics were rejected as noise-dominated).
+    Open-vocabulary rank-1 retrieval is NOT claimed: the synthetic
+    asset bytes are hash-like in the id (image embeddings
+    near-collinear), which is exactly the gap real CLIP checkpoints
+    would close through this same two-checkpoint seam.
+
+    Scale: encoders run batched per Arrow batch, payloads never
+    shuffle; the only non-projection step is one (id, 16-float)
+    equi-join."""
+    from pyspark_recs.llmops.encoder import TinyMLPEncoder, TinyTextEncoder
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    images = encode_payloads(
+        fetch_payloads(synthesize_image_urls(docs)).filter(
+            F.col("status") == "ok"
+        ),
+        encoder=TinyMLPEncoder(pad_mode="cycle"),
+    )
+    prompts = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("photo of asset "), F.col("doc_id").cast("string")
+            ),
+            "utf-8",
+        ).alias("payload"),
+    )
+    texts = encode_payloads(prompts, encoder=TinyTextEncoder())
+
+    tv = texts.select("doc_id", F.col("embedding").alias("tv"))
+    iv = images.select(
+        F.col("doc_id").alias("img_id"), F.col("embedding").alias("iv")
+    )
+    dot = F.aggregate(
+        F.zip_with("tv", "iv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sumsq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+    )
+    matched = tv.join(iv, tv.doc_id == iv.img_id).select(
+        dot.alias("cm"),
+        (F.size("tv") == 16).alias("tdim"),
+        (F.size("iv") == 16).alias("idim"),
+        (F.abs(F.lit(1.0) - sumsq("tv")) < 1e-5).alias("tn"),
+        (F.abs(F.lit(1.0) - sumsq("iv")) < 1e-5).alias("inorm"),
+    )
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.avg("cm").alias("mean_cm"),
+        F.min(F.col("tdim") & F.col("idim")).alias("dim_ok"),
+        F.min(F.col("tn") & F.col("inorm")).alias("unit_norm_ok"),
+    ).select(
+        "n_pairs",
+        "dim_ok",
+        "unit_norm_ok",
+        (F.col("mean_cm") >= 0.99).alias("matched_mean_ge_099"),
+    )
+
+
+L74_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       TRUE AS dim_ok,
+       TRUE AS unit_norm_ok,
+       TRUE AS matched_mean_ge_099
+FROM documents WHERE doc_id % 13 <> 0
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -3469,6 +3558,7 @@ QUERIES = {
     "l71_bpe_train": l71_bpe_train,
     "l72_intra_doc_repetition": l72_intra_doc_repetition,
     "l73_bpe_apply": l73_bpe_apply,
+    "l74_two_tower_align": l74_two_tower_align,
 }
 
 ORACLE = {
@@ -3545,4 +3635,5 @@ ORACLE = {
     "l71_bpe_train": L71_SQL,
     "l72_intra_doc_repetition": L72_SQL,
     "l73_bpe_apply": L73_SQL,
+    "l74_two_tower_align": L74_SQL,
 }

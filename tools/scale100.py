@@ -1,0 +1,245 @@
+"""100x spill validation (SCALING.md §100x): replicate the sf0.1 fact
+tables 100x (lineitem ≈ 60 M rows), run the headline join/agg queries
+under the standard 8 GiB driver heap, and verify the two promises the
+engine makes at scale:
+
+1. **Spill, don't die** — with 60 M-row shuffles on a bounded heap the
+   shuffle/aggregate/sort paths must engage their external (spilling)
+   implementations and complete. Spill volumes are read from the Spark
+   event log (TaskEnd metrics: memory/disk bytes spilled, shuffle
+   bytes written, peak execution memory), attributed per query via job
+   groups.
+2. **Bit-identical results under re-partitioning** — every query is
+   executed at two different ``spark.sql.shuffle.partitions`` settings
+   (32 and 13) and the full-row xxhash64 checksum must match exactly:
+   the fixed-point aggregate design means partitioning, AQE decisions
+   and spill behavior can never change a result.
+
+Usage: python tools/scale100.py [--rebuild] [--markdown]
+Scratch dir: $SPARK_GRAFT_SCALE100_DIR (default /tmp/spark_graft_scale100).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC_SF = "/root/testdata/sf0.1"
+REPLICAS = 100
+KEY_SHIFT = 10_000_000  # > max o_orderkey at sf0.1
+
+# Join/agg-heavy, fact-table-driven headliners: scan-agg, 3-way join,
+# window-per-key, top-k, distribution agg, join-reorder, semi-join,
+# fact⋈fact profit, interaction assembly, capped co-occurrence.
+QUERIES_100X = [
+    "r01_pricing_summary",
+    "r10_three_way_join",
+    "r11_per_part_avg_price",
+    "r14_topk_per_customer",
+    "r44_custdist",
+    "r54_nation_trade",
+    "r77_returned_customers",
+    "r86_product_type_profit",
+    "rs01_interactions",
+    "rs05_item_cooccurrence",
+]
+PARTITION_SETTINGS = (32, 13)
+
+
+def build_scratch(scale_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from pyspark_recs.io import load_table
+    from pyspark_recs.io.loaders import TABLES
+    from pyspark_recs.session import get_spark
+
+    spark = get_spark("scale100-build")
+    os.makedirs(scale_dir, exist_ok=True)
+    for name in ("lineitem", "orders"):
+        df = load_table(spark, SRC_SF, name)
+        key = "l_orderkey" if name == "lineitem" else "o_orderkey"
+        replicas = df.crossJoin(
+            spark.range(REPLICAS).select(F.col("id").alias("_rep"))
+        ).withColumn(key, F.col(key) + F.col("_rep") * F.lit(KEY_SHIFT))
+        # Repartition the write so the scan side starts from many splits
+        # (a 60 M-row table arriving as 2-3 files would serialize scans).
+        replicas.drop("_rep").repartition(64).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(scale_dir, f"{name}.parquet"))
+    for name in TABLES:
+        if name in ("lineitem", "orders"):
+            continue
+        src = os.path.join(SRC_SF, f"{name}.parquet")
+        dst = os.path.join(scale_dir, f"{name}.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(src, dst)
+    spark.stop()
+
+
+def parse_event_log(log_dir: str) -> dict:
+    """Aggregate TaskEnd metrics per job group from the event log:
+    {group: {mem_spill, disk_spill, shuffle_write, peak_exec_mem}}."""
+    stage_group: dict[int, str] = {}
+    agg: dict[str, dict] = {}
+    for fname in os.listdir(log_dir):
+        path = os.path.join(log_dir, fname)
+        if not os.path.isfile(path):
+            continue
+        with open(path) as f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                kind = ev.get("Event")
+                if kind == "SparkListenerJobStart":
+                    group = (ev.get("Properties") or {}).get(
+                        "spark.jobGroup.id"
+                    )
+                    if group:
+                        for si in ev.get("Stage Infos", []):
+                            stage_group[si["Stage ID"]] = group
+                elif kind == "SparkListenerTaskEnd":
+                    group = stage_group.get(ev.get("Stage ID"))
+                    if not group:
+                        continue
+                    tm = ev.get("Task Metrics") or {}
+                    d = agg.setdefault(
+                        group,
+                        {
+                            "mem_spill": 0,
+                            "disk_spill": 0,
+                            "shuffle_write": 0,
+                            "peak_exec_mem": 0,
+                        },
+                    )
+                    d["mem_spill"] += tm.get("Memory Bytes Spilled", 0)
+                    d["disk_spill"] += tm.get("Disk Bytes Spilled", 0)
+                    d["shuffle_write"] += (
+                        tm.get("Shuffle Write Metrics") or {}
+                    ).get("Shuffle Bytes Written", 0)
+                    d["peak_exec_mem"] = max(
+                        d["peak_exec_mem"],
+                        tm.get("Peak Execution Memory", 0),
+                    )
+    return agg
+
+
+def main() -> None:
+    scale_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE100_DIR", "/tmp/spark_graft_scale100"
+    )
+    rebuild = "--rebuild" in sys.argv
+    if rebuild or not os.path.exists(
+        os.path.join(scale_dir, "lineitem.parquet")
+    ):
+        build_scratch(scale_dir)
+
+    log_dir = os.path.join(scale_dir, "eventlog")
+    if os.path.isdir(log_dir):
+        shutil.rmtree(log_dir)
+    os.makedirs(log_dir, exist_ok=True)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from pyspark_recs.session import apply_runtime_confs
+    from pyspark_recs.workloads import QUERIES
+    from pyspark_recs.workloads.common import unpersist_shared
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = apply_runtime_confs(
+        SparkSession.builder.appName("scale100")
+        .master(f"local[{cpus}]")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", f"file://{log_dir}")
+        # plain single-file JSON log so the spill parser below can read
+        # it without zstd/rolling handling
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
+        .getOrCreate()
+    )
+    sc = spark.sparkContext
+
+    def run_checksum(name: str, parts: int):
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        sc.setJobGroup(f"{name}@p{parts}", name)
+        t0 = time.perf_counter()
+        row = (
+            QUERIES[name](spark, scale_dir)
+            .select(F.expr("bit_xor(xxhash64(struct(*)))").alias("c"))
+            .collect()
+        )
+        sec = time.perf_counter() - t0
+        sc.setJobGroup("idle", "idle")
+        return row[0].c, round(sec, 2)
+
+    results: dict[str, dict] = {}
+    mismatches = []
+    for name in QUERIES_100X:
+        c_a, t_a = run_checksum(name, PARTITION_SETTINGS[0])
+        c_b, t_b = run_checksum(name, PARTITION_SETTINGS[1])
+        if c_a != c_b:
+            mismatches.append(name)
+        results[name] = {
+            "sec_p32": t_a,
+            "sec_p13": t_b,
+            "checksum_match": c_a == c_b,
+        }
+
+    unpersist_shared(spark)
+    spark.stop()  # flush the event log before parsing
+
+    metrics = parse_event_log(log_dir)
+    gib = 1024**3
+    for name in QUERIES_100X:
+        m = metrics.get(f"{name}@p{PARTITION_SETTINGS[0]}", {})
+        results[name].update(
+            {
+                "mem_spill_gib": round(m.get("mem_spill", 0) / gib, 2),
+                "disk_spill_gib": round(m.get("disk_spill", 0) / gib, 2),
+                "shuffle_write_gib": round(
+                    m.get("shuffle_write", 0) / gib, 2
+                ),
+                "peak_exec_mem_gib": round(
+                    m.get("peak_exec_mem", 0) / gib, 2
+                ),
+            }
+        )
+
+    out = {
+        "metric": "scale100_validation",
+        "replicas": REPLICAS,
+        "lineitem_rows": 600_000 * REPLICAS,
+        "all_checksums_partition_invariant": not mismatches,
+        "checksum_mismatches": mismatches,
+        "queries": results,
+    }
+    print(json.dumps(out))
+    if "--markdown" in sys.argv:
+        lines = [
+            "| query | p=32 (s) | p=13 (s) | checksum match |"
+            " mem spill (GiB) | disk spill (GiB) | shuffle write (GiB) |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for name, r in results.items():
+            lines.append(
+                f"| {name} | {r['sec_p32']} | {r['sec_p13']} |"
+                f" {'yes' if r['checksum_match'] else 'NO'} |"
+                f" {r['mem_spill_gib']} | {r['disk_spill_gib']} |"
+                f" {r['shuffle_write_gib']} |"
+            )
+        print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
