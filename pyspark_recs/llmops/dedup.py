@@ -204,6 +204,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.05,
+    with_sets: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram Jaccard similarity over candidate pairs within blocking
     groups (here: metadata blocks; in the full pipeline: LSH buckets).
@@ -220,12 +221,16 @@ def ngram_jaccard_pairs(
     AQE-coalesced back to one partition because the shuffle is only a
     few MB — AQE optimizes bytes, not CPU-per-row; measured 6.8 s →
     0.9 s at sf0.1). At rest, the same partitioning is the co-location
-    you'd bucket for."""
-    with_sets = df.select(
-        *group_cols,
-        F.col("doc_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("grams"),
-    ).repartition(32, *[F.col(g) for g in group_cols])
+    you'd bucket for. ``with_sets`` (columns: group_cols + doc_id +
+    grams, e.g. a session-shared shingle-set table) skips
+    re-shingling."""
+    if with_sets is None:
+        with_sets = df.select(
+            *group_cols,
+            F.col("doc_id"),
+            word_shingles(F.col(text_col), shingle_n).alias("grams"),
+        )
+    with_sets = with_sets.repartition(32, *[F.col(g) for g in group_cols])
     a = with_sets.alias("a")
     b = with_sets.alias("b")
     cond = (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -251,6 +256,7 @@ def containment_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold_ppm: int = 600_000,
+    with_sets: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC containment C(A,B) = |A∩B| / |A| over blocked
     candidate pairs — the subsumption test Jaccard misses: a short doc
@@ -266,13 +272,16 @@ def containment_pairs(
     — equi-join on the block key, quadratic only within blocks, set
     ops JVM-side on bounded gram arrays, block-key repartition so the
     pair work parallelizes instead of collapsing onto one broadcast
-    task.
+    task. ``with_sets`` (columns: group_cols + doc_id + grams, e.g. a
+    session-shared shingle-set table) skips re-shingling.
     """
-    with_sets = df.select(
-        *group_cols,
-        F.col("doc_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("grams"),
-    ).repartition(32, *[F.col(g) for g in group_cols])
+    if with_sets is None:
+        with_sets = df.select(
+            *group_cols,
+            F.col("doc_id"),
+            word_shingles(F.col(text_col), shingle_n).alias("grams"),
+        )
+    with_sets = with_sets.repartition(32, *[F.col(g) for g in group_cols])
     a = with_sets.alias("a")
     b = with_sets.alias("b")
     cond = F.col("a.doc_id") < F.col("b.doc_id")
@@ -309,21 +318,25 @@ def verified_neardup_edges(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate generation + verification halves of the near-dup
     pipeline: LSH banding proposes pairs, exact shingle-set Jaccard
     confirms them. Only candidate pairs are ever scored — the all-pairs
     quadratic never materializes. ``candidates`` lets callers supply a
     pre-materialized (doc_a, doc_b) LSH pair table (the l03 output)
-    instead of re-banding."""
+    instead of re-banding; ``shingle_sets`` a (doc_id, grams) table
+    instead of re-shingling."""
     cand = candidates
     if cand is None:
         cand = lsh_candidate_pairs(
             minhash_signatures(df, text_col, shingle_n), rows_per_band
         )
-    sets = df.select(
-        "doc_id", word_shingles(F.col(text_col), shingle_n).alias("grams")
-    )
+    sets = shingle_sets
+    if sets is None:
+        sets = df.select(
+            "doc_id", word_shingles(F.col(text_col), shingle_n).alias("grams")
+        )
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
     jac = (

@@ -184,34 +184,26 @@ def embedding_neardup_pairs(
     ).filter(F.col("cos_sim") >= threshold)
 
 
-def semantic_dedup(
+def assign_cells(
     vectors: DataFrame,
-    threshold: float = 0.9,
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
-    embedding space, then call two corpus items semantic duplicates iff
-    their cosine ≥ ``threshold`` AND they land in the same cluster —
-    the clustering is what makes web-scale semantic dedup tractable,
-    turning the N² similarity matrix into Σ_c n_c² within-cell blocks
-    (the IVF sibling of ``embedding_neardup_pairs``' sign-bit blocks;
-    the paper dedups LAION/C4 exactly this way). Keep rule: the lowest
-    id in each duplicate relation survives (keep-first, deterministic —
-    the paper's keep-farthest-from-centroid is a one-line orderBy swap).
+    """Coarse-quantizer cell assignment shared by the IVF family
+    (``ivf_topk``'s inverted file, ``semantic_dedup``'s clusters,
+    ``cluster_balanced_sample``'s balancing cells): each vector goes to
+    its highest-cosine centroid (tie-break lowest cell_id), computed as
+    a broadcast cross-score + max(struct) partial aggregate — never a
+    window over the N×C expansion.
 
-    Output: one row per vector — (id, cell_id, status keep|drop) — the
-    corpus-filter shape downstream training pipelines consume.
-
-    Scale: centroid assignment is a broadcast cross-score + max(struct)
-    partial aggregate (no window over the N×C expansion); the pair join
-    is keyed on cell_id, never all-pairs; `drop` derivation is a
-    distinct + broadcastable semi-join. Defaults to the deterministic
-    lowest-id centroid stand-in (oracle-checkable); pass
-    ``kmeans_centroids(...)`` for quality-fit cells in production.
-    """
+    Returns (id_col, vec_col, vnorm, cell_id). Defaults to the
+    deterministic lowest-id centroids (oracle-checkable); pass
+    ``kmeans_centroids(...)`` for production cells. Callers that share
+    one corpus materialize THIS table once (workloads' session-shared
+    ``_cell_assign16``) — at 100 TB the assignment is the artifact you
+    partition/bucket the vector table by."""
     if centroids is None:
         centroids = (
             vectors.orderBy(F.asc(id_col))
@@ -242,7 +234,7 @@ def semantic_dedup(
             / (F.col("vnorm") * F.col("cnorm"))
         ).alias("ccos"),
     )
-    assigned = (
+    return (
         scored.groupBy(id_col, vec_col, "vnorm")
         .agg(
             F.max(F.struct(F.col("ccos"), (-F.col("cell_id")).alias("nc")))
@@ -250,6 +242,43 @@ def semantic_dedup(
         )
         .select(id_col, vec_col, "vnorm", (-F.col("best.nc")).alias("cell_id"))
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then call two corpus items semantic duplicates iff
+    their cosine ≥ ``threshold`` AND they land in the same cluster —
+    the clustering is what makes web-scale semantic dedup tractable,
+    turning the N² similarity matrix into Σ_c n_c² within-cell blocks
+    (the IVF sibling of ``embedding_neardup_pairs``' sign-bit blocks;
+    the paper dedups LAION/C4 exactly this way). Keep rule: the lowest
+    id in each duplicate relation survives (keep-first, deterministic —
+    the paper's keep-farthest-from-centroid is a one-line orderBy swap).
+
+    Output: one row per vector — (id, cell_id, status keep|drop) — the
+    corpus-filter shape downstream training pipelines consume.
+
+    Scale: centroid assignment is a broadcast cross-score + max(struct)
+    partial aggregate (no window over the N×C expansion); the pair join
+    is keyed on cell_id, never all-pairs; `drop` derivation is a
+    distinct + broadcastable semi-join. Defaults to the deterministic
+    lowest-id centroid stand-in (oracle-checkable); pass
+    ``kmeans_centroids(...)`` for quality-fit cells in production, or
+    ``assigned`` (an :func:`assign_cells` table, possibly session-
+    shared) to skip re-assignment entirely.
+    """
+    if assigned is None:
+        assigned = assign_cells(
+            vectors, n_cells, id_col, vec_col, centroids
+        )
     a = assigned.select(
         "cell_id",
         F.col(id_col).alias("id_a"),
@@ -291,9 +320,13 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate nearest neighbors (the inverted-file scale
-    path, complementing ``lsh_topk``).
+    path, complementing ``lsh_topk``). ``assigned`` (an
+    :func:`assign_cells` table over ``candidates``, possibly
+    session-shared) skips rebuilding the inverted file; the default
+    centroids of both MUST match.
 
     Coarse quantizer: each candidate is assigned to its single highest-
     cosine centroid (the inverted file); each query probes its ``nprobe``
@@ -349,14 +382,29 @@ def ivf_topk(
             F.col("ccos"), (-F.col("cell_id")).alias("neg_cell"), "cell_id"
         )
     ).alias("best")
-    inv_file = (
-        _scored_cells(candidates, "neighbor_id", "nv")
-        .groupBy("neighbor_id")
-        .agg(best, F.first("nv").alias("nv"), F.first("nv_norm").alias("nv_norm"))
-        .select(
-            "neighbor_id", "nv", "nv_norm", F.col("best.cell_id").alias("cell_id")
+    if assigned is not None:
+        inv_file = assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("nv"),
+            F.col("vnorm").alias("nv_norm"),
+            "cell_id",
         )
-    )
+    else:
+        inv_file = (
+            _scored_cells(candidates, "neighbor_id", "nv")
+            .groupBy("neighbor_id")
+            .agg(
+                best,
+                F.first("nv").alias("nv"),
+                F.first("nv_norm").alias("nv_norm"),
+            )
+            .select(
+                "neighbor_id",
+                "nv",
+                "nv_norm",
+                F.col("best.cell_id").alias("cell_id"),
+            )
+        )
     # Queries keep nprobe cells — a top-k, still via window (Q rows is
     # the small side; WindowGroupLimit pre-prunes per task).
     w = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell_id"))
@@ -1241,6 +1289,7 @@ def cluster_balanced_sample(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-balanced corpus sampling: assign every embedding to its
     semantic cell, then keep at most ``cap_per_cell`` vectors per cell,
@@ -1259,46 +1308,15 @@ def cluster_balanced_sample(
     rank is row_number + filter, which Spark executes as
     WindowGroupLimit — each task keeps ≤ cap rows per cell before the
     exchange. Defaults to deterministic lowest-id centroids
-    (oracle-checkable); pass ``kmeans_centroids`` output in production.
+    (oracle-checkable); pass ``kmeans_centroids`` output in production,
+    or ``assigned`` (an :func:`assign_cells` table, possibly session-
+    shared) to skip re-assignment.
     """
     from pyspark_recs.llmops.hashing import md5_long
 
-    if centroids is None:
-        centroids = (
-            vectors.orderBy(F.asc(id_col))
-            .limit(n_cells)
-            .select(
-                F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec")
-            )
-        )
-    cents = F.broadcast(
-        centroids.select(
-            "cell_id",
-            "cvec",
-            F.sqrt(_fixed_dot(F.col("cvec"), F.col("cvec"))).alias("cnorm"),
-        )
-    )
-    vecs = vectors.select(
-        id_col,
-        vec_col,
-        F.sqrt(_fixed_dot(F.col(vec_col), F.col(vec_col))).alias("vnorm"),
-    )
-    scored = vecs.crossJoin(cents).select(
-        id_col,
-        "cell_id",
-        (
-            _fixed_dot(F.col(vec_col), F.col("cvec"))
-            / (F.col("vnorm") * F.col("cnorm"))
-        ).alias("ccos"),
-    )
-    assigned = (
-        scored.groupBy(id_col)
-        .agg(
-            F.max(F.struct(F.col("ccos"), (-F.col("cell_id")).alias("nc")))
-            .alias("best")
-        )
-        .select(id_col, (-F.col("best.nc")).alias("cell_id"))
-    )
+    if assigned is None:
+        assigned = assign_cells(vectors, n_cells, id_col, vec_col, centroids)
+    assigned = assigned.select(id_col, "cell_id")
     wr = Window.partitionBy("cell_id").orderBy(
         F.asc("hkey"), F.asc(id_col)
     )

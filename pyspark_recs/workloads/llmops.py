@@ -215,6 +215,49 @@ def _blocked_unigram_pairs(spark: SparkSession, sf: str) -> DataFrame:
             group_cols=["lang", "source"],
             shingle_n=1,
             threshold=0.0,
+            with_sets=_unigram_sets(spark, sf),
+        ),
+    )
+
+
+def _unigram_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-shared distinct-word (unigram shingle) sets with
+    blocking metadata — (doc_id, lang, source, grams) — the common
+    input of l05/l68's blocked Jaccard pair table and l55's blocked
+    containment self-join. One tokenize + distinct pass per session."""
+    from pyspark_recs.llmops.dedup import word_shingles
+    from pyspark_recs.workloads.common import shared_plan
+
+    def build() -> DataFrame:
+        from pyspark_recs.io.loaders import spread_partitions
+
+        return spread_partitions(
+            load_table(spark, sf, "documents")
+        ).select(
+            "doc_id",
+            "lang",
+            "source",
+            word_shingles(F.col("text"), 1).alias("grams"),
+        )
+
+    return shared_plan(spark, sf, "unigram_sets", build)
+
+
+def _cell_assign16(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-shared IVF cell assignment over ``embeddings`` (16
+    deterministic lowest-id centroids) — the inverted file l15 probes,
+    the clusters l43's SemDeDup pairs within, and the cells l62's
+    balanced sampler caps. One broadcast cross-score + argmax per
+    session instead of three. (vec_id, embedding, vnorm, cell_id)."""
+    from pyspark_recs.llmops.similarity import assign_cells
+    from pyspark_recs.workloads.common import shared_plan
+
+    return shared_plan(
+        spark,
+        sf,
+        "cell_assign_16",
+        lambda: assign_cells(
+            load_table(spark, sf, "embeddings"), n_cells=16
         ),
     )
 
@@ -533,6 +576,7 @@ def l15_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
         k=5,
         n_cells=16,
         nprobe=4,
+        assigned=_cell_assign16(spark, sf),
     )
 
 
@@ -1630,7 +1674,10 @@ def l43_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     (max ≈ 0.49), so both keep and drop branches are exercised at every
     sf; a production run on real embeddings uses θ≈0.9+."""
     emb = load_table(spark, sf, "embeddings")
-    return semantic_dedup(emb, threshold=0.35, n_cells=16)
+    return semantic_dedup(
+        emb, threshold=0.35, n_cells=16,
+        assigned=_cell_assign16(spark, sf),
+    )
 
 
 L43_SQL = f"""
@@ -2401,6 +2448,7 @@ def l55_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
         group_cols=["lang", "source"],
         shingle_n=1,
         threshold_ppm=600_000,
+        with_sets=_unigram_sets(spark, sf),
     )
 
 
@@ -2783,10 +2831,14 @@ def l62_cluster_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
     (llmops/similarity.py:cluster_balanced_sample): at most 40 vectors
     kept per semantic cell by deterministic md5 rank — the
     diversity-preserving sampler that protects tail topics from the
-    dominant cluster, on the same cells as l43's SemDeDup."""
+    dominant cluster, on the SESSION-SHARED cell assignment l43's
+    SemDeDup and l15's inverted file also ride."""
     from pyspark_recs.llmops.similarity import cluster_balanced_sample
 
-    return cluster_balanced_sample(load_table(spark, sf, "embeddings"))
+    return cluster_balanced_sample(
+        load_table(spark, sf, "embeddings"),
+        assigned=_cell_assign16(spark, sf),
+    )
 
 
 L62_SQL = f"""
