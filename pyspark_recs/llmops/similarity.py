@@ -803,6 +803,7 @@ def embedding_covariance(
     vectors: DataFrame,
     vec_col: str = "embedding",
     scale: float = 1e12,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact d×d covariance of an embedding column in ONE distributed
     pass — the sufficient statistic for PCA / whitening / Mahalanobis
@@ -821,24 +822,66 @@ def embedding_covariance(
     default 1e12 and unit-scale embeddings that is ~10^6 rows per
     aggregate; drop ``scale`` to 1e9 for billion-row corpora (still
     nano-exact).
+
+    Pass ``dim`` (the known embedding width) to use the FLAT explode
+    plan: the per-row triangle is emitted as a bare BIGINT array and
+    the (i, j) labels are recovered by joining the d²/2-row position
+    map AFTER aggregation — same q values, same sums, but the 10M+
+    exploded rows carry one long instead of a 3-field struct
+    (measured 2.9 s → 2.3 s whole-query at sf0.1 on 64-dim; a
+    one-pass concat-the-first-moments variant measured SLOWER because
+    the two consumers of the position aggregate recompute the explode
+    — Spark has no DataFrame-level CSE). A row whose array size
+    differs from ``dim`` is a hard error, not a silent mis-labeling.
     """
     mult = F.lit(scale)
     # Inner slice starts AT the outer element, so only the i ≤ j upper
     # triangle is ever generated — half the explode volume, no filter.
-    terms = vectors.select(
-        F.explode(
-            F.expr(
-                f"flatten(transform({vec_col}, (x, i) ->"
-                f" transform(slice({vec_col}, i + 1, size({vec_col})),"
-                " (y, k) -> struct(i + 1 AS i, i + k + 1 AS j,"
-                " CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)"
-                f" * {scale!r} + 0.5) AS BIGINT) AS q))))"
+    if dim is not None:
+        flat_expr = F.expr(
+            f"flatten(transform({vec_col}, (x, i) ->"
+            f" transform(slice({vec_col}, i + 1, size({vec_col})),"
+            f" y -> CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)"
+            f" * {scale!r} + 0.5) AS BIGINT))))"
+        )
+        guarded = F.when(
+            F.size(F.col(vec_col)) == dim, flat_expr
+        ).otherwise(
+            F.raise_error(
+                F.lit(f"embedding_covariance: vector dimension != {dim}")
             )
-        ).alias("t")
-    )
-    moments = terms.groupBy(
-        F.col("t.i").alias("i"), F.col("t.j").alias("j")
-    ).agg(F.sum("t.q").alias("sq"))
+        )
+        flat = vectors.select(F.posexplode(guarded).alias("pos", "q"))
+        pos_rows = []
+        p = 0
+        for i in range(1, dim + 1):
+            for j in range(i, dim + 1):
+                pos_rows.append((p, i, j))
+                p += 1
+        pos_map = vectors.sparkSession.createDataFrame(
+            pos_rows, "pos int, i int, j int"
+        )
+        moments = (
+            flat.groupBy("pos")
+            .agg(F.sum("q").alias("sq"))
+            .join(F.broadcast(pos_map), "pos")
+            .select("i", "j", "sq")
+        )
+    else:
+        terms = vectors.select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform({vec_col}, (x, i) ->"
+                    f" transform(slice({vec_col}, i + 1, size({vec_col})),"
+                    " (y, k) -> struct(i + 1 AS i, i + k + 1 AS j,"
+                    " CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)"
+                    f" * {scale!r} + 0.5) AS BIGINT) AS q))))"
+                )
+            ).alias("t")
+        )
+        moments = terms.groupBy(
+            F.col("t.i").alias("i"), F.col("t.j").alias("j")
+        ).agg(F.sum("t.q").alias("sq"))
     firsts = vectors.select(
         F.posexplode(vec_col).alias("i0", "x")
     ).select(

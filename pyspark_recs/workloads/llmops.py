@@ -1819,7 +1819,7 @@ def l44_embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
     with pca_projection). Fixed-point moment sums make the d²/2 numbers
     bit-identical across engines and partitionings."""
     emb = load_table(spark, sf, "embeddings")
-    return embedding_covariance(emb)
+    return embedding_covariance(emb, dim=64)
 
 
 L44_SQL = """
