@@ -1716,8 +1716,20 @@ def l45_hamming_neardup(spark: SparkSession, sf: str) -> DataFrame:
     over a 32-bit fingerprint — wider than l04's 16-bit display
     fingerprint so each block keys 256 buckets, not 16; see the
     _BIT_VOTES32 note) — candidate pairs come from block equi-joins,
-    never N² (llmops.dedup.hamming_neardup_pairs)."""
-    fps = simhash_fingerprints(load_table(spark, sf, "documents"), bits=32)
+    never N² (llmops.dedup.hamming_neardup_pairs). The fingerprint
+    table is session-cached: the self-join consumes it TWICE (both
+    sides), and Spark has no DataFrame-level CSE, so uncached it would
+    run the 32-bit vote projection twice per execution."""
+    from pyspark_recs.workloads.common import shared_plan
+
+    fps = shared_plan(
+        spark,
+        sf,
+        "simhash32",
+        lambda: simhash_fingerprints(
+            load_table(spark, sf, "documents"), bits=32
+        ),
+    )
     return hamming_neardup_pairs(fps, radius=2, bits=32, n_blocks=4)
 
 

@@ -473,36 +473,95 @@ def rs05_item_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
     # each bounded array, so the quadratic expansion never goes through
     # a self-join shuffle: co-occurrence costs two aggregations total —
     # and both are session-cached (_capped_lists/_pair_counts), shared
-    # with rs21/rs22/rs23/rs26 instead of re-derived per query.
-    #
-    # Count only the canonical a<b direction (the sorted items array
-    # makes x<y structural), then mirror each AGGREGATED pair into both
-    # directions with a 1→2 explode. This halves the rows through the
-    # expensive pair aggregation; a post-hoc union of the table with its
-    # swap would instead duplicate the whole upstream subplan (Spark has
-    # no DataFrame-level CSE), doubling the shuffles.
-    canon = _pair_counts(spark, sf).select(
-        "item_a", "item_b", F.col("n_pair").alias("n_users")
-    )
-    sym = canon.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("item_a"), F.col("item_b"), F.col("n_users")),
-                F.struct(
-                    F.col("item_b").alias("item_a"),
-                    F.col("item_a").alias("item_b"),
-                    F.col("n_users"),
+    # with rs21/rs22/rs23/rs26 instead of re-derived per query. The
+    # finished top-5 table itself is also session-cached (_cf_top5):
+    # rs21 and rs26 consume it whole as their CF candidate source.
+    return _cf_top5(spark, sf)
+
+
+def _cf_top5(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-cached rs05 output — (item_a, item_b, n_users, rank ≤ 5)
+    — the CF candidate list rs05 emits and rs21/rs26 fuse from
+    (catalog-bounded: ≤ 5 rows per item).
+
+    Count only the canonical a<b direction (the sorted items array
+    makes x<y structural), then mirror each AGGREGATED pair into both
+    directions with a 1→2 explode. This halves the rows through the
+    expensive pair aggregation; a post-hoc union of the table with its
+    swap would instead duplicate the whole upstream subplan (Spark has
+    no DataFrame-level CSE), doubling the shuffles."""
+
+    def build() -> DataFrame:
+        canon = _pair_counts(spark, sf).select(
+            "item_a", "item_b", F.col("n_pair").alias("n_users")
+        )
+        sym = canon.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("item_a"), F.col("item_b"), F.col("n_users")
+                    ),
+                    F.struct(
+                        F.col("item_b").alias("item_a"),
+                        F.col("item_a").alias("item_b"),
+                        F.col("n_users"),
+                    ),
+                )
+            ).alias("p")
+        ).select("p.item_a", "p.item_b", "p.n_users")
+        return top_k_per_group(
+            sym,
+            partition_cols=["item_a"],
+            order_cols=[F.desc("n_users"), F.asc("item_b")],
+            k=5,
+            rank_alias="rank",
+        ).select("item_a", "item_b", "n_users", "rank")
+
+    return shared_plan(spark, sf, "cf_top5", build)
+
+
+def _brand_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-cached same-brand popularity candidates — (item_a,
+    item_b, src_rank ≤ 10) — the fallback source rs21 chains after CF
+    and rs26 rank-fuses with it. Catalog-bounded (≤ 10 rows per item):
+    the brand top-10 is cut BEFORE the item-level fan-out
+    (cap-then-expand, the rs05 discipline)."""
+
+    def build() -> DataFrame:
+        inter = _shared_interactions(spark, sf)
+        part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+        pop = (
+            inter.groupBy("item_id")
+            .agg(F.sum("n_purchases").alias("n_total"))
+            .join(F.broadcast(part), F.col("item_id") == F.col("p_partkey"))
+            .select("item_id", "p_brand", "n_total")
+        )
+        brand_top = top_k_per_group(
+            pop,
+            partition_cols=["p_brand"],
+            order_cols=[F.desc("n_total"), F.asc("item_id")],
+            k=10,
+            rank_alias="brank",
+        )
+        return (
+            pop.select("item_id", "p_brand")
+            .join(
+                brand_top.select(
+                    F.col("p_brand"),
+                    F.col("item_id").alias("cand"),
+                    F.col("brank").cast("long").alias("src_rank"),
                 ),
+                "p_brand",
             )
-        ).alias("p")
-    ).select("p.item_a", "p.item_b", "p.n_users")
-    return top_k_per_group(
-        sym,
-        partition_cols=["item_a"],
-        order_cols=[F.desc("n_users"), F.asc("item_b")],
-        k=5,
-        rank_alias="rank",
-    ).select("item_a", "item_b", "n_users", "rank")
+            .filter(F.col("item_id") != F.col("cand"))
+            .select(
+                F.col("item_id").alias("item_a"),
+                F.col("cand").alias("item_b"),
+                "src_rank",
+            )
+        )
+
+    return shared_plan(spark, sf, "brand_candidates", build)
 
 
 RS05_SQL = f"""
@@ -1560,44 +1619,14 @@ def rs21_coldstart_fallback(spark: SparkSession, sf: str) -> DataFrame:
     join fans out (cap-then-expand, the rs05 discipline), so fallback
     volume is ≤10·items regardless of brand skew.
     """
-    cf = rs05_item_cooccurrence(spark, sf).select(
+    cf = _cf_top5(spark, sf).select(
         "item_a",
         "item_b",
         F.lit(0).alias("priority"),
         F.col("rank").cast("long").alias("src_rank"),
     )
-    inter = _shared_interactions(spark, sf)
-    part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
-    pop = (
-        inter.groupBy("item_id")
-        .agg(F.sum("n_purchases").alias("n_total"))
-        .join(F.broadcast(part), F.col("item_id") == F.col("p_partkey"))
-        .select("item_id", "p_brand", "n_total")
-    )
-    brand_top = top_k_per_group(
-        pop,
-        partition_cols=["p_brand"],
-        order_cols=[F.desc("n_total"), F.asc("item_id")],
-        k=10,
-        rank_alias="brank",
-    )
-    brand_cand = (
-        pop.select("item_id", "p_brand")
-        .join(
-            brand_top.select(
-                F.col("p_brand"),
-                F.col("item_id").alias("cand"),
-                F.col("brank").cast("long").alias("src_rank"),
-            ),
-            "p_brand",
-        )
-        .filter(F.col("item_id") != F.col("cand"))
-        .select(
-            F.col("item_id").alias("item_a"),
-            F.col("cand").alias("item_b"),
-            F.lit(1).alias("priority"),
-            "src_rank",
-        )
+    brand_cand = _brand_candidates(spark, sf).select(
+        "item_a", "item_b", F.lit(1).alias("priority"), "src_rank"
     )
     merged = (
         cf.unionByName(brand_cand)
@@ -2062,41 +2091,10 @@ def rs26_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
     per item — the cap-then-expand discipline), so the fusion is a
     union + one map-side-combined sum + a WindowGroupLimit cut.
     """
-    cf = rs05_item_cooccurrence(spark, sf).select(
+    cf = _cf_top5(spark, sf).select(
         "item_a", "item_b", F.col("rank").cast("long").alias("src_rank")
     )
-    inter = _shared_interactions(spark, sf)
-    part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
-    pop = (
-        inter.groupBy("item_id")
-        .agg(F.sum("n_purchases").alias("n_total"))
-        .join(F.broadcast(part), F.col("item_id") == F.col("p_partkey"))
-        .select("item_id", "p_brand", "n_total")
-    )
-    brand_top = top_k_per_group(
-        pop,
-        partition_cols=["p_brand"],
-        order_cols=[F.desc("n_total"), F.asc("item_id")],
-        k=10,
-        rank_alias="brank",
-    )
-    brand_cand = (
-        pop.select("item_id", "p_brand")
-        .join(
-            brand_top.select(
-                "p_brand",
-                F.col("item_id").alias("cand"),
-                F.col("brank").cast("long").alias("src_rank"),
-            ),
-            "p_brand",
-        )
-        .filter(F.col("item_id") != F.col("cand"))
-        .select(
-            F.col("item_id").alias("item_a"),
-            F.col("cand").alias("item_b"),
-            "src_rank",
-        )
-    )
+    brand_cand = _brand_candidates(spark, sf)
     fused = (
         cf.unionByName(brand_cand)
         .withColumn(
