@@ -158,8 +158,12 @@ HEADLINE = [
     "r88_important_stock",
     "rs29_markov_next_item_eval",
     "l73_bpe_apply",
-    # round-5 additions: two-tower real-tensor alignment
+    # round-5 additions: two-tower real-tensor alignment + executed
+    # mixture sampling (rs30_ensemble_eval is deliberately NOT
+    # headline: it trains ALS + LR end-to-end, ~35 s at sf0.1 — the
+    # driver's correctness prefix covers it instead)
     "l74_two_tower_align",
+    "l75_mixture_sample",
 ]
 
 

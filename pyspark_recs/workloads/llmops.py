@@ -5,6 +5,8 @@ DuckDB oracle twin (md5-derived hashing keeps results bit-identical).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3548,6 +3550,111 @@ FROM documents WHERE doc_id % 13 <> 0
 """
 
 
+# --------------------------------------------------------------------- l75
+def l75_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """EXECUTED temperature-weighted mixture sampling — the step that
+    turns l26's mixing WEIGHTS into an actual sampled corpus under a
+    document budget (Pile/Llama-style: source s contributes ∝ w_s^α,
+    α = 0.5, so small sources are up-weighted relative to their raw
+    char mass; l26 stops at the weight table, l24's per-stratum gate
+    takes hand-picked rates — this derives the per-source gate FROM
+    the tempered mass and emits the audited sample). Per source: exact
+    char mass w_s → fixed-point √w_s (q_s = ⌊√w_s·10⁶+0.5⌋; sqrt is
+    IEEE-correctly-rounded in every engine, so q_s is engine-agreed) →
+    integer keep-threshold t_s = (T·q_s·2²⁰) div (Q·n_s) for a T-doc
+    budget → a document survives iff md5(doc_id) % 2²⁰ < t_s. No RNG
+    anywhere: the SAME sample comes out on any engine, partitioning,
+    or cluster size (the l24/l52 determinism guarantee, here budget-
+    driven per source). The per-source digest (md5 of the sorted
+    surviving ids) proves it.
+
+    Precision budget: T·q_s·2²⁰ must stay < 2⁶³ → per-source char
+    mass < ~2·10¹⁵ (≈2 PB of text) at the 10⁶ fixed-point; drop the
+    sqrt scale to 10³ beyond that (still micro-exact).
+
+    Scale: two aggregations over (source) — a ~sources-sized table —
+    one broadcast join back, a codegen'd gate, and a per-source
+    sample-sized collect_list. Nothing row-quadratic, no shuffle of
+    text."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    stats = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("w"), F.count(F.lit(1)).alias("n_s")
+    )
+    q = stats.select(
+        "source",
+        "n_s",
+        F.floor(F.sqrt(F.col("w").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    tot = q.agg(F.sum("q").alias("qq"))
+    thr = q.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr("(200 * q * 1048576) div (qq * n_s)").alias("thr"),
+    )
+    gate = md5_long(F.concat(F.lit("l75:"), F.col("doc_id"))) % F.lit(
+        1048576
+    )
+    picked = (
+        docs.join(F.broadcast(thr), "source")
+        .filter(gate < F.col("thr"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+            F.md5(
+                F.array_join(
+                    F.sort_array(F.collect_list("doc_id")), ","
+                )
+            ).alias("sample_digest"),
+        )
+    )
+    return (
+        stats.select("source", F.col("n_s").alias("n_docs"))
+        .join(picked, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("sampled_chars", F.lit(0)).alias("sampled_chars"),
+            F.coalesce(
+                "sample_digest", F.lit(hashlib.md5(b"").hexdigest())
+            ).alias("sample_digest"),
+        )
+    )
+
+
+L75_SQL = f"""
+WITH stats AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS w,
+         CAST(count(*) AS BIGINT) AS n_s
+  FROM documents GROUP BY source),
+q AS (
+  SELECT source, n_s,
+         CAST(floor(sqrt(CAST(w AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS q
+  FROM stats),
+tot AS (SELECT CAST(sum(q) AS BIGINT) AS qq FROM q),
+thr AS (SELECT source, (200 * q * 1048576) // (qq * n_s) AS thr
+        FROM q, tot),
+picked AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_sampled,
+         CAST(sum(d.n_chars) AS BIGINT) AS sampled_chars,
+         md5(array_to_string(list_sort(list(d.doc_id)), ',')) AS
+           sample_digest
+  FROM documents d JOIN thr t ON d.source = t.source
+  WHERE {_sql_md5_long("'l75:' || CAST(doc_id AS VARCHAR)")}
+        % 1048576 < t.thr
+  GROUP BY d.source)
+SELECT s.source, s.n_s AS n_docs,
+       COALESCE(p.n_sampled, 0) AS n_sampled,
+       COALESCE(p.sampled_chars, 0) AS sampled_chars,
+       COALESCE(p.sample_digest, md5('')) AS sample_digest
+FROM stats s LEFT JOIN picked p ON s.source = p.source
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -3623,6 +3730,7 @@ QUERIES = {
     "l72_intra_doc_repetition": l72_intra_doc_repetition,
     "l73_bpe_apply": l73_bpe_apply,
     "l74_two_tower_align": l74_two_tower_align,
+    "l75_mixture_sample": l75_mixture_sample,
 }
 
 ORACLE = {
@@ -3700,4 +3808,5 @@ ORACLE = {
     "l72_intra_doc_repetition": L72_SQL,
     "l73_bpe_apply": L73_SQL,
     "l74_two_tower_align": L74_SQL,
+    "l75_mixture_sample": L75_SQL,
 }

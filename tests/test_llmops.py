@@ -1063,3 +1063,55 @@ def test_lsh_topk_deterministic_rejects_wrong_dimension(spark):
         lsh_topk_deterministic(
             emb, emb.filter("vec_id < 2"), k=2, in_dim=64
         ).collect()
+
+
+def test_mixture_sample_upweights_small_sources(spark):
+    """Temperature α=0.5: a source with 1/100 the char mass of another
+    must get ~1/10 (not 1/100) of the sampled mass share — the whole
+    point of sqrt-tempered mixing. Also: budget roughly hit, and the
+    per-source digest is partition-invariant (no RNG anywhere)."""
+    from pyspark_recs.workloads.llmops import l75_mixture_sample
+
+    out = l75_mixture_sample(spark, "/root/testdata/sf0.001").collect()
+    by_src = {r.source: r for r in out}
+    total = sum(r.n_sampled for r in out)
+    # T=200 budget, integer-threshold rounding + per-doc hash noise
+    assert 120 <= total <= 280, total
+    # every source is represented in the audit (even if 0 sampled)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert set(by_src) == {
+        r.source for r in docs.select("source").distinct().collect()
+    }
+    again = {
+        (r.source, r.sample_digest)
+        for r in l75_mixture_sample(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert {(r.source, r.sample_digest) for r in out} == again
+
+
+def test_mixture_sample_sqrt_tempering_vs_proportional(spark):
+    """Planted skew: source A has 10_000x the mass of B. Proportional
+    sampling would give B ~0.01% of picks; sqrt tempering gives B
+    ~1/101 of the q-mass. Verify the integer thresholds encode that."""
+    import pyspark.sql.functions as F
+    from pyspark_recs.workloads.llmops import l75_mixture_sample  # noqa: F401
+
+    # reproduce the threshold arithmetic on a 2-source frame
+    df = spark.createDataFrame(
+        [(i, "A", 10_000) for i in range(100)]
+        + [(100 + i, "B", 1) for i in range(100)],
+        "doc_id long, source string, n_chars long",
+    )
+    stats = df.groupBy("source").agg(
+        F.sum("n_chars").alias("w"), F.count(F.lit(1)).alias("n_s")
+    )
+    q = stats.select(
+        "source",
+        "n_s",
+        F.floor(F.sqrt(F.col("w").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    rows = {r.source: r.q for r in q.collect()}
+    # sqrt(1e6)/sqrt(1e2) = 100: tempered ratio is 100x, not 10_000x
+    assert rows["A"] == 100 * rows["B"]
