@@ -585,3 +585,40 @@ def test_shared_plan_concurrent_distinct_keys_overlap(spark):
     released = unpersist_shared(spark)
     assert released >= 2
     assert not any(k[2].startswith("t_conc_") for k in _SHARED)
+
+
+def test_rs05_family_rides_shared_candidate_subplans(spark):
+    """rs21/rs26 must consume the SAME session-cached candidate tables
+    rs05 materializes (cf_top5 / brand_candidates) — the round-5
+    sharing that took the family from ~2.5 s each to sub-0.5 s at
+    sf0.1. Regression: a refactor that re-derives candidates per query
+    would repopulate neither key nor show the cache in the plan."""
+    from pyspark_recs.workloads import common
+    from pyspark_recs.workloads.recsys import (
+        rs05_item_cooccurrence,
+        rs21_coldstart_fallback,
+        rs26_rrf_fusion,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    before = {k[2] for k in common._SHARED}
+    r05 = rs05_item_cooccurrence(spark, sfd)
+    r05.count()
+    keys = {k[2] for k in common._SHARED}
+    assert "cf_top5" in keys
+    r21 = rs21_coldstart_fallback(spark, sfd)
+    r21.count()
+    r26 = rs26_rrf_fusion(spark, sfd)
+    r26.count()
+    keys = {k[2] for k in common._SHARED}
+    assert "brand_candidates" in keys
+    # both consumers read the cached table, not a rebuilt subtree
+    for df in (r21, r26):
+        assert "InMemoryTableScan" in df._jdf.queryExecution().executedPlan().toString()
+    # release what this test materialized (other tests assert on cache state)
+    for k in [
+        k
+        for k in common._SHARED
+        if k[2] not in before and k[1].endswith("sf0.001")
+    ]:
+        common._SHARED.pop(k).unpersist()
