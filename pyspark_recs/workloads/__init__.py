@@ -42,7 +42,7 @@ for _mod in (_relational, _llmops, _recsys, _streaming):
 _PRIORITY = [
     # tier 0 — added in round 5
     "rs30_ensemble_eval", "l74_two_tower_align",
-    "l75_mixture_sample",
+    "l75_mixture_sample", "rs31_behavioral_audit",
     # tier 1 — never driver-verified (the round-4 debt block)
     "r56_set_ops", "rs14_retention_cohorts", "s02_sessionize",
     "l42_matryoshka_energy", "r47_salted_join", "rs15_association_rules",

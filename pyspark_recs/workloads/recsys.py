@@ -2816,6 +2816,298 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM eu) AS n_eval_users,
 """
 
 
+# --------------------------------------------------------------------- rs31
+def rs31_behavioral_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """RecList-style BEHAVIORAL evaluation battery — the slice-based
+    recommender audit the reference pins (`requirements.txt:6
+    reclist==0.3.1`, `README.md:19,164`) and declares as a flow step
+    but never ships (`my_merlin_flow.py:437-438,451` — "#TODO: add
+    RecList tests!"). One aggregate hit-rate (rs24) can hide a model
+    that fails whole user segments or only ever recommends the head of
+    the catalog; this emits the behavioral rows reviewers actually
+    gate releases on, computed EXACTLY (integer ppm, total tie-break
+    orders) so every number is engine-agreed and regression-testable:
+
+    - ``hit_rate_at10`` per user-ACTIVITY tercile (act_t1 light →
+      act_t3 heavy; rs17's deterministic-ntile discipline): the
+      cold-user slice an aggregate metric averages away.
+    - ``mean_pop_rank`` of recommended items vs the catalog baseline
+      (popularity position in ppm of the catalog, 0 = most popular;
+      ``recs`` ≪ ``catalog`` ⟹ popularity bias — the \"are we just
+      recommending bestsellers\" check).
+    - ``novelty``: ppm of recommendations the user had NOT already
+      bought in train (serendipity floor; seen-item recs inflate
+      hit rates without adding value).
+    - ``brands_per_rec``: distinct brands per recommendation in ppm
+      (intra-list diversity over the p_brand taxonomy, the exactly-
+      checkable sibling of rs13's slate cap).
+
+    All inputs are the session-shared holdout artifacts (same split,
+    histories, neighbor lists as rs24/rs27 — no extra passes over the
+    facts). Output: one (metric, slice, value_ppm) row each.
+
+    Scale: every window runs over USER- or ITEM-sized aggregates
+    (never facts); the two global ntile/rank windows are single-
+    partition by construction — rs17 documents the approx-percentile
+    broadcast variant to swap in past ~10^9 users/items. Joins are
+    rec-list-sized against the broadcast popularity/brand dims.
+    """
+    inter = _holdout_train_inter(spark, sf)
+    anchors = _holdout_lists(spark, sf).select("user_id", "anchor_item")
+    neighbors = _holdout_top10(spark, sf)
+    test_items = _holdout_test_items(spark, sf)
+
+    # rs24's per-user hit, joined to activity terciles
+    recs = anchors.join(
+        neighbors, anchors.anchor_item == neighbors.item_a, "left"
+    ).select("user_id", F.col("item_b").alias("rec_item"))
+    hits = (
+        recs.join(
+            test_items.withColumn("in_test", F.lit(1)),
+            (recs.user_id == test_items.user_id)
+            & (recs.rec_item == test_items.item_id),
+            "left",
+        )
+        .select(recs.user_id, "in_test")
+        .groupBy("user_id")
+        .agg(F.max(F.coalesce("in_test", F.lit(0)) == 1).alias("hit"))
+    )
+    activity = inter.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_items")
+    )
+    terc = activity.select(
+        "user_id",
+        F.ntile(3)
+        .over(Window.orderBy(F.asc("n_items"), F.asc("user_id")))
+        .alias("t"),
+    )
+    hit_slices = (
+        hits.join(terc, "user_id")
+        .groupBy("t")
+        .agg(
+            (
+                F.lit(1_000_000) * F.sum(F.col("hit").cast("long"))
+            ).alias("num"),
+            F.count(F.lit(1)).alias("den"),
+        )
+        .select(
+            F.lit("hit_rate_at10").alias("metric"),
+            F.concat(F.lit("act_t"), F.col("t")).alias("slice"),
+            F.expr("num div den").alias("value_ppm"),
+        )
+    )
+
+    # popularity-rank position of recs vs the catalog baseline
+    pop = inter.groupBy("item_id").agg(F.sum("n_purchases").alias("pop"))
+    ranked = pop.select(
+        "item_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("pop"), F.asc("item_id")))
+        .alias("prank"),
+    )
+    n_cat = ranked.agg(F.count(F.lit(1)).alias("n_cat"))
+    rec_items = recs.filter(F.col("rec_item").isNotNull())
+    pop_recs = (
+        rec_items.join(
+            ranked, rec_items.rec_item == ranked.item_id
+        )
+        .agg(
+            F.sum("prank").alias("sum_rank"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .crossJoin(F.broadcast(n_cat))
+        .select(
+            F.lit("mean_pop_rank").alias("metric"),
+            F.lit("recs").alias("slice"),
+            F.expr("(1000000 * sum_rank) div (n * n_cat)").alias(
+                "value_ppm"
+            ),
+        )
+    )
+    pop_catalog = (
+        ranked.agg(
+            F.sum("prank").alias("sum_rank"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .crossJoin(F.broadcast(n_cat))
+        .select(
+            F.lit("mean_pop_rank").alias("metric"),
+            F.lit("catalog").alias("slice"),
+            F.expr("(1000000 * sum_rank) div (n * n_cat)").alias(
+                "value_ppm"
+            ),
+        )
+    )
+
+    # novelty: recommendations the user had not bought in train
+    novelty = (
+        rec_items.join(
+            inter.select(
+                "user_id",
+                F.col("item_id").alias("rec_item"),
+                F.lit(1).alias("seen"),
+            ),
+            ["user_id", "rec_item"],
+            "left",
+        )
+        .agg(
+            (
+                F.lit(1_000_000)
+                * F.sum(F.col("seen").isNull().cast("long"))
+            ).alias("num"),
+            F.count(F.lit(1)).alias("den"),
+        )
+        .select(
+            F.lit("novelty").alias("metric"),
+            F.lit("all").alias("slice"),
+            F.expr("num div den").alias("value_ppm"),
+        )
+    )
+
+    # intra-list brand diversity
+    part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    diversity = (
+        rec_items.join(
+            F.broadcast(part),
+            rec_items.rec_item == part.p_partkey,
+        )
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("p_brand").alias("n_brands"),
+            F.count(F.lit(1)).alias("n_recs"),
+        )
+        .agg(
+            (F.lit(1_000_000) * F.sum("n_brands")).alias("num"),
+            F.sum("n_recs").alias("den"),
+        )
+        .select(
+            F.lit("brands_per_rec").alias("metric"),
+            F.lit("all").alias("slice"),
+            F.expr("num div den").alias("value_ppm"),
+        )
+    )
+
+    return (
+        hit_slices.unionByName(pop_recs)
+        .unionByName(pop_catalog)
+        .unionByName(novelty)
+        .unionByName(diversity)
+    )
+
+
+RS31_SQL = """
+WITH tagged_orders AS (
+  SELECT o_orderkey, o_custkey AS user_id,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+           AS is_test
+  FROM orders),
+tagged AS (
+  SELECT t.user_id, l.l_partkey AS item_id, t.is_test
+  FROM lineitem l JOIN tagged_orders t ON l.l_orderkey = t.o_orderkey),
+test_items AS (
+  SELECT DISTINCT user_id, item_id FROM tagged WHERE is_test),
+inter AS (
+  SELECT user_id, item_id, CAST(count(*) AS BIGINT) AS n_purchases
+  FROM tagged WHERE NOT is_test GROUP BY user_id, item_id),
+hist AS (
+  SELECT user_id, item_id FROM (
+    SELECT user_id, item_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY n_purchases DESC, item_id) AS hr
+    FROM inter)
+  WHERE hr <= 20),
+half AS (
+  SELECT a.item_id AS item_a, b.item_id AS item_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM hist a JOIN hist b
+    ON a.user_id = b.user_id AND a.item_id < b.item_id
+  GROUP BY a.item_id, b.item_id
+  HAVING count(*) >= 2),
+mirrored AS (
+  SELECT item_a, item_b, n_ab FROM half
+  UNION ALL
+  SELECT item_b, item_a, n_ab FROM half),
+neighbors AS (
+  SELECT item_a, item_b FROM (
+    SELECT item_a, item_b,
+           row_number() OVER (PARTITION BY item_a
+                              ORDER BY n_ab DESC, item_b) AS nrank
+    FROM mirrored)
+  WHERE nrank <= 10),
+anchors AS (
+  SELECT user_id, item_id AS anchor_item FROM (
+    SELECT user_id, item_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY n_purchases DESC, item_id) AS r
+    FROM inter)
+  WHERE r = 1),
+recs AS (
+  SELECT a.user_id, n.item_b AS rec_item
+  FROM anchors a LEFT JOIN neighbors n ON a.anchor_item = n.item_a),
+hits AS (
+  SELECT r.user_id, bool_or(t.item_id IS NOT NULL) AS hit
+  FROM recs r
+  LEFT JOIN test_items t
+    ON r.user_id = t.user_id AND r.rec_item = t.item_id
+  GROUP BY r.user_id),
+activity AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_items
+  FROM inter GROUP BY user_id),
+terc AS (
+  SELECT user_id, ntile(3) OVER (ORDER BY n_items ASC, user_id ASC) AS t
+  FROM activity),
+hit_slices AS (
+  SELECT 'hit_rate_at10' AS metric, 'act_t' || CAST(tc.t AS VARCHAR)
+           AS slice,
+         (1000000 * sum(CASE WHEN h.hit THEN 1 ELSE 0 END))
+           // count(*) AS value_ppm
+  FROM hits h JOIN terc tc ON h.user_id = tc.user_id
+  GROUP BY tc.t),
+pop AS (
+  SELECT item_id, sum(n_purchases) AS pop FROM inter GROUP BY item_id),
+ranked AS (
+  SELECT item_id,
+         CAST(row_number() OVER (ORDER BY pop DESC, item_id ASC)
+              AS BIGINT) AS prank
+  FROM pop),
+ncat AS (SELECT CAST(count(*) AS BIGINT) AS n_cat FROM ranked),
+rec_items AS (SELECT user_id, rec_item FROM recs
+              WHERE rec_item IS NOT NULL),
+pop_recs AS (
+  SELECT 'mean_pop_rank' AS metric, 'recs' AS slice,
+         (1000000 * sum(rk.prank)) // (count(*) * any_value(nc.n_cat))
+           AS value_ppm
+  FROM rec_items ri JOIN ranked rk ON ri.rec_item = rk.item_id, ncat nc),
+pop_catalog AS (
+  SELECT 'mean_pop_rank' AS metric, 'catalog' AS slice,
+         (1000000 * sum(rk.prank)) // (count(*) * any_value(nc.n_cat))
+           AS value_ppm
+  FROM ranked rk, ncat nc),
+novelty AS (
+  SELECT 'novelty' AS metric, 'all' AS slice,
+         (1000000 * sum(CASE WHEN i.item_id IS NULL THEN 1 ELSE 0 END))
+           // count(*) AS value_ppm
+  FROM rec_items ri
+  LEFT JOIN inter i
+    ON ri.user_id = i.user_id AND ri.rec_item = i.item_id),
+diversity AS (
+  SELECT 'brands_per_rec' AS metric, 'all' AS slice,
+         (1000000 * sum(n_brands)) // sum(n_recs) AS value_ppm
+  FROM (
+    SELECT ri.user_id,
+           CAST(count(DISTINCT p.p_brand) AS BIGINT) AS n_brands,
+           CAST(count(*) AS BIGINT) AS n_recs
+    FROM rec_items ri JOIN part p ON ri.rec_item = p.p_partkey
+    GROUP BY ri.user_id))
+SELECT * FROM hit_slices
+UNION ALL SELECT * FROM pop_recs
+UNION ALL SELECT * FROM pop_catalog
+UNION ALL SELECT * FROM novelty
+UNION ALL SELECT * FROM diversity
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -2847,6 +3139,7 @@ QUERIES = {
     "rs28_content_model_eval": rs28_content_model_eval,
     "rs29_markov_next_item_eval": rs29_markov_next_item_eval,
     "rs30_ensemble_eval": rs30_ensemble_eval,
+    "rs31_behavioral_audit": rs31_behavioral_audit,
 }
 
 ORACLE = {
@@ -2880,4 +3173,5 @@ ORACLE = {
     "rs28_content_model_eval": RS28_SQL,
     "rs29_markov_next_item_eval": RS29_SQL,
     "rs30_ensemble_eval": RS30_SQL,
+    "rs31_behavioral_audit": RS31_SQL,
 }
