@@ -25,52 +25,70 @@ for _mod in (_relational, _llmops, _recsys, _streaming):
     _ALL_QUERIES.update(_mod.QUERIES)
     _ALL_ORACLE.update(getattr(_mod, "ORACLE", {}))
 
-# Round-5 rotation (driver checks a bounded ~50-entry prefix).
-# Tier 0: queries ADDED this round (rs30 ensemble, new streaming/text
-# entries) — never checked by anyone.
-# Tier 1: the round-4 "never driver-verified" debt (judge-swept green
-# in rounds 3-4 but still without a driver CORRECTNESS row — VERDICT r4
-# task #2 says this block must head the round-5 prefix). Entries from
-# that block whose plans ALSO changed this round (l32, l51, l68 moved
-# onto the session-shared gram/signature subplans) stay here — debt
-# clearance and drift check coincide.
-# Tier 2: queries whose plans CHANGED this round (shared-plan
-# materialization refactor of the gram/signature family, BPE literal
-# escaping, l12 dim guard) — re-verified locally via tools/
-# oracle_check.py this round, so they rank after the never-checked.
-# Trailing fall-through: driver greens from rounds 1-4, newest last.
+# Round-6 rotation (driver checks a bounded ~50-entry prefix).
+# Tier 0: queries ADDED or reworked this round (forward slots — names
+# not yet registered are skipped by the build loop below).
+# Tier 1: the 10 queries that have NEVER had a driver CORRECTNESS row
+# (they sat at positions 51-60 in rounds 4 AND 5 — VERDICT r5 task #2
+# says they must head this prefix), then rs31 (the one red row in
+# CORRECTNESS_r05; re-derived this round, needs a green driver row).
+# Tier 2: drift watch — driver greens ordered OLDEST-first by their
+# last CORRECTNESS round (round-1 block, then round-2), so every
+# query's driver row stays at most a few rounds old (the round-4 NTZ
+# regression proved local green != driver green).
+# Trailing fall-through: rounds 3-5 greens, freshest last.
 _PRIORITY = [
-    # tier 0 — added in round 5
-    "rs30_ensemble_eval", "l74_two_tower_align",
-    "l75_mixture_sample", "rs31_behavioral_audit",
-    # tier 1 — never driver-verified (the round-4 debt block)
-    "r56_set_ops", "rs14_retention_cohorts", "s02_sessionize",
-    "l42_matryoshka_energy", "r47_salted_join", "rs15_association_rules",
-    "s04_user_gap_stats", "l31_pii_redaction", "r48_range_join",
-    "rs16_personalized_pagerank", "l34_boilerplate_grams", "r49_grouped_ols",
-    "rs17_rfm_segments", "l35_novelty_gate", "r50_quantile_bounds",
-    "l32_decontaminate", "r57_pagerank_trade", "l33_bm25_search",
-    "r58_ewma_smoothing", "l43_semantic_dedup", "r59_gap_fill",
-    "l44_embedding_covariance", "r60_ks_drift", "l45_hamming_neardup",
-    "r61_seasonal_anomaly", "l46_jl_projection", "l47_token_concentration",
-    "l13_multimodal_features", "l25_scalar_quantize", "l29_image_fetch_encode",
-    "l48_segment_dedup", "r62_chisq_independence", "s12_debounce",
-    "l49_pq_encode", "r63_snapshot_diff", "r64_disjunctive_pushdown",
-    "r65_table_profile", "l50_hybrid_search", "l51_minhash_jaccard_audit",
-    "l52_weighted_sample", "r66_trimmed_mean", "s13_late_arrival_audit",
-    "r67_min_cost_supplier", "r68_big_spender_orders",
-    "l53_weighted_reservoir", "s14_utouch_attribution", "r69_mann_whitney",
-    "l54_countmin_sketch", "l55_containment_pairs", "r70_bitmap_distinct",
-    "r71_rolling_distinct", "l56_linear_model_score", "r72_sql_model_chain",
-    "r73_delete_propagation", "r74_fk_discovery", "l57_source_leakage",
-    # tier 2 — plan changed in round 5 (shared gram/signature subplans,
-    # BPE Column-literal merge application, l12 dimension guard)
+    # tier 0 — added/reworked in round 6 (forward slots)
+    "rs32_joint_feature_eval", "l76_http_image_pipeline",
+    # tier 1a — never driver-verified (rounds 4-5 debt, MUST clear)
+    "r69_mann_whitney", "l54_countmin_sketch", "l55_containment_pairs",
+    "r70_bitmap_distinct", "r71_rolling_distinct", "l56_linear_model_score",
+    "r72_sql_model_chain", "r73_delete_propagation", "r74_fk_discovery",
+    "l57_source_leakage",
+    # tier 1b — the round-5 red row (hash_match:false; reworked r6)
+    "rs31_behavioral_audit",
+    # tier 2 — drift watch: last driver row is round 1
+    "r20_categorify_encode_oov", "r21_bucketize", "r22_zscore",
+    "r23_explode_tokens", "r24_fill_missing_normalize", "r25_count_distinct",
+    "r26_ordered_export", "r28_hash_sample", "r30_interval_join",
+    "r31_pivot", "r32_rollup", "r33_unpivot",
+    "r35_trailing_window", "r36_spend_deciles", "r37_incremental_rollup",
+    "r38_props_extract", "r39_local_supplier_volume", "r40_small_order_parts",
+    "r41_sole_late_supplier", "r43_market_share", "r44_custdist",
+    "l04_simhash",
+    # tier 2 — drift watch: last driver row is round 2
+    "r01_pricing_summary", "r27_approx_distinct", "r29_asof_join",
+    "r34_scd2_history", "r42_json_quarantine", "l01_exact_dedup",
+    "l06_embedding_topk", "l07_langid", "l08_quality_scores",
+    "l09_token_stats", "l10_char_fingerprints", "l11_multimodal_decode",
+    "l14_embedding_neardup", "l15_ann_ivf", "l16_frame_sample",
+    "l17_resize_thumbnail", "l18_tfidf_top_terms", "l19_pack_sequences",
+    "l20_corpus_profile", "l22_bigram_repetition", "l23_gopher_rules",
+    "l24_stratified_sample", "l26_source_mixture", "l27_chunk_documents",
+    "l28_type_token_ratio", "l30_text_image_search",
     "l02_minhash_signatures", "l03_lsh_candidate_pairs", "l05_ngram_jaccard",
-    "l21_dedup_components", "l40_incremental_lsh", "l61_fuzzy_decontaminate",
-    "l64_decontaminate_spans", "l68_threshold_sweep",
-    "l66_attribution_union", "l67_group_aware_split",
+    "rs01_interactions", "rs02_popular_items_per_segment",
+    "rs07_leave_one_out", "s01_tumbling_daily", "s03_keep_first_dedup",
+    "s05_session_windows", "s06_stream_quarantine",
+    # fall-through — round-3 greens
+    "l40_incremental_lsh", "l61_fuzzy_decontaminate", "l64_decontaminate_spans",
+    "l68_threshold_sweep", "r51_grouping_sets", "r52_mode_per_group",
+    "r53_sketch_rollup", "r54_nation_trade", "r55_mad_outliers",
+    "r75_shipping_priority", "r76_late_shipment_priority",
+    "r77_returned_customers", "r78_promo_revenue", "r79_supplier_census",
+    "r80_master_merge", "r81_time_travel", "r82_subject_access_report",
+    "r83_skew_profile", "r84_luhn_validation", "l36_fuzzy_edit_dedup",
+    "l37_heavy_hitters", "l38_rare_token_score", "l39_bpe_pair_counts",
+    "l41_winnow_fingerprints", "l58_ivfpq_search", "l59_token_drift",
+    "l60_vocab_coverage", "l62_cluster_balanced_sample", "l63_shard_manifest",
+    "l65_payload_dedup", "l69_corpus_diff", "rs09_next_item_pairs",
+    "rs10_funnel", "rs11_copurchase_triangles", "rs12_item_transitions",
+    "rs13_diversified_topk", "rs25_point_in_time_features",
+    "s07_hopping_windows", "s08_new_user_events", "s09_user_profile",
+    "s10_recursive_ewma", "s11_peak_concurrency",
+    # fall-through — round-4 greens
+    "l21_dedup_components", "l66_attribution_union", "l67_group_aware_split",
     "l71_bpe_train", "l73_bpe_apply", "l12_ann_lsh",
-    # round-4 tier 0/1 fall-through (freshest driver rows last)
     "rs28_content_model_eval", "l72_intra_doc_repetition",
     "r85_forecast_revenue_change", "r86_product_type_profit",
     "r87_top_supplier", "r88_important_stock", "rs29_markov_next_item_eval",
@@ -88,14 +106,24 @@ _PRIORITY = [
     "r11_per_part_avg_price", "r12_time_split", "r13_date_parts",
     "r14_topk_per_customer", "r15_latest_event", "r16_union_splits",
     "r17_distinct_values", "r18_argmax_per_nation", "r19_categorify_dictionary",
-    "r20_categorify_encode_oov", "r21_bucketize", "r22_zscore",
-    "r23_explode_tokens", "r24_fill_missing_normalize", "r25_count_distinct",
-    "r26_ordered_export", "r28_hash_sample", "r30_interval_join",
-    "r31_pivot", "r32_rollup", "r33_unpivot",
-    "r35_trailing_window", "r36_spend_deciles", "r37_incremental_rollup",
-    "r38_props_extract", "r39_local_supplier_volume", "r40_small_order_parts",
-    "r41_sole_late_supplier", "r43_market_share", "r44_custdist",
-    "l04_simhash",
+    # fall-through — round-5 greens (freshest driver rows last)
+    "rs30_ensemble_eval", "l74_two_tower_align", "l75_mixture_sample",
+    "r56_set_ops", "rs14_retention_cohorts", "s02_sessionize",
+    "l42_matryoshka_energy", "r47_salted_join", "rs15_association_rules",
+    "s04_user_gap_stats", "l31_pii_redaction", "r48_range_join",
+    "rs16_personalized_pagerank", "l34_boilerplate_grams", "r49_grouped_ols",
+    "rs17_rfm_segments", "l35_novelty_gate", "r50_quantile_bounds",
+    "l32_decontaminate", "r57_pagerank_trade", "l33_bm25_search",
+    "r58_ewma_smoothing", "l43_semantic_dedup", "r59_gap_fill",
+    "l44_embedding_covariance", "r60_ks_drift", "l45_hamming_neardup",
+    "r61_seasonal_anomaly", "l46_jl_projection", "l47_token_concentration",
+    "l13_multimodal_features", "l25_scalar_quantize", "l29_image_fetch_encode",
+    "l48_segment_dedup", "r62_chisq_independence", "s12_debounce",
+    "l49_pq_encode", "r63_snapshot_diff", "r64_disjunctive_pushdown",
+    "r65_table_profile", "l50_hybrid_search", "l51_minhash_jaccard_audit",
+    "l52_weighted_sample", "r66_trimmed_mean", "s13_late_arrival_audit",
+    "r67_min_cost_supplier", "r68_big_spender_orders",
+    "l53_weighted_reservoir", "s14_utouch_attribution",
 ]
 
 QUERIES = {}
