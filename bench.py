@@ -159,11 +159,15 @@ HEADLINE = [
     "rs29_markov_next_item_eval",
     "l73_bpe_apply",
     # round-5 additions: two-tower real-tensor alignment + executed
-    # mixture sampling (rs30_ensemble_eval is deliberately NOT
-    # headline: it trains ALS + LR end-to-end, ~35 s at sf0.1 — the
-    # driver's correctness prefix covers it instead)
+    # mixture sampling
     "l74_two_tower_align",
     "l75_mixture_sample",
+    # round-6 additions: the full retrieve→rank→fuse→metric ensemble
+    # DAG (ALS + LR training costs amortize into session-shared
+    # subplans on the first warm-up; the measured run is the serving
+    # math) and the joint id+content feature model eval
+    "rs30_ensemble_eval",
+    "rs32_joint_feature_eval",
 ]
 
 
@@ -203,10 +207,21 @@ def main() -> None:
             F.expr("bit_xor(xxhash64(struct(*)))").alias("checksum")
         ).collect()
 
+    # Cold vs steady split (round-5 lesson): the first execution of a
+    # family's lead query also pays its session-shared subplan
+    # materialization (ALS fits, gram tables), so run-ORDER moves cost
+    # between queries. Recording the cold time separately makes that
+    # attribution visible — a "regression" that only appears in the
+    # cold column is cache accounting, not a slower plan.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
+        if name not in QUERIES:
+            continue  # forward slot for a query landing later this round
         fn = QUERIES[name]
-        run_query(fn)  # warm-up 1: plan + codegen compile
+        t0 = time.perf_counter()
+        run_query(fn)  # warm-up 1: plan + codegen + shared materialization
+        cold[name] = round(time.perf_counter() - t0, 3)
         run_query(fn)  # warm-up 2: JIT promotion
         t0 = time.perf_counter()
         run_query(fn)
@@ -223,6 +238,7 @@ def main() -> None:
             "value": round(sum(timings.values()), 3),
             "unit": "sec",
             "queries": timings,
+            "cold": cold,
             "sf": sf_val,
         }
     )

@@ -295,3 +295,29 @@ def test_rs30_ensemble_bracket_flags_hold(spark):
     assert row.k_per_user_ok
     assert row.ens_hit_ge_als
     assert row.ens_hit_ge_content
+
+
+def test_rs32_joint_model_protocol(spark):
+    """Joint id+content model (rs32): protocol facts and the serving
+    contract hold at sf0.001. The quality flag is NOT asserted here —
+    at ~82 eval users the cross features are below their data
+    requirement (rs32 docstring); test_rs32_joint_beats_content
+    asserts it at the driver-contract scale."""
+    from pyspark_recs.workloads.recsys import rs32_joint_feature_eval
+
+    row = rs32_joint_feature_eval(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n_eval_users > 50
+    assert row.n_candidates > row.n_eval_users * 50
+    assert row.k_per_user_ok
+
+
+def test_rs32_joint_beats_content(spark):
+    """At sf0.01 (the driver-contract scale) the hashed user×content
+    cross features must buy real personalization: joint hit@10 ≥
+    content-only hit@10 (measured +0.0225, ~33 users of margin — see
+    the rs32 docstring; re-baseline via tools/rebaseline_floors.py)."""
+    from pyspark_recs.workloads.recsys import rs32_joint_feature_eval
+
+    row = rs32_joint_feature_eval(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row.k_per_user_ok
+    assert row.joint_hit_ge_content

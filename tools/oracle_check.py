@@ -106,6 +106,25 @@ def main() -> int:
             n_skip += 1
             continue
         try:
+            # Arrow-schema guard BEFORE fetching values: DuckDB sum()
+            # on BIGINT yields HUGEINT -> arrow decimal128(38,0). Our
+            # fetchall() converts hugeint to plain int so the value
+            # hash can't see it, but a harness fetching via
+            # arrow/pandas renders it 350000.0 vs Spark's 350000 —
+            # the round-5 rs31 driver red row. Any uncast hugeint
+            # output is therefore a FAIL here even when values match.
+            atypes = con.execute(oracles[name]).fetch_arrow_table().schema
+            huge = [
+                f.name for f in atypes
+                if str(f.type) == "decimal128(38, 0)"
+            ]
+            if huge:
+                print(
+                    f"FAIL {name}: oracle emits HUGEINT column(s) {huge} "
+                    "(arrow decimal128(38,0)) — add CAST(... AS BIGINT)"
+                )
+                n_fail += 1
+                continue
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
