@@ -91,6 +91,54 @@ def decode_metadata(df: DataFrame) -> DataFrame:
     )
 
 
+IMAGE_SCHEMA = (
+    "doc_id bigint, status string, width int, height int, "
+    "channels int, pixel_sum bigint"
+)
+
+
+def decode_image_payloads(df: DataFrame) -> DataFrame:
+    """REAL image decode (S11's formerly-stubbed half): parse each
+    binary payload as PNG — actual zlib inflate, CRC checks, scanline
+    filter reconstruction (llmops/png.py) — and emit typed image facts
+    (dims, channel count, integer pixel sum). Undecodable payloads
+    become ``status='decode_error'`` rows with NULL facts, the same
+    dead-letter contract as a fetch failure (route to a side table).
+
+    Swap ``decode_png`` for PIL/libpng/ffmpeg to widen format support —
+    the Arrow batch shape, schema, and partition parallelism are the
+    production contract and don't change. Reference behavior:
+    app_utils.py:14-26 (fetch bytes, hand to a model input decoder).
+
+    Scale: decode runs partition-parallel inside ``mapInPandas``;
+    payload bytes never shuffle (this projection REPLACES the payload
+    column with bounded integers — decode-then-drop before any wide
+    stage)."""
+    from pyspark_recs.llmops.png import decode_png
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                try:
+                    w, h, c, px = decode_png(bytes(payload))
+                    rows.append(("ok", w, h, c, sum(px)))
+                except Exception:
+                    rows.append(("decode_error", None, None, None, None))
+            out = pd.DataFrame(
+                rows,
+                columns=["status", "width", "height", "channels", "pixel_sum"],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return df.select("doc_id", "payload").mapInPandas(
+        decode_batches, schema=IMAGE_SCHEMA
+    )
+
+
 RESIZED_SCHEMA = "doc_id bigint, resized binary, n_bytes int"
 
 

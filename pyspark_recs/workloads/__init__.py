@@ -39,7 +39,7 @@ for _mod in (_relational, _llmops, _recsys, _streaming):
 # Trailing fall-through: rounds 3-5 greens, freshest last.
 _PRIORITY = [
     # tier 0 — added/reworked in round 6 (forward slots)
-    "rs32_joint_feature_eval", "l76_http_image_pipeline",
+    "rs32_joint_feature_eval", "l76_png_decode_stats",
     # tier 1a — never driver-verified (rounds 4-5 debt, MUST clear)
     "r69_mann_whitney", "l54_countmin_sketch", "l55_containment_pairs",
     "r70_bitmap_distinct", "r71_rolling_distinct", "l56_linear_model_score",
