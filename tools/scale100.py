@@ -33,6 +33,7 @@ sys.path.insert(0, REPO)
 SRC_SF = "/root/testdata/sf0.1"
 REPLICAS = 100
 KEY_SHIFT = 10_000_000  # > max o_orderkey at sf0.1
+DOC_SHIFT = 1_000_000  # > max doc_id / vec_id at sf0.1
 
 # Join/agg-heavy, fact-table-driven headliners: scan-agg, 3-way join,
 # window-per-key, top-k, distribution agg, join-reorder, semi-join,
@@ -48,8 +49,34 @@ QUERIES_100X = [
     "r86_product_type_profit",
     "rs01_interactions",
     "rs05_item_cooccurrence",
+    # llmops heavies (VERDICT r5 task 5): LSH->verify->connected
+    # components, pigeonhole Hamming blocks, IVF-PQ search, and
+    # positional-gram span excision — the dedup/ANN family that IS the
+    # 100 TB north star, now proven spill-safe and partition-invariant
+    # like the relational set.
+    "l21_dedup_components",
+    "l45_hamming_neardup",
+    "l58_ivfpq_search",
+    "l64_decontaminate_spans",
 ]
 PARTITION_SETTINGS = (32, 13)
+
+# Per-replica vowel-substitution alphabets for the documents table.
+# Replicating TEXT verbatim would make every doc a 100-way exact/near
+# duplicate of its replicas — a pathological corpus where LSH buckets
+# hold 100-cliques and the verify stage goes quadratic in REPLICAS, a
+# shape no real 100x corpus has. translate()-ing the vowels through a
+# per-replica consonant key changes nearly every shingle/word hash
+# while preserving length, token boundaries and the WITHIN-replica
+# duplicate structure — so dedup work scales linearly with volume,
+# which is the honest 100x shape.
+_CONSONANTS = "bcdfghjklmnpqrstvwxz"
+
+
+def _vowel_key(rep: int) -> str:
+    return "".join(
+        _CONSONANTS[(rep * 7 + k * 3) % len(_CONSONANTS)] for k in range(5)
+    )
 
 
 def build_scratch(scale_dir: str) -> None:
@@ -72,8 +99,38 @@ def build_scratch(scale_dir: str) -> None:
         replicas.drop("_rep").repartition(64).write.mode(
             "overwrite"
         ).parquet(os.path.join(scale_dir, f"{name}.parquet"))
+    # documents: shift ids, salt text per replica (see _vowel_key note)
+    docs = load_table(spark, SRC_SF, "documents")
+    salted = None
+    for rep in range(REPLICAS):
+        part = docs.select(
+            (F.col("doc_id") + F.lit(rep * DOC_SHIFT)).alias("doc_id"),
+            F.translate("text", "aeiou", _vowel_key(rep)).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        salted = part if salted is None else salted.unionByName(part)
+    salted.repartition(64).write.mode("overwrite").parquet(
+        os.path.join(scale_dir, "documents.parquet")
+    )
+
+    # embeddings: shift ids, keep vectors (ANN search is per-query
+    # top-k over pruned cells — denser cells are the stress, identical
+    # vectors don't blow anything up the way identical text does)
+    emb = load_table(spark, SRC_SF, "embeddings")
+    emb.crossJoin(
+        spark.range(REPLICAS).select(F.col("id").alias("_rep"))
+    ).select(
+        (F.col("vec_id") + F.col("_rep") * F.lit(DOC_SHIFT)).alias("vec_id"),
+        "embedding",
+        "label",
+    ).repartition(64).write.mode("overwrite").parquet(
+        os.path.join(scale_dir, "embeddings.parquet")
+    )
+
     for name in TABLES:
-        if name in ("lineitem", "orders"):
+        if name in ("lineitem", "orders", "documents", "embeddings"):
             continue
         src = os.path.join(SRC_SF, f"{name}.parquet")
         dst = os.path.join(scale_dir, f"{name}.parquet")
@@ -139,7 +196,22 @@ def main() -> None:
     if rebuild or not os.path.exists(
         os.path.join(scale_dir, "lineitem.parquet")
     ):
-        build_scratch(scale_dir)
+        if "--build-only" in sys.argv:
+            build_scratch(scale_dir)
+            return
+        # Build in a SUBPROCESS so the measured session starts in a
+        # fresh JVM: in local mode the build session's JVM is reused by
+        # the next SparkSession, and the round-6 run that shared a JVM
+        # with the 100x replication write OOM'd on rs01's 60 M-row
+        # groupBy where a fresh-JVM run survives with spills.
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--rebuild",
+             "--build-only"],
+            check=True,
+            env={**os.environ, "SPARK_GRAFT_SCALE100_DIR": scale_dir},
+        )
 
     log_dir = os.path.join(scale_dir, "eventlog")
     if os.path.isdir(log_dir):
@@ -187,7 +259,15 @@ def main() -> None:
     mismatches = []
     for name in QUERIES_100X:
         c_a, t_a = run_checksum(name, PARTITION_SETTINGS[0])
+        # Clear session-shared subplans between the two settings:
+        # otherwise the p=13 run would read artifacts MATERIALIZED at
+        # p=32 (simhash32, gram tables, capped histories) and the
+        # invariance claim would be partly vacuous.
+        unpersist_shared(spark)
+        spark.catalog.clearCache()
         c_b, t_b = run_checksum(name, PARTITION_SETTINGS[1])
+        unpersist_shared(spark)
+        spark.catalog.clearCache()
         if c_a != c_b:
             mismatches.append(name)
         results[name] = {
