@@ -168,6 +168,7 @@ HEADLINE = [
     # math) and the joint id+content feature model eval
     "rs30_ensemble_eval",
     "rs32_joint_feature_eval",
+    "l76_png_decode_stats",
 ]
 
 
