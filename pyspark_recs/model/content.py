@@ -243,6 +243,14 @@ def train_content_model(
         regParam=reg_param,
         maxIter=max_iter,
     )
+    # Pin the fit input to core-count partitions: L-BFGS runs a
+    # treeAggregate over the input EVERY iteration, so a session-level
+    # spark.sql.shuffle.partitions of 200 (the Spark default a vanilla
+    # harness session arrives with) schedules 200 tiny tasks per pass —
+    # measured 4.7x slower at sf0.01. Pinning also makes the float
+    # summation order (and hence the fitted coefficients) independent
+    # of the session conf.
+    train = train.repartition(train.sparkSession.sparkContext.defaultParallelism)
     return assembler, lr.fit(assembler.transform(train))
 
 
@@ -334,6 +342,9 @@ def train_joint_model(
         regParam=reg_param,
         maxIter=max_iter,
     )
+    # Same core-count pinning as train_content_model (see note there);
+    # with 2^16-dim gradients the per-task overhead is even larger.
+    train = train.repartition(train.sparkSession.sparkContext.defaultParallelism)
     prepared = assembler.transform(
         hasher.transform(with_user_item_crosses(train))
     )

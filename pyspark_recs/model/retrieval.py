@@ -53,11 +53,19 @@ def train_als(
         coldStartStrategy="drop",
         seed=seed,
     )
+    # Pin the ratings input to core-count partitions before the fit:
+    # ALS re-blocks internally, but the blockify stages inherit the
+    # input's partition count, so a vanilla session's 200 shuffle
+    # partitions schedule 200 tiny tasks per iteration barrier (same
+    # fix and rationale as model/content.py's trainers).
+    ratings = interactions.select(
+        F.col(user_col).cast("int").alias(user_col),
+        F.col(item_col).cast("int").alias(item_col),
+        F.col(rating_col).cast("float").alias(rating_col),
+    )
     return als.fit(
-        interactions.select(
-            F.col(user_col).cast("int").alias(user_col),
-            F.col(item_col).cast("int").alias(item_col),
-            F.col(rating_col).cast("float").alias(rating_col),
+        ratings.repartition(
+            ratings.sparkSession.sparkContext.defaultParallelism
         )
     )
 

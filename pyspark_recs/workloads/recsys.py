@@ -2642,6 +2642,22 @@ def _ens_eval_users(spark: SparkSession, sf: str) -> DataFrame:
     return shared_plan(spark, sf, "ens_eval_users", build)
 
 
+def _ens_train_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-shared supervised training frame (positives + hash
+    negatives with features). Both the content-only and the joint
+    trainers fit on THIS materialized frame: without sharing, each fit
+    re-materialized the whole feature-join pipeline (measured ~25-35 s
+    per pass in a default-conf harness session at sf0.01)."""
+    from pyspark_recs.model.content import build_content_training_data
+
+    return shared_plan(
+        spark,
+        sf,
+        "ens_train",
+        lambda: build_content_training_data(spark, sf, n_neg_eval=99).train,
+    )
+
+
 def _ens_candidates(spark: SparkSession, sf: str) -> DataFrame:
     """Per-eval-user candidate sets (held-out ∪ 99 hash negatives) with
     content features attached — O(users · ~100) rows, shared by the
@@ -2667,14 +2683,14 @@ def _ens_content_topk(spark: SparkSession, sf: str) -> DataFrame:
     deterministic training frame, so caching the scored output is
     equivalent to caching the model)."""
     from pyspark_recs.model.content import (
-        build_content_training_data,
         score_candidates,
         train_content_model,
     )
 
     def build() -> DataFrame:
-        data = build_content_training_data(spark, sf, n_neg_eval=99)
-        assembler, model = train_content_model(data.train, max_iter=10)
+        assembler, model = train_content_model(
+            _ens_train_frame(spark, sf), max_iter=10
+        )
         return score_candidates(
             assembler, model, _ens_candidates(spark, sf), k=10
         )
@@ -2867,14 +2883,14 @@ def _joint_topk(spark: SparkSession, sf: str) -> DataFrame:
     model/content.py:train_joint_model, fit once per session on the
     same leave-one-out train frame as the content ranker."""
     from pyspark_recs.model.content import (
-        build_content_training_data,
         score_candidates_joint,
         train_joint_model,
     )
 
     def build() -> DataFrame:
-        data = build_content_training_data(spark, sf, n_neg_eval=99)
-        hasher, assembler, model = train_joint_model(data.train)
+        hasher, assembler, model = train_joint_model(
+            _ens_train_frame(spark, sf)
+        )
         return score_candidates_joint(
             hasher, assembler, model, _ens_candidates(spark, sf), k=10
         )
@@ -3197,8 +3213,10 @@ def rs31_behavioral_audit(spark: SparkSession, sf: str) -> DataFrame:
 # arrow/pandas renders that as 350000.0 against Spark's bigint 350000
 # — the exact rows-match/hash-mismatch signature of the round-5 rs31
 # driver red row (the local mirror's fetchall() hides it by converting
-# hugeint to int). tools/oracle_check.py now fails any oracle emitting
-# decimal128(38,0) so the class can't recur.
+# hugeint to int). Confirmed empirically: duckdb `.df()` on the uncast
+# query yields value_ppm float64 (14028.0) where the cast query and
+# Spark both yield int64 14028. tools/oracle_check.py now fails any
+# oracle emitting decimal128(38,0) so the class can't recur.
 RS31_SQL = """
 WITH tagged_orders AS (
   SELECT o_orderkey, o_custkey AS user_id,
