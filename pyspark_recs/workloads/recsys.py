@@ -2698,6 +2698,48 @@ def _ens_content_topk(spark: SparkSession, sf: str) -> DataFrame:
     return shared_plan(spark, sf, "ens_content_topk", build)
 
 
+def _ens_als_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-shared ALS retriever top-10 over the shared candidate
+    sets: inner-product scores from the cached factor table (cold items
+    with no factors rank last, deterministically by item_id) →
+    (user_id, item_id, rank ≤ 10). The serving artifact the retriever
+    half of the ensemble publishes — rs30's fusion and the floors
+    re-baseliner both consume it."""
+
+    def build() -> DataFrame:
+        fac = _ens_als_factors(spark, sf)
+        uf = fac.filter(F.col("side") == "u").select(
+            F.col("id").alias("user_id"), F.col("features").alias("uvec")
+        )
+        itf = fac.filter(F.col("side") == "i").select(
+            F.col("id").alias("item_id"), F.col("features").alias("ivec")
+        )
+        dot = F.aggregate(
+            F.zip_with(
+                "uvec",
+                "ivec",
+                lambda a, b: a.cast("double") * b.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w_als = Window.partitionBy("user_id").orderBy(
+            F.desc_nulls_last("als_score"), F.asc("item_id")
+        )
+        return (
+            _ens_candidates(spark, sf)
+            .select("user_id", "item_id")
+            .join(uf, "user_id", "left")
+            .join(F.broadcast(itf), "item_id", "left")
+            .withColumn("als_score", dot)
+            .withColumn("rank", F.row_number().over(w_als))
+            .filter(F.col("rank") <= 10)
+            .select("user_id", "item_id", "rank")
+        )
+
+    return shared_plan(spark, sf, "ens_als_topk", build)
+
+
 def rs30_ensemble_eval(spark: SparkSession, sf: str) -> DataFrame:
     """FULL SERVING-STACK ensemble, end to end — the complete analog of
     the reference DAG (my_merlin_flow.py:265-537: retrieve → rank →
@@ -2735,35 +2777,9 @@ def rs30_ensemble_eval(spark: SparkSession, sf: str) -> DataFrame:
     # (session-shared — the fit pays once, see _ens_content_topk).
     content_r = _ens_content_topk(spark, sf)
 
-    # Retriever source: ALS inner-product scores over the SAME
-    # candidate sets (cold items with no factor rank last,
-    # deterministically by item_id).
-    fac = _ens_als_factors(spark, sf)
-    uf = fac.filter(F.col("side") == "u").select(
-        F.col("id").alias("user_id"), F.col("features").alias("uvec")
-    )
-    itf = fac.filter(F.col("side") == "i").select(
-        F.col("id").alias("item_id"), F.col("features").alias("ivec")
-    )
-    dot = F.aggregate(
-        F.zip_with(
-            "uvec", "ivec", lambda a, b: a.cast("double") * b.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w_als = Window.partitionBy("user_id").orderBy(
-        F.desc_nulls_last("als_score"), F.asc("item_id")
-    )
-    als_r = (
-        cands.select("user_id", "item_id")
-        .join(uf, "user_id", "left")
-        .join(F.broadcast(itf), "item_id", "left")
-        .withColumn("als_score", dot)
-        .withColumn("rank", F.row_number().over(w_als))
-        .filter(F.col("rank") <= 10)
-        .select("user_id", "item_id", "rank")
-    )
+    # Retriever source: ALS inner-product top-10 over the same
+    # candidate sets (session-shared like the content side).
+    als_r = _ens_als_topk(spark, sf)
 
     # rs26's RRF: exact integer reciprocals, engine-agreed ordering.
     fused = (

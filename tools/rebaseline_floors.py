@@ -100,36 +100,9 @@ def main() -> int:
         )
         joint_h = hit_rate(recsys._joint_topk(spark, sf), truth, eval_users)
 
-        cands = recsys._ens_candidates(spark, sf)
-        fac = recsys._ens_als_factors(spark, sf)
-        uf = fac.filter(F.col("side") == "u").select(
-            F.col("id").alias("user_id"), F.col("features").alias("uvec")
-        )
-        itf = fac.filter(F.col("side") == "i").select(
-            F.col("id").alias("item_id"), F.col("features").alias("ivec")
-        )
-        dot = F.aggregate(
-            F.zip_with(
-                "uvec", "ivec",
-                lambda a, b: a.cast("double") * b.cast("double"),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
         from pyspark.sql import Window
 
-        w_als = Window.partitionBy("user_id").orderBy(
-            F.desc_nulls_last("als_score"), F.asc("item_id")
-        )
-        als_r = (
-            cands.select("user_id", "item_id")
-            .join(uf, "user_id", "left")
-            .join(F.broadcast(itf), "item_id", "left")
-            .withColumn("als_score", dot)
-            .withColumn("rank", F.row_number().over(w_als))
-            .filter(F.col("rank") <= 10)
-            .select("user_id", "item_id", "rank")
-        )
+        als_r = recsys._ens_als_topk(spark, sf)
         als_h = hit_rate(als_r, truth, eval_users)
 
         fused = (
