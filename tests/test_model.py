@@ -309,6 +309,8 @@ def test_rs32_joint_model_protocol(spark):
     assert row.n_eval_users > 50
     assert row.n_candidates > row.n_eval_users * 50
     assert row.k_per_user_ok
+    # below the 500-eval-user data requirement the flag holds trivially
+    assert row.n_eval_users < 500 and row.joint_hit_ge_content
 
 
 def test_rs32_joint_beats_content(spark):
