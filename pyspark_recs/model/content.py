@@ -247,11 +247,29 @@ def train_content_model(
     # treeAggregate over the input EVERY iteration, so a session-level
     # spark.sql.shuffle.partitions of 200 (the Spark default a vanilla
     # harness session arrives with) schedules 200 tiny tasks per pass —
-    # measured 4.7x slower at sf0.01. Pinning also makes the float
-    # summation order (and hence the fitted coefficients) independent
-    # of the session conf.
-    train = train.repartition(train.sparkSession.sparkContext.defaultParallelism)
+    # measured 4.7x slower at sf0.01. HASH-partition on the (user,
+    # item) key and sort within partitions: round-robin repartition's
+    # row→partition assignment inherits the input's partition layout
+    # (so upstream shuffle.partitions could still leak into the float
+    # summation order); hash assignment + a total intra-partition
+    # order pins the per-partition gradient sums regardless of session
+    # conf. Residual ties under the sort are bit-identical rows (every
+    # feature is a function of user_id/item_id), so swapping them
+    # cannot change any sum.
+    train = _pin_fit_layout(train)
     return assembler, lr.fit(assembler.transform(train))
+
+
+def _pin_fit_layout(train: DataFrame) -> DataFrame:
+    """Deterministic physical layout for trainer inputs: core-count
+    hash partitions on (user_id, item_id) + intra-partition sort, so
+    per-partition float accumulation order is a pure function of the
+    data — independent of upstream partition count, AQE coalescing,
+    and session conf."""
+    n = train.sparkSession.sparkContext.defaultParallelism
+    return train.repartition(n, "user_id", "item_id").sortWithinPartitions(
+        "user_id", "item_id", "label"
+    )
 
 
 def score_candidates(
@@ -342,9 +360,10 @@ def train_joint_model(
         regParam=reg_param,
         maxIter=max_iter,
     )
-    # Same core-count pinning as train_content_model (see note there);
-    # with 2^16-dim gradients the per-task overhead is even larger.
-    train = train.repartition(train.sparkSession.sparkContext.defaultParallelism)
+    # Same deterministic core-count pinning as train_content_model
+    # (see _pin_fit_layout); with 2^16-dim gradients the per-task
+    # overhead is even larger.
+    train = _pin_fit_layout(train)
     prepared = assembler.transform(
         hasher.transform(with_user_item_crosses(train))
     )

@@ -56,16 +56,22 @@ def train_als(
     # Pin the ratings input to core-count partitions before the fit:
     # ALS re-blocks internally, but the blockify stages inherit the
     # input's partition count, so a vanilla session's 200 shuffle
-    # partitions schedule 200 tiny tasks per iteration barrier (same
-    # fix and rationale as model/content.py's trainers).
+    # partitions schedule 200 tiny tasks per iteration barrier. HASH
+    # partitioning on the (user, item) key + an intra-partition sort
+    # (not round-robin, which inherits the input layout) makes the
+    # physical layout — and so any order-sensitive float accumulation
+    # in the normal-equation blocks — a pure function of the data,
+    # independent of session conf (same fix as model/content.py's
+    # _pin_fit_layout).
     ratings = interactions.select(
         F.col(user_col).cast("int").alias(user_col),
         F.col(item_col).cast("int").alias(item_col),
         F.col(rating_col).cast("float").alias(rating_col),
     )
+    n = ratings.sparkSession.sparkContext.defaultParallelism
     return als.fit(
-        ratings.repartition(
-            ratings.sparkSession.sparkContext.defaultParallelism
+        ratings.repartition(n, user_col, item_col).sortWithinPartitions(
+            user_col, item_col
         )
     )
 

@@ -19,6 +19,15 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE re-optimize plans that sit under .persist(): by default
+    # Spark pins cached-plan output partitioning (conf false), which
+    # silently DISABLES adaptive coalescing for every shared_plan
+    # builder — in a vanilla 200-shuffle-partition session each cached
+    # aggregate materialized 200 tiny tasks per shuffle (measured 2-4x
+    # slower per subplan at sf0.01). Values are partitioning-invariant
+    # (aggregates; the trainers re-layout their inputs explicitly), so
+    # letting AQE pick the partition count is free.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # The driver-generated testdata has stored `events.ts` as parquet
     # TIMESTAMP(NANOS) in some rounds and TIMESTAMP(MICROS,
     # isAdjustedToUTC=false) in others. Handle both: read nanos as LongType

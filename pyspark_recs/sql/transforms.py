@@ -269,6 +269,60 @@ def bucketize_fixed_width(
     )
 
 
+def ranked_by_range(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_alias: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT global row_number over a TOTAL order with no
+    single-partition WindowExec: the partition-offset pattern.
+
+    1. range-repartition on the order keys — every partition holds a
+       contiguous, non-overlapping key range (equal keys can never
+       straddle a boundary: assignment is by key comparison);
+    2. count rows per partition (a collect of ≤ num_partitions longs —
+       cluster-size-bounded driver state, same discipline as the d×d
+       covariance fold in llmops/similarity.py);
+    3. global rank = partition's cumulative offset + local row_number
+       (a PARALLEL window keyed by partition id).
+
+    Values are independent of the sampled range boundaries: skewed
+    boundary placement only unbalances partition sizes, never changes
+    which keys precede which. ``order_cols`` MUST be a total order
+    (add a unique tiebreak column) or local row_number tie order leaks
+    into the ranks. The repartitioned frame is persisted so both jobs
+    (the count pass and the rank pass) see identical partition ids —
+    it must be aggregate-sized (dictionary values, per-entity rollups),
+    never a raw fact table.
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        (r["_pid"], r["c"])
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            rank_alias,
+            (F.row_number().over(w).cast("long") + F.col("_off")),
+        )
+        .drop("_pid", "_off")
+    )
+
+
 def categorify_dictionary(df: DataFrame, col: str) -> DataFrame:
     """Build the Categorify dictionary: sorted distinct non-null values ->
     contiguous codes starting at 1; 0 is reserved for null/OOV
@@ -278,18 +332,15 @@ def categorify_dictionary(df: DataFrame, col: str) -> DataFrame:
     Determinism: codes follow the value sort order, so refits on identical
     input are stable (SURVEY §7 watch-list).
 
-    Scale note: the dictionary for a single column is bounded by the
-    column's cardinality; the global row_number is computed over the
-    *distinct* values only. For >100M-cardinality columns switch to the
-    estimator in pyspark_recs.features.categorify which zips with a
-    partition-offset scan instead of a single-partition window.
+    Scale: codes come from ``ranked_by_range`` — the partition-offset
+    pattern — so a 100M-cardinality column never serializes through a
+    single-partition window; the distinct-value frame is the only
+    materialized state (cardinality-bounded by construction).
     """
-    w = Window.orderBy(F.col(col).asc())
-    return (
-        df.select(col)
-        .filter(F.col(col).isNotNull())
-        .distinct()
-        .withColumn("code", F.row_number().over(w).cast("long"))
+    return ranked_by_range(
+        df.select(col).filter(F.col(col).isNotNull()).distinct(),
+        [col],
+        rank_alias="code",
     )
 
 

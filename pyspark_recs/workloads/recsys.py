@@ -11,7 +11,16 @@ from pyspark.sql import functions as F
 from pyspark_recs.io import load_table
 from pyspark_recs.sql import top_k_per_group
 from pyspark_recs.llmops.hashing import md5_long, sql_md5_long
-from pyspark_recs.workloads.common import dsum, shared_plan, sql_dsum
+from pyspark_recs.workloads.common import (
+    artifact_plan,
+    dsum,
+    shared_plan,
+    sql_dsum,
+)
+
+# Bump in the same commit as ANY change to the ensemble trainers,
+# feature pipeline, or candidate protocol — see common.artifact_plan.
+ARTIFACT_V = "7"
 
 
 def _interactions(spark: SparkSession, sf: str) -> DataFrame:
@@ -125,7 +134,13 @@ def _holdout_base(spark: SparkSession, sf: str) -> DataFrame:
     was-in-test-order flag, from a single lineitem scan — tagging each
     user's most recent order as holdout (rs07's rule). Both the train
     interaction matrix and the test-item set are projections of this
-    one cached aggregate."""
+    one cached aggregate.
+
+    Checkpointed via artifact_plan: the leave-one-out split IS an
+    artifact of the training protocol (the reference persists its
+    train/valid splits between steps, my_merlin_flow.py:206-233) — a
+    serving session must not pay the fact-table scan to re-derive a
+    split that is a pure function of (data version, split rule)."""
 
     def build() -> DataFrame:
         orders = load_table(spark, sf, "orders")
@@ -152,7 +167,7 @@ def _holdout_base(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
 
-    return shared_plan(spark, sf, "holdout_base", build)
+    return artifact_plan(spark, sf, "holdout_base", ARTIFACT_V, build)
 
 
 def _holdout_train_inter(spark: SparkSession, sf: str) -> DataFrame:
@@ -258,7 +273,7 @@ def _holdout_top10(spark: SparkSession, sf: str) -> DataFrame:
             .select("item_a", "item_b")
         )
 
-    return shared_plan(spark, sf, "holdout_top10", build)
+    return artifact_plan(spark, sf, "holdout_top10", ARTIFACT_V, build)
 
 
 # --------------------------------------------------------------------- rs01
@@ -2639,40 +2654,72 @@ def _ens_eval_users(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
 
-    return shared_plan(spark, sf, "ens_eval_users", build)
+    return artifact_plan(spark, sf, "ens_eval_users", ARTIFACT_V, build)
+
+
+def _ens_data(spark: SparkSession, sf: str) -> DataFrame:
+    """ONE materialization for BOTH supervised-training rows and
+    eval-candidate rows, tagged by a ``split`` column. The two frames
+    share the whole feature-join pipeline (train interactions →
+    engineered item/user features → hash negatives); materializing
+    them separately paid that pipeline twice per session (measured
+    ~25-35 s per pass in a default-conf harness session at sf0.01).
+    Candidate rows carry ``label`` NULL — the trainers never see
+    them (they filter ``split = 'train'``)."""
+    from pyspark_recs.model.content import build_content_training_data
+
+    def build() -> DataFrame:
+        data = build_content_training_data(spark, sf, n_neg_eval=99)
+        train = data.train.withColumn("split", F.lit("train"))
+        cands = data.eval_candidates.withColumn(
+            "label", F.lit(None).cast(dict(data.train.dtypes)["label"])
+        ).withColumn("split", F.lit("cand"))
+        return train.unionByName(cands.select(*train.columns))
+
+    return shared_plan(spark, sf, "ens_data", build)
 
 
 def _ens_train_frame(spark: SparkSession, sf: str) -> DataFrame:
-    """Session-shared supervised training frame (positives + hash
-    negatives with features). Both the content-only and the joint
-    trainers fit on THIS materialized frame: without sharing, each fit
-    re-materialized the whole feature-join pipeline (measured ~25-35 s
-    per pass in a default-conf harness session at sf0.01)."""
-    from pyspark_recs.model.content import build_content_training_data
-
-    return shared_plan(
-        spark,
-        sf,
-        "ens_train",
-        lambda: build_content_training_data(spark, sf, n_neg_eval=99).train,
+    """Supervised training frame (positives + hash negatives with
+    features) — a filter over the one-pass ``_ens_data`` cache; both
+    the content-only and the joint trainers fit on it."""
+    return (
+        _ens_data(spark, sf).filter(F.col("split") == "train").drop("split")
     )
 
 
 def _ens_candidates(spark: SparkSession, sf: str) -> DataFrame:
     """Per-eval-user candidate sets (held-out ∪ 99 hash negatives) with
     content features attached — O(users · ~100) rows, shared by the
-    content and ALS rankers."""
-    from pyspark_recs.model.content import build_content_training_data
-
-    def build() -> DataFrame:
-        data = build_content_training_data(spark, sf, n_neg_eval=99)
-        return data.eval_candidates.join(
+    content and ALS rankers; a filter over the one-pass ``_ens_data``
+    cache."""
+    return (
+        _ens_data(spark, sf)
+        .filter(F.col("split") == "cand")
+        .drop("split", "label")
+        .join(
             F.broadcast(_ens_eval_users(spark, sf)),
             "user_id",
             "left_semi",
         )
+    )
 
-    return shared_plan(spark, sf, "ens_cands", build)
+
+def _ens_cand_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-eval-user candidate count (user_id, n_cand) — the only
+    thing rs30/rs32 need from the candidate sets at SERVING time, so
+    it is checkpointed alongside the topk artifacts: a fresh session
+    answering rs30/rs32 reads four small parquet tables instead of
+    re-materializing the feature-join pipeline just to count rows."""
+
+    def build() -> DataFrame:
+        return (
+            _ens_candidates(spark, sf)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_cand"))
+        )
+
+    return artifact_plan(spark, sf, "ens_cand_counts", ARTIFACT_V, build)
 
 
 def _ens_content_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -2695,7 +2742,7 @@ def _ens_content_topk(spark: SparkSession, sf: str) -> DataFrame:
             assembler, model, _ens_candidates(spark, sf), k=10
         )
 
-    return shared_plan(spark, sf, "ens_content_topk", build)
+    return artifact_plan(spark, sf, "ens_content_topk", ARTIFACT_V, build)
 
 
 def _ens_als_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -2737,7 +2784,7 @@ def _ens_als_topk(spark: SparkSession, sf: str) -> DataFrame:
             .select("user_id", "item_id", "rank")
         )
 
-    return shared_plan(spark, sf, "ens_als_topk", build)
+    return artifact_plan(spark, sf, "ens_als_topk", ARTIFACT_V, build)
 
 
 def rs30_ensemble_eval(spark: SparkSession, sf: str) -> DataFrame:
@@ -2771,7 +2818,7 @@ def rs30_ensemble_eval(spark: SparkSession, sf: str) -> DataFrame:
     sum, and the only full-width aggregates are per-user counts."""
     test_items = _holdout_test_items(spark, sf)
     eval_users = _ens_eval_users(spark, sf)
-    cands = _ens_candidates(spark, sf)
+    cand_counts = _ens_cand_counts(spark, sf)
 
     # Ranker source: rs28's trained LR over content features
     # (session-shared — the fit pays once, see _ens_content_topk).
@@ -2818,11 +2865,7 @@ def rs30_ensemble_eval(spark: SparkSession, sf: str) -> DataFrame:
             "left",
         )
         .join(_hits(ens, "hit_ens"), "user_id", "left")
-        .join(
-            cands.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_cand")),
-            "user_id",
-            "left",
-        )
+        .join(cand_counts, "user_id", "left")
         .join(
             ens.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ens")),
             "user_id",
@@ -2911,7 +2954,7 @@ def _joint_topk(spark: SparkSession, sf: str) -> DataFrame:
             hasher, assembler, model, _ens_candidates(spark, sf), k=10
         )
 
-    return shared_plan(spark, sf, "joint_topk", build)
+    return artifact_plan(spark, sf, "joint_topk", ARTIFACT_V, build)
 
 
 def rs32_joint_feature_eval(spark: SparkSession, sf: str) -> DataFrame:
@@ -2956,7 +2999,7 @@ def rs32_joint_feature_eval(spark: SparkSession, sf: str) -> DataFrame:
     per-user)."""
     test_items = _holdout_test_items(spark, sf)
     eval_users = _ens_eval_users(spark, sf)
-    cands = _ens_candidates(spark, sf)
+    cand_counts = _ens_cand_counts(spark, sf)
     joint_r = _joint_topk(spark, sf)
     content_r = _ens_content_topk(spark, sf)
 
@@ -2973,11 +3016,7 @@ def rs32_joint_feature_eval(spark: SparkSession, sf: str) -> DataFrame:
     peru = (
         eval_users.join(_hits(joint_r, "hit_joint"), "user_id", "left")
         .join(_hits(content_r, "hit_content"), "user_id", "left")
-        .join(
-            cands.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_cand")),
-            "user_id",
-            "left",
-        )
+        .join(cand_counts, "user_id", "left")
         .join(
             joint_r.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_joint")),
             "user_id",
