@@ -69,9 +69,13 @@ def train_als(
         F.col(rating_col).cast("float").alias(rating_col),
     )
     n = ratings.sparkSession.sparkContext.defaultParallelism
+    # rating_col joins the sort keys so the order is TOTAL for any
+    # input: callers today pass (user,item)-aggregated frames, but the
+    # API is general and duplicate (user,item) rows with different
+    # ratings would otherwise make the layout input-order-dependent.
     return als.fit(
         ratings.repartition(n, user_col, item_col).sortWithinPartitions(
-            user_col, item_col
+            user_col, item_col, rating_col
         )
     )
 

@@ -303,6 +303,13 @@ def ranked_by_range(
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    # Register the persisted intermediate for session teardown —
+    # unpersist_shared releases it alongside the shared plans, so
+    # repeated Categorify fits in a long-lived session don't grow
+    # cached storage monotonically.
+    from pyspark_recs.workloads.common import register_persisted
+
+    register_persisted(ranged)
     counts = sorted(
         (r["_pid"], r["c"])
         for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()

@@ -137,6 +137,69 @@ ARTIFACT_ROOT = _os.environ.get(
 )
 
 
+# Sources whose semantics feed every checkpointed artifact (trainers,
+# feature pipeline, relational transforms, the recsys builders). Any
+# edit to these files MUST invalidate existing artifacts — round 7
+# proved the manual-version discipline fails silently (coefficients
+# changed in model/content.py with no ARTIFACT_V bump anywhere near
+# the diff).
+_CODE_FP_GLOBS = (
+    "model/*.py",
+    "features/*.py",
+    "sql/transforms.py",
+    "workloads/recsys.py",
+)
+_FP_CACHE: dict = {}
+
+
+def code_fingerprint(globs=_CODE_FP_GLOBS) -> str:
+    """md5 over the source bytes of every module that shapes artifact
+    contents. Folded into artifact paths so a semantics change without
+    an ``ARTIFACT_V`` bump can never serve a stale model — the path
+    simply misses and the artifact rebuilds."""
+    import glob as _glob
+    import hashlib as _hashlib
+
+    fp = _FP_CACHE.get(("code", globs))
+    if fp is None:
+        pkg = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        files: list = []
+        for pat in globs:
+            files.extend(_glob.glob(_os.path.join(pkg, pat)))
+        h = _hashlib.md5()
+        for f in sorted(files):
+            with open(f, "rb") as fh:
+                h.update(_os.path.basename(f).encode())
+                h.update(fh.read())
+        fp = _FP_CACHE[("code", globs)] = h.hexdigest()
+    return fp
+
+
+def data_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of a testdata dir: file names + sizes + the
+    first/last 4 KiB of each parquet file (footers carry row counts and
+    column stats, so regenerated-but-different data always moves it).
+    Deliberately NO mtimes — a fresh git clone or an untouched
+    regeneration must map to the same artifacts."""
+    import glob as _glob
+    import hashlib as _hashlib
+
+    norm = _os.path.normpath(_os.path.abspath(sf_dir))
+    fp = _FP_CACHE.get(("data", norm))
+    if fp is None:
+        h = _hashlib.md5()
+        for p in sorted(_glob.glob(_os.path.join(norm, "*.parquet"))):
+            size = _os.path.getsize(p)
+            h.update(f"{_os.path.basename(p)}:{size}".encode())
+            with open(p, "rb") as fh:
+                h.update(fh.read(4096))
+                if size > 8192:
+                    fh.seek(-4096, _os.SEEK_END)
+                    h.update(fh.read(4096))
+        fp = _FP_CACHE[("data", norm)] = h.hexdigest()
+    return fp
+
+
 def artifact_plan(spark, sf: str, key: str, version: str, builder):
     """``shared_plan`` with a cross-session parquet checkpoint — the
     reference's own discipline for fitted models (it saves/reloads by
@@ -153,16 +216,29 @@ def artifact_plan(spark, sf: str, key: str, version: str, builder):
     session and the driver's" failure class for checkpointed models:
     the artifact IS the model output.
 
-    ``version`` MUST be bumped in the same commit as any change to the
-    builder's semantics (trainer hyper-parameters, feature pipeline,
-    partition pinning) — a stale artifact would silently serve the old
-    model. The key is (sf-dir basename + path hash, key, version) so
-    distinct data dirs never collide.
+    Staleness is impossible by construction, not by discipline: the
+    artifact path embeds (a) ``version`` (bump for protocol changes
+    outside the hashed sources), (b) a CODE fingerprint over every
+    module that shapes artifact contents (``code_fingerprint``), and
+    (c) a DATA fingerprint of the sf dir's parquet content
+    (``data_fingerprint``). Editing a trainer or regenerating the
+    testdata moves the path, so the old binary is simply never found
+    and the artifact rebuilds — the worst case is a redundant rebuild,
+    never a wrong answer. This is also why committing ``.artifacts/``
+    to git is safe (and needed: the cold-session load path is the
+    whole point): a committed artifact can only ever be loaded against
+    the exact code+data that produced it.
+
+    The write is atomic across processes: build into a unique temp dir,
+    ``os.rename`` into place, discard ours if a concurrent session won
+    the race — two sessions can never interleave part-files.
 
     At 100 TB this is the standard model-registry pattern: training is
     a separate job from serving, and serving jobs read the published
     artifact table."""
     import hashlib as _hashlib
+    import shutil as _shutil
+    import time as _time
 
     norm = _os.path.normpath(_os.path.abspath(sf))
     tag = (
@@ -170,16 +246,50 @@ def artifact_plan(spark, sf: str, key: str, version: str, builder):
         + "-"
         + _hashlib.md5(norm.encode()).hexdigest()[:8]
     )
-    path = _os.path.join(ARTIFACT_ROOT, tag, f"{key}_v{version}")
+    fp = _hashlib.md5(
+        (code_fingerprint() + data_fingerprint(norm)).encode()
+    ).hexdigest()[:10]
+    stem = f"{key}_v{version}-{fp}"
+    path = _os.path.join(ARTIFACT_ROOT, tag, stem)
 
     def load_or_build():
         if _os.path.exists(_os.path.join(path, "_SUCCESS")):
             return spark.read.parquet(path)
         df = builder()
-        df.write.mode("overwrite").parquet(path)
+        tmp = f"{path}.build-{_os.getpid()}-{_time.monotonic_ns()}"
+        df.write.mode("overwrite").parquet(tmp)
+        try:
+            _os.rename(tmp, path)
+        except OSError:
+            # Destination appeared (concurrent winner) or a corrupt
+            # leftover blocks us. A complete artifact has _SUCCESS —
+            # serve it; an incomplete one is replaced.
+            if _os.path.exists(_os.path.join(path, "_SUCCESS")):
+                _shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                _shutil.rmtree(path, ignore_errors=True)
+                try:
+                    _os.rename(tmp, path)
+                except OSError:
+                    _shutil.rmtree(tmp, ignore_errors=True)
         return spark.read.parquet(path)
 
-    return shared_plan(spark, sf, f"{key}_v{version}", load_or_build)
+    return shared_plan(spark, sf, stem, load_or_build)
+
+
+def register_persisted(df, sf: str = "", key: str | None = None):
+    """Track a frame an operator persisted internally (e.g.
+    ``ranked_by_range``'s range-partitioned intermediate) so
+    ``unpersist_shared`` can release it at teardown — otherwise every
+    such call leaks a cached DataFrame for the session's lifetime."""
+    ck = (
+        df.sparkSession.sparkContext.applicationId,
+        sf,
+        key or f"__persisted_{id(df)}",
+    )
+    with _REGISTRY_LOCK:
+        _SHARED.setdefault(ck, df)
+    return df
 
 
 def unpersist_shared(spark=None) -> int:
