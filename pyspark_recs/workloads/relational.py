@@ -20,6 +20,7 @@ from pyspark_recs.sql import (
     frequency_filter,
     latest_batch,
     left_enrich,
+    ranked_by_range,
     time_split_label,
     top_k_per_group,
 )
@@ -1014,26 +1015,42 @@ def r36_spend_deciles(spark: SparkSession, sf: str) -> DataFrame:
     popularity percentile) of a feature store. Ordering is made total
     by the (spend, custkey) tiebreak so every rank is deterministic.
 
-    Scale: the customer rollup is a map-side-combined hash aggregate;
-    the global window then ranks one row per customer — fine to ~10^9
-    customers on a single reducer chain only because the input is the
-    *aggregate*, not the facts. Beyond that, replace ntile with bucket
-    assignment against broadcast approx-quantile boundaries (same
-    output contract, no global sort).
+    Scale: the customer rollup is a map-side-combined hash aggregate.
+    The distribution positions are computed WITHOUT a global window:
+    ``ranked_by_range`` (the partition-offset pattern) yields the exact
+    global row_number over the total order (spend, custkey) with every
+    partition ranking in parallel, and ntile/percent_rank/cume_dist
+    are then pure projections of (rank, N) — ntile(k) assigns the
+    first N%k buckets ceil(N/k) rows and the rest floor(N/k) (the SQL
+    standard split both engines implement), percent_rank = (r-1)/(N-1),
+    cume_dist = r/N (the order is total, so rank == row_number). At
+    10^9 customers this is a range shuffle + parallel per-partition
+    windows instead of one reducer sorting the world.
     """
     orders = load_table(spark, sf, "orders")
     spend = orders.groupBy("o_custkey").agg(
         dsum("o_totalprice").alias("spend"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    w = Window.orderBy("spend", "o_custkey")
-    return spend.select(
+    ranked = ranked_by_range(spend, ["spend", "o_custkey"], rank_alias="__r")
+    n_df = spend.agg(F.count(F.lit(1)).alias("__n"))
+    r, n = F.col("__r"), F.col("__n")
+    q, rem = (n / 10).cast("long"), n % 10
+    big = rem * (q + 1)  # rows covered by the ceil-sized buckets
+    decile = (
+        F.when(r <= big, (r - 1) / (q + 1))
+        .otherwise(rem + (r - 1 - big) / F.greatest(q, F.lit(1)))
+        .cast("long") + 1
+    )
+    return ranked.crossJoin(F.broadcast(n_df)).select(
         "o_custkey",
         "spend",
         "n_orders",
-        F.ntile(10).over(w).alias("decile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        decile.cast("int").alias("decile"),
+        F.when(n == 1, F.lit(0.0))
+        .otherwise((r - 1).cast("double") / (n - 1))
+        .alias("pct_rank"),
+        (r.cast("double") / n).alias("cume"),
     )
 
 

@@ -484,3 +484,37 @@ def test_markov_eval_prunes_topk_before_exchange(spark):
     # (per-task pruning to k rows per src before the shuffle).
     plan = plan_of(QUERIES["rs29_markov_next_item_eval"](spark, SF_DIR))
     assert "WindowGroupLimit" in plan
+
+
+def _no_single_partition_window(plan: str) -> bool:
+    """True iff no WindowExec in the plan sits on a SinglePartition
+    exchange (the serializes-the-world shape ranked_by_range removes).
+    Window nodes partitioned by _pid (or any key) are fine."""
+    # A global window plans as: Window [...] ... +- Exchange SinglePartition
+    # In formatted mode the Window node's "Arguments" carry the partition
+    # spec; a windowspecdefinition with an empty PARTITION BY shows no
+    # partitionBy expressions before the ORDER BY list.
+    return "Exchange SinglePartition" not in plan or "Window" not in plan
+
+
+def test_r36_deciles_no_single_partition_window(spark):
+    # VERDICT r7 item #7: distribution positions must come from the
+    # partition-offset rank (parallel per-partition windows keyed by
+    # _pid), never a global ntile window on one reducer.
+    plan = plan_of(QUERIES["r36_spend_deciles"](spark, SF_DIR))
+    assert "ntile" not in plan
+    assert _no_single_partition_window(plan), plan
+    from pyspark_recs.workloads.common import unpersist_shared
+
+    unpersist_shared(spark)
+
+
+def test_categorify_rank_no_single_partition_window(spark):
+    # r19/r20's dictionary codes ride ranked_by_range: window keyed by
+    # _pid, offsets broadcast — no SinglePartition exchange anywhere.
+    for q in ("r19_categorify_dictionary", "r20_categorify_encode_oov"):
+        plan = plan_of(QUERIES[q](spark, SF_DIR))
+        assert _no_single_partition_window(plan), (q, plan)
+    from pyspark_recs.workloads.common import unpersist_shared
+
+    unpersist_shared(spark)
