@@ -19,15 +19,20 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Let AQE re-optimize plans that sit under .persist(): by default
-    # Spark pins cached-plan output partitioning (conf false), which
-    # silently DISABLES adaptive coalescing for every shared_plan
-    # builder — in a vanilla 200-shuffle-partition session each cached
-    # aggregate materialized 200 tiny tasks per shuffle (measured 2-4x
-    # slower per subplan at sf0.01). Values are partitioning-invariant
-    # (aggregates; the trainers re-layout their inputs explicitly), so
-    # letting AQE pick the partition count is free.
-    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # Keep Spark's default: cached-plan output partitioning stays
+    # PINNED (false). Round 7 set this true to let AQE coalesce
+    # shared_plan builders in vanilla 200-partition sessions, but the
+    # round-8 A/B (tools/bisect_cachedplan.py, 3 runs each, fresh
+    # sessions, bench protocol) measured `true` as a pure regression in
+    # the bench session: l43 1.23->1.93s warm (+57%), rs11 2.55->3.44s
+    # (+35%), and the full 133-query bench 125.5s (true) -> 121.7s
+    # (false) with the l02/l04/l10 driver-bench anomalies reverting
+    # (l10 3.41->0.50s, l04 cold 15.0->2.4s). Re-planning cached
+    # output costs an extra AQE shuffle on every consumer of a shared
+    # frame — worse than the 200-tiny-task reads it was meant to fix.
+    # The vanilla-session cost this conf targeted is covered instead by
+    # the artifact_plan checkpoints (heavy fits load from parquet) and
+    # by each trainer pinning its own input layout.
     # The driver-generated testdata has stored `events.ts` as parquet
     # TIMESTAMP(NANOS) in some rounds and TIMESTAMP(MICROS,
     # isAdjustedToUTC=false) in others. Handle both: read nanos as LongType

