@@ -80,8 +80,12 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     width = height = channels = None
     idat = bytearray()
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG (partial chunk header)")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError(f"truncated PNG ({tag!r} chunk body/CRC cut)")
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", data[pos + 8 + length : pos + 12 + length]
@@ -89,6 +93,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {tag!r} chunk")
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("truncated PNG (IHDR body != 13 bytes)")
             width, height, depth, color, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )

@@ -1272,3 +1272,16 @@ def test_decode_image_payloads_dead_letters_bad_bytes(spark):
     assert rows[1].status == "ok" and rows[1].pixel_sum == sum(synth_pixels(3))
     assert rows[2].status == "decode_error" and rows[2].width is None
     assert rows[3].status == "decode_error"
+
+
+def test_png_truncation_raises_valueerror_not_struct_error():
+    # The documented dead-letter contract: ANY malformed buffer raises
+    # ValueError (never struct.error) so callers can quarantine rows.
+    import pytest as _pytest
+
+    from pyspark_recs.llmops.png import decode_png, encode_png, synth_pixels
+
+    data = encode_png(8, 8, synth_pixels(3), 1)
+    for cut in (9, 12, 15, 20, len(data) // 2, len(data) - 3):
+        with _pytest.raises(ValueError):
+            decode_png(data[:cut])

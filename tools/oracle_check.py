@@ -113,7 +113,17 @@ def main() -> int:
             # arrow/pandas renders it 350000.0 vs Spark's 350000 —
             # the round-5 rs31 driver red row. Any uncast hugeint
             # output is therefore a FAIL here even when values match.
-            atypes = con.execute(oracles[name]).fetch_arrow_table().schema
+            # Materialize ONCE (CTAS preserves HUGEINT typing); both
+            # the arrow-schema guard and the value fetch then scan the
+            # temp table instead of re-running the query (the previous
+            # double-execution doubled every oracle's cost).
+            con.execute(
+                "CREATE OR REPLACE TEMP TABLE __oracle_out AS "
+                + oracles[name]
+            )
+            atypes = con.execute(
+                "SELECT * FROM __oracle_out LIMIT 0"
+            ).fetch_arrow_table().schema
             huge = [
                 f.name for f in atypes
                 if str(f.type) == "decimal128(38, 0)"
@@ -125,7 +135,7 @@ def main() -> int:
                 )
                 n_fail += 1
                 continue
-            res = con.execute(oracles[name])
+            res = con.execute("SELECT * FROM __oracle_out")
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
         except Exception as ex:
