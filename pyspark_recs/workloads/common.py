@@ -137,26 +137,27 @@ ARTIFACT_ROOT = _os.environ.get(
 )
 
 
-# Sources whose semantics feed every checkpointed artifact (trainers,
-# feature pipeline, relational transforms, the recsys builders). Any
-# edit to these files MUST invalidate existing artifacts — round 7
-# proved the manual-version discipline fails silently (coefficients
-# changed in model/content.py with no ARTIFACT_V bump anywhere near
-# the diff).
-_CODE_FP_GLOBS = (
-    "model/*.py",
-    "features/*.py",
-    "sql/transforms.py",
-    "workloads/recsys.py",
-)
+# The ENTIRE package feeds the code fingerprint. Round 7 proved the
+# manual-version discipline fails silently (coefficients changed in
+# model/content.py with no ARTIFACT_V bump anywhere near the diff),
+# and a partial glob list has the same failure one hop out: builders
+# also call into llmops/hashing.py, io/loaders.py and this module's
+# dsum/davg, so an edit there would change artifact CONTENTS without
+# moving the PATH. Hashing every .py in the package closes that class
+# completely — the worst case of the wide hash is a redundant rebuild
+# after an unrelated edit (cheap, done once in-round), never a stale
+# serve. ``version`` still exists for protocol changes OUTSIDE the
+# package (e.g. a parquet layout convention).
+_CODE_FP_GLOBS = ("**/*.py",)
 _FP_CACHE: dict = {}
 
 
 def code_fingerprint(globs=_CODE_FP_GLOBS) -> str:
-    """md5 over the source bytes of every module that shapes artifact
-    contents. Folded into artifact paths so a semantics change without
-    an ``ARTIFACT_V`` bump can never serve a stale model — the path
-    simply misses and the artifact rebuilds."""
+    """md5 over the source bytes of every module in the package (keyed
+    by package-relative path, so same-named files in different subdirs
+    can't alias). Folded into artifact paths so a semantics change
+    without an ``ARTIFACT_V`` bump can never serve a stale model — the
+    path simply misses and the artifact rebuilds."""
     import glob as _glob
     import hashlib as _hashlib
 
@@ -165,22 +166,28 @@ def code_fingerprint(globs=_CODE_FP_GLOBS) -> str:
         pkg = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
         files: list = []
         for pat in globs:
-            files.extend(_glob.glob(_os.path.join(pkg, pat)))
+            files.extend(
+                _glob.glob(_os.path.join(pkg, pat), recursive=True)
+            )
         h = _hashlib.md5()
-        for f in sorted(files):
+        for f in sorted(set(files)):
+            rel = _os.path.relpath(f, pkg).replace(_os.sep, "/")
             with open(f, "rb") as fh:
-                h.update(_os.path.basename(f).encode())
+                h.update(rel.encode())
                 h.update(fh.read())
         fp = _FP_CACHE[("code", globs)] = h.hexdigest()
     return fp
 
 
 def data_fingerprint(sf_dir: str) -> str:
-    """Content fingerprint of a testdata dir: file names + sizes + the
-    first/last 4 KiB of each parquet file (footers carry row counts and
-    column stats, so regenerated-but-different data always moves it).
-    Deliberately NO mtimes — a fresh git clone or an untouched
-    regeneration must map to the same artifacts."""
+    """Content fingerprint of a testdata dir: file names + FULL file
+    contents of each parquet file. Head/tail sampling was measurably
+    cheaper but left a collision window (same size, head and footer,
+    different middle bytes → stale artifact served); the testdata files
+    at these SFs are KB–MB, so one full pass per process (memoized in
+    ``_FP_CACHE``) removes the window entirely. Deliberately NO mtimes
+    — a fresh git clone or an untouched regeneration must map to the
+    same artifacts."""
     import glob as _glob
     import hashlib as _hashlib
 
@@ -189,13 +196,10 @@ def data_fingerprint(sf_dir: str) -> str:
     if fp is None:
         h = _hashlib.md5()
         for p in sorted(_glob.glob(_os.path.join(norm, "*.parquet"))):
-            size = _os.path.getsize(p)
-            h.update(f"{_os.path.basename(p)}:{size}".encode())
+            h.update(f"{_os.path.basename(p)}:".encode())
             with open(p, "rb") as fh:
-                h.update(fh.read(4096))
-                if size > 8192:
-                    fh.seek(-4096, _os.SEEK_END)
-                    h.update(fh.read(4096))
+                for chunk in iter(lambda: fh.read(1 << 20), b""):
+                    h.update(chunk)
         fp = _FP_CACHE[("data", norm)] = h.hexdigest()
     return fp
 
@@ -216,18 +220,21 @@ def artifact_plan(spark, sf: str, key: str, version: str, builder):
     session and the driver's" failure class for checkpointed models:
     the artifact IS the model output.
 
-    Staleness is impossible by construction, not by discipline: the
-    artifact path embeds (a) ``version`` (bump for protocol changes
-    outside the hashed sources), (b) a CODE fingerprint over every
-    module that shapes artifact contents (``code_fingerprint``), and
-    (c) a DATA fingerprint of the sf dir's parquet content
-    (``data_fingerprint``). Editing a trainer or regenerating the
-    testdata moves the path, so the old binary is simply never found
-    and the artifact rebuilds — the worst case is a redundant rebuild,
-    never a wrong answer. This is also why committing ``.artifacts/``
-    to git is safe (and needed: the cold-session load path is the
-    whole point): a committed artifact can only ever be loaded against
-    the exact code+data that produced it.
+    Staleness from EDITS is impossible by construction: the artifact
+    path embeds (a) ``version`` (the one remaining discipline knob —
+    bump it for protocol/semantics changes that live OUTSIDE the
+    package sources and testdata, e.g. a Spark-version behavior
+    change), (b) a CODE fingerprint over the whole package
+    (``code_fingerprint`` — every .py, so a helper edit two imports
+    away still invalidates), and (c) a DATA fingerprint of the sf
+    dir's full parquet bytes (``data_fingerprint``). Editing any
+    package source or regenerating the testdata moves the path, so
+    the old binary is simply never found and the artifact rebuilds —
+    the worst case is a redundant rebuild, never a wrong answer. This
+    is also why committing ``.artifacts/`` to git is safe (and
+    needed: the cold-session load path is the whole point): a
+    committed artifact can only ever be loaded against the exact
+    code+data that produced it.
 
     The write is atomic across processes: build into a unique temp dir,
     ``os.rename`` into place, discard ours if a concurrent session won
@@ -252,27 +259,58 @@ def artifact_plan(spark, sf: str, key: str, version: str, builder):
     stem = f"{key}_v{version}-{fp}"
     path = _os.path.join(ARTIFACT_ROOT, tag, stem)
 
+    success = _os.path.join(path, "_SUCCESS")
+
     def load_or_build():
-        if _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        if _os.path.exists(success):
             return spark.read.parquet(path)
         df = builder()
         tmp = f"{path}.build-{_os.getpid()}-{_time.monotonic_ns()}"
         df.write.mode("overwrite").parquet(tmp)
         try:
             _os.rename(tmp, path)
+            return spark.read.parquet(path)
         except OSError:
-            # Destination appeared (concurrent winner) or a corrupt
-            # leftover blocks us. A complete artifact has _SUCCESS —
-            # serve it; an incomplete one is replaced.
-            if _os.path.exists(_os.path.join(path, "_SUCCESS")):
-                _shutil.rmtree(tmp, ignore_errors=True)
-            else:
+            pass
+        # Destination appeared: a concurrent winner (has _SUCCESS —
+        # serve it) or a corrupt/incomplete leftover (replace it).
+        if _os.path.exists(success):
+            _shutil.rmtree(tmp, ignore_errors=True)
+            return spark.read.parquet(path)
+        # The replace is destructive, so it must be exclusive across
+        # processes: claim an O_EXCL lock file, and RE-check _SUCCESS
+        # under the lock — a racer may have completed the artifact
+        # between the check above and here, and rmtree'ing a
+        # just-published good artifact while other sessions read it
+        # is exactly the bug this ordering prevents.
+        lock = path + ".lock"
+        try:
+            fd = _os.open(lock, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+        except OSError:
+            # Another process is mid-replace; our own tmp build is
+            # complete and correct — serve it (the leftover dir is
+            # swept by tools/prune_artifacts.py).
+            return spark.read.parquet(tmp)
+        try:
+            if not _os.path.exists(success):
                 _shutil.rmtree(path, ignore_errors=True)
                 try:
                     _os.rename(tmp, path)
                 except OSError:
-                    _shutil.rmtree(tmp, ignore_errors=True)
-        return spark.read.parquet(path)
+                    pass
+        finally:
+            _os.close(fd)
+            try:
+                _os.unlink(lock)
+            except OSError:
+                pass
+        if _os.path.exists(success):
+            _shutil.rmtree(tmp, ignore_errors=True)
+            return spark.read.parquet(path)
+        # Both renames failed and no winner exists (e.g. a permissions
+        # or filesystem fault): never read a possibly-absent final
+        # path — the tmp write IS a complete parquet dataset.
+        return spark.read.parquet(tmp)
 
     return shared_plan(spark, sf, stem, load_or_build)
 

@@ -499,9 +499,16 @@ def rs05_item_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _cf_top5(spark: SparkSession, sf: str) -> DataFrame:
-    """Session-cached rs05 output — (item_a, item_b, n_users, rank ≤ 5)
+    """Cross-session rs05 output — (item_a, item_b, n_users, rank ≤ 5)
     — the CF candidate list rs05 emits and rs21/rs26 fuse from
-    (catalog-bounded: ≤ 5 rows per item).
+    (catalog-bounded: ≤ 5 rows per item). This is the item-based-CF
+    MODEL — a fitted neighbor table, the same artifact class as the
+    holdout top-10 — so it checkpoints through ``artifact_plan``: a
+    cold session (the driver's) loads the published ~100k-row parquet
+    instead of re-deriving interactions → capped histories → pair
+    counts (~7 s of shuffle work). Deterministic by construction:
+    counts are exact and the top-5 tiebreak is total
+    (n_users desc, item_b asc).
 
     Count only the canonical a<b direction (the sorted items array
     makes x<y structural), then mirror each AGGREGATED pair into both
@@ -536,7 +543,7 @@ def _cf_top5(spark: SparkSession, sf: str) -> DataFrame:
             rank_alias="rank",
         ).select("item_a", "item_b", "n_users", "rank")
 
-    return shared_plan(spark, sf, "cf_top5", build)
+    return artifact_plan(spark, sf, "cf_top5", ARTIFACT_V, build)
 
 
 def _brand_candidates(spark: SparkSession, sf: str) -> DataFrame:
@@ -1095,6 +1102,68 @@ FROM active a JOIN base b USING (cohort_week)
 
 
 # --------------------------------------------------------------------- rs15
+def _brand_bits(spark: SparkSession, sf: str) -> DataFrame:
+    """(brand, bid) dictionary mapping the ≤ 64 brands to bit
+    positions — deterministic (row_number over the total brand order;
+    the window is over the ~25-row distinct, not facts), rebuilt per
+    call (a broadcast-sized scan of ``part``)."""
+    from pyspark.sql import Window
+
+    return (
+        load_table(spark, sf, "part")
+        .select(F.col("p_brand").alias("brand"))
+        .distinct()
+        .withColumn("bid", F.row_number().over(Window.orderBy("brand")) - 1)
+    )
+
+
+def _brand_basket_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """(a, b, c) basket-support counts from the brand bitmasks — the
+    one expensive pass of rs15 (full lineitem scan → per-order bit_or
+    → marker explode → count). The output is TINY (≤ 1 + 64 + 64·63/2
+    rows: an order marker, per-brand supports, canonical pairs) and
+    deterministic, so it checkpoints through ``artifact_plan`` — the
+    mined support table is the market-basket model, and a cold session
+    loads it instead of re-scanning facts (~8 s at sf0.1)."""
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        part = F.broadcast(
+            load_table(spark, sf, "part").select("p_partkey", "p_brand")
+        )
+        masked = (
+            li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+            .join(
+                F.broadcast(_brand_bits(spark, sf)),
+                F.col("p_brand") == F.col("brand"),
+            )
+            .groupBy(F.col("l_orderkey").alias("order_id"))
+            .agg(
+                F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bid))").alias(
+                    "mask"
+                )
+            )
+        )
+        bits = "filter(sequence(0, 63), {v} -> (shiftright(mask, {v}) & 1) = 1)"
+        exploded = masked.select(
+            F.explode(
+                F.expr(
+                    "concat("
+                    " array(struct(-1 AS a, -1 AS b)),"
+                    f" transform({bits.format(v='i')}, x -> struct(x AS a, -1 AS b)),"
+                    f" flatten(transform({bits.format(v='i')}, (x, i) ->"
+                    f"   transform(slice({bits.format(v='j')}, i + 2, 64),"
+                    "    y -> struct(x AS a, y AS b)))))"
+                )
+            ).alias("t")
+        ).select("t.a", "t.b")
+        return exploded.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+
+    return artifact_plan(spark, sf, "brand_basket_counts", ARTIFACT_V, build)
+
+
 def rs15_association_rules(spark: SparkSession, sf: str) -> DataFrame:
     """Market-basket association rules at brand granularity (the
     classic Apriori 2-itemset pass): for every directed brand pair
@@ -1117,39 +1186,8 @@ def rs15_association_rules(spark: SparkSession, sf: str) -> DataFrame:
     products/divisions of exact BIGINTs in a fixed parse order, so the
     doubles are engine-identical without fixed-point help.
     """
-    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    part = F.broadcast(
-        load_table(spark, sf, "part").select("p_partkey", "p_brand")
-    )
-    from pyspark.sql import Window
-
-    brands = (
-        part.select(F.col("p_brand").alias("brand"))
-        .distinct()
-        .withColumn("bid", F.row_number().over(Window.orderBy("brand")) - 1)
-    )
-    masked = (
-        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(brands), F.col("p_brand") == F.col("brand"))
-        .groupBy(F.col("l_orderkey").alias("order_id"))
-        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bid))").alias("mask"))
-    )
-    bits = "filter(sequence(0, 63), {v} -> (shiftright(mask, {v}) & 1) = 1)"
-    exploded = masked.select(
-        F.explode(
-            F.expr(
-                "concat("
-                " array(struct(-1 AS a, -1 AS b)),"
-                f" transform({bits.format(v='i')}, x -> struct(x AS a, -1 AS b)),"
-                f" flatten(transform({bits.format(v='i')}, (x, i) ->"
-                f"   transform(slice({bits.format(v='j')}, i + 2, 64),"
-                "    y -> struct(x AS a, y AS b)))))"
-            )
-        ).alias("t")
-    ).select("t.a", "t.b")
-    counts = (
-        exploded.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c")).cache()
-    )
+    brands = _brand_bits(spark, sf)
+    counts = _brand_basket_counts(spark, sf)
     n_orders = counts.filter(F.col("a") == -1).select(
         F.col("c").alias("n_orders")
     )

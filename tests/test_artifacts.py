@@ -58,9 +58,10 @@ def test_data_fingerprint_ignores_mtime(tmp_path):
     assert C.data_fingerprint(a) == fp1
 
 
-def test_data_fingerprint_tail_bytes_matter(tmp_path):
-    # Only the middle differs -> same fp (documented 4KiB head/tail
-    # window); a tail (parquet footer) change -> different fp.
+def test_data_fingerprint_every_byte_matters(tmp_path):
+    # Full-content hash: a single flipped byte ANYWHERE — middle
+    # included (the old 4KiB head/tail window's blind spot) — moves
+    # the fingerprint.
     base = bytearray(b"h" * 4096 + b"m" * 4096 + b"t" * 4096)
     mid = bytearray(base)
     mid[6000] = ord(b"M")
@@ -69,8 +70,9 @@ def test_data_fingerprint_tail_bytes_matter(tmp_path):
     a = _fake_sf(tmp_path / "a", [("t", bytes(base))])
     b = _fake_sf(tmp_path / "b", [("t", bytes(mid))])
     c = _fake_sf(tmp_path / "c", [("t", bytes(tail))])
-    assert C.data_fingerprint(a) == C.data_fingerprint(b)
+    assert C.data_fingerprint(a) != C.data_fingerprint(b)
     assert C.data_fingerprint(a) != C.data_fingerprint(c)
+    assert C.data_fingerprint(b) != C.data_fingerprint(c)
 
 
 def test_code_fingerprint_moves_on_source_edit(tmp_path):
@@ -98,6 +100,71 @@ def test_code_fingerprint_moves_on_source_edit(tmp_path):
     real = C.code_fingerprint()
     assert len(real) == 32
     assert C.code_fingerprint() == real  # cached + stable in-process
+
+
+def test_code_fingerprint_covers_whole_package():
+    """The ADVICE gap: builders also lean on llmops/hashing.py,
+    io/loaders.py and workloads/common.py — an edit there changes
+    artifact CONTENTS, so it must also move the PATH. The glob set
+    must resolve to every .py in the package, keyed by relpath (two
+    __init__.py files must not alias)."""
+    import glob as _glob
+
+    pkg = os.path.dirname(os.path.abspath(C.__file__))
+    pkg = os.path.dirname(pkg)  # pyspark_recs/
+    files = set()
+    for pat in C._CODE_FP_GLOBS:
+        files.update(_glob.glob(os.path.join(pkg, pat), recursive=True))
+    rels = {os.path.relpath(f, pkg).replace(os.sep, "/") for f in files}
+    for must in (
+        "llmops/hashing.py",
+        "io/loaders.py",
+        "workloads/common.py",
+        "workloads/llmops.py",
+        "workloads/recsys.py",
+        "model/retrieval.py",
+        "features/categorify.py",
+        "sql/transforms.py",
+    ):
+        assert must in rels, must
+    # more than one __init__.py exists — relpath keying, not basename
+    assert sum(1 for r in rels if r.endswith("__init__.py")) > 1
+
+
+def test_lock_contention_serves_own_build_untouched_destination(
+    spark, artifact_root
+):
+    """The ADVICE race: when the destructive replace is already claimed
+    by another process (lock file present) and the destination is
+    incomplete, the caller must serve its OWN complete tmp build and
+    must NOT delete the destination out from under the lock holder."""
+
+    def build():
+        return spark.range(7).selectExpr("id", "id * 3 as score")
+
+    df = C.artifact_plan(spark, SF_DIR, "lock_test", "1", build)
+    df.count()
+    C.unpersist_shared()
+    tag = os.listdir(artifact_root)[0]
+    stem = [d for d in os.listdir(os.path.join(artifact_root, tag))
+            if d.startswith("lock_test_v1-")][0]
+    path = os.path.join(artifact_root, tag, stem)
+    # fake a crashed writer's leftover + a concurrent cleaner's lock
+    os.remove(os.path.join(path, "_SUCCESS"))
+    with open(path + ".lock", "w"):
+        pass
+
+    df2 = C.artifact_plan(spark, SF_DIR, "lock_test", "1", build)
+    got = {r["id"]: r["score"] for r in df2.collect()}
+    assert got == {i: i * 3 for i in range(7)}
+    # destination untouched (lock holder owns it); our tmp leftover
+    # survives for tools/prune_artifacts.py to sweep
+    assert os.path.exists(path)
+    assert not os.path.exists(os.path.join(path, "_SUCCESS"))
+    leftovers = [d for d in os.listdir(os.path.join(artifact_root, tag))
+                 if d.startswith(stem + ".build-")]
+    assert leftovers
+    os.remove(path + ".lock")
 
 
 # ------------------------------------------------------------- artifact_plan
@@ -216,3 +283,34 @@ def test_ranked_by_range_intermediate_released_by_teardown(spark):
     # registry is empty for this app afterwards
     app = sc.applicationId
     assert not [k for k in C._SHARED if k[0] == app]
+
+
+# ------------------------------------------------------------ warm-set GC map
+def test_prune_tool_warm_set_covers_every_artifact_call_site():
+    """tools/prune_artifacts.py rebuilds the store by running a warm
+    query per artifact key — a call site missing from its map would
+    leave a hole in the committed store after GC."""
+    import re
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from tools.prune_artifacts import KEY_COVERAGE, WARM_QUERIES
+
+    pkg = os.path.join(repo, "pyspark_recs")
+    found = set()
+    for base, _, files in os.walk(pkg):
+        for f in files:
+            if f.endswith(".py"):
+                src = open(os.path.join(base, f)).read()
+                found.update(
+                    re.findall(r"artifact_plan\(\s*spark,\s*sf,\s*\"(\w+)\"", src)
+                )
+    assert found == set(KEY_COVERAGE), (
+        found ^ set(KEY_COVERAGE)
+    )
+    assert set(KEY_COVERAGE.values()) <= set(WARM_QUERIES)
+    from pyspark_recs.workloads import QUERIES
+
+    for q in WARM_QUERIES:
+        assert q in QUERIES, q

@@ -486,15 +486,62 @@ def test_markov_eval_prunes_topk_before_exchange(spark):
     assert "WindowGroupLimit" in plan
 
 
+def _wsd_partition_specs(plan: str) -> list:
+    """Parse every ``windowspecdefinition(...)`` in a formatted plan
+    (top-level-paren-aware, so expression partition keys survive) and
+    return, per spec, its PARTITION BY argument list — the arguments
+    before the first sort-order / frame argument. Formatted plans
+    always render sort orders as ``... ASC|DESC NULLS FIRST|LAST`` and
+    the frame as ``specifiedwindowframe(...)``, so those delimit the
+    partition prefix unambiguously."""
+    specs = []
+    i = 0
+    marker = "windowspecdefinition("
+    while True:
+        j = plan.find(marker, i)
+        if j < 0:
+            return specs
+        k = j + len(marker)
+        depth, arg, args = 1, [], []
+        while k < len(plan) and depth:
+            ch = plan[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            if ch == "," and depth == 1:
+                args.append("".join(arg).strip())
+                arg = []
+            else:
+                arg.append(ch)
+            k += 1
+        args.append("".join(arg).strip())
+        part = []
+        for a in args:
+            if (
+                a.endswith("NULLS FIRST")
+                or a.endswith("NULLS LAST")
+                or a.startswith("specifiedwindowframe")
+            ):
+                break
+            part.append(a)
+        specs.append(part)
+        i = k
+
+
 def _no_single_partition_window(plan: str) -> bool:
-    """True iff no WindowExec in the plan sits on a SinglePartition
-    exchange (the serializes-the-world shape ranked_by_range removes).
-    Window nodes partitioned by _pid (or any key) are fine."""
-    # A global window plans as: Window [...] ... +- Exchange SinglePartition
-    # In formatted mode the Window node's "Arguments" carry the partition
-    # spec; a windowspecdefinition with an empty PARTITION BY shows no
-    # partitionBy expressions before the ORDER BY list.
-    return "Exchange SinglePartition" not in plan or "Window" not in plan
+    """True iff every window spec in the plan has a NON-EMPTY
+    PARTITION BY (e.g. keyed by _pid) — an empty one is the
+    serializes-the-world global window that plans as Window over
+    Exchange SinglePartition, the shape ranked_by_range removes.
+    Checks the Window node's own partition spec rather than substring
+    co-occurrence, so an unrelated single-row aggregate exchange
+    elsewhere in the plan can't fail it, and a genuinely global
+    window can't hide behind the absence of the literal exchange
+    string (e.g. when AQE or reuse rewrites it)."""
+    return all(len(p) > 0 for p in _wsd_partition_specs(plan))
 
 
 def test_r36_deciles_no_single_partition_window(spark):
