@@ -98,22 +98,28 @@ IMAGE_SCHEMA = (
 
 
 def decode_image_payloads(df: DataFrame) -> DataFrame:
-    """REAL image decode (S11's formerly-stubbed half): parse each
-    binary payload as PNG — actual zlib inflate, CRC checks, scanline
-    filter reconstruction (llmops/png.py) — and emit typed image facts
-    (dims, channel count, integer pixel sum). Undecodable payloads
-    become ``status='decode_error'`` rows with NULL facts, the same
-    dead-letter contract as a fetch failure (route to a side table).
+    """REAL image decode (S11's formerly-stubbed half): sniff each
+    binary payload's magic bytes and parse PNG (actual zlib inflate,
+    CRC checks, scanline filter reconstruction — llmops/png.py) or
+    baseline JPEG (actual Huffman entropy decode, dequantization and
+    2-D IDCT — llmops/jpeg.py), emitting typed image facts (dims,
+    channel count, integer pixel sum). Undecodable payloads —
+    unrecognized magic, truncation, or an unsupported variant of
+    either format — become ``status='decode_error'`` rows with NULL
+    facts, the same dead-letter contract as a fetch failure (route to
+    a side table).
 
-    Swap ``decode_png`` for PIL/libpng/ffmpeg to widen format support —
-    the Arrow batch shape, schema, and partition parallelism are the
-    production contract and don't change. Reference behavior:
-    app_utils.py:14-26 (fetch bytes, hand to a model input decoder).
+    Swap the per-format decoders for PIL/libpng/libjpeg/ffmpeg to
+    widen format support — the Arrow batch shape, schema, and
+    partition parallelism are the production contract and don't
+    change. Reference behavior: app_utils.py:14-26 (fetch bytes, hand
+    to a model input decoder — .jpg URLs included).
 
     Scale: decode runs partition-parallel inside ``mapInPandas``;
     payload bytes never shuffle (this projection REPLACES the payload
     column with bounded integers — decode-then-drop before any wide
     stage)."""
+    from pyspark_recs.llmops.jpeg import decode_jpeg
     from pyspark_recs.llmops.png import decode_png
 
     def decode_batches(
@@ -123,7 +129,11 @@ def decode_image_payloads(df: DataFrame) -> DataFrame:
             rows = []
             for payload in pdf["payload"]:
                 try:
-                    w, h, c, px = decode_png(bytes(payload))
+                    b = bytes(payload)
+                    if b[:2] == b"\xff\xd8":
+                        w, h, c, px = decode_jpeg(b)
+                    else:
+                        w, h, c, px = decode_png(b)
                     rows.append(("ok", w, h, c, sum(px)))
                 except Exception:
                     rows.append(("decode_error", None, None, None, None))

@@ -3748,6 +3748,75 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------- l77
+def l77_jpeg_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL JPEG round trip through the S11 pipeline (closing the
+    round-8 JPEG-stub decision, VERDICT item #7; reference behavior
+    app_utils.py:14-26 fetches .jpg bytes): per document, synthesize a
+    32×32 grayscale image of 8×8 CONSTANT tiles with the
+    SQL-expressible formula tile(ty,tx) = (doc_id·31 + ty·4 + tx·7)
+    mod 256, ENCODE it into a genuine baseline JPEG (2-D DCT, Annex-K
+    Huffman entropy coding, byte stuffing — llmops/jpeg.py), push the
+    binary payloads through the same Arrow ``mapInPandas`` seam as
+    every multimodal operator, and DECODE them back (magic-byte sniff
+    in decode_image_payloads → Huffman decode → dequantize → IDCT).
+    Docs with doc_id % 17 == 0 ship a truncated payload to exercise
+    the dead-letter contract.
+
+    Tile-constant content at quality=100 makes the lossy codec EXACT
+    (a constant block has a single integer DCT coefficient and unit
+    quantizers — jpeg.py module docstring), so the emitted facts are
+    deterministic and the DuckDB twin recomputes the pixel sum from
+    the formula alone: the oracle never sees JPEG — only the Spark
+    side proves it can round-trip the format (the l76 PNG discipline).
+
+    Scale: encode+decode run partition-parallel; payloads are born and
+    die inside one mapInPandas pair (never shuffled); output is 6
+    bounded integers per doc."""
+    import pandas as pd
+
+    from pyspark_recs.io.loaders import spread_partitions
+    from pyspark_recs.llmops.jpeg import encode_jpeg, synth_tile_pixels
+    from pyspark_recs.llmops.multimodal import decode_image_payloads
+
+    docs = spread_partitions(
+        load_table(spark, sf, "documents").select("doc_id")
+    )
+
+    def make_payloads(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                jpg = encode_jpeg(
+                    32, 32, synth_tile_pixels(int(doc_id)), 1, quality=100
+                )
+                payloads.append(jpg[:24] if doc_id % 17 == 0 else jpg)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    payloads = docs.mapInPandas(
+        make_payloads, schema="doc_id bigint, payload binary"
+    )
+    return decode_image_payloads(payloads).select(
+        "doc_id", "status", "width", "height", "channels", "pixel_sum"
+    )
+
+
+L77_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 17 = 0 THEN 'decode_error' ELSE 'ok' END AS status,
+       CASE WHEN doc_id % 17 = 0 THEN NULL ELSE 32 END AS width,
+       CASE WHEN doc_id % 17 = 0 THEN NULL ELSE 32 END AS height,
+       CASE WHEN doc_id % 17 = 0 THEN NULL ELSE 1 END AS channels,
+       CASE WHEN doc_id % 17 = 0 THEN NULL ELSE
+         (SELECT CAST(sum(64 * ((doc_id * 31 + (i // 4) * 4 + (i % 4) * 7)
+                               % 256)) AS BIGINT)
+          FROM range(16) t(i)) END AS pixel_sum
+FROM documents
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -3825,6 +3894,7 @@ QUERIES = {
     "l74_two_tower_align": l74_two_tower_align,
     "l75_mixture_sample": l75_mixture_sample,
     "l76_png_decode_stats": l76_png_decode_stats,
+    "l77_jpeg_decode_stats": l77_jpeg_decode_stats,
 }
 
 ORACLE = {
@@ -3904,4 +3974,5 @@ ORACLE = {
     "l74_two_tower_align": L74_SQL,
     "l75_mixture_sample": L75_SQL,
     "l76_png_decode_stats": L76_SQL,
+    "l77_jpeg_decode_stats": L77_SQL,
 }

@@ -1,0 +1,158 @@
+"""Baseline JPEG codec (llmops/jpeg.py) — the round-9 closure of the
+JPEG-stub decision (VERDICT r8 item #7): real bitstream, real Huffman
+entropy coding, real DCT path, with the PNG codec's dead-letter
+contract (ValueError on anything malformed or outside the supported
+subset)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark_recs.llmops.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    synth_tile_pixels,
+)
+
+
+def test_tile_constant_q100_roundtrip_is_exact():
+    # The l77 oracle's exactness property: 8x8-constant tiles at
+    # quality=100 (unit quantizers) round-trip bit-exactly — a
+    # constant block has one integer DCT coefficient.
+    for doc_id in (0, 1, 7, 255, 12345, 10**12):
+        px = synth_tile_pixels(doc_id, tiles=4)
+        w, h, c, out = decode_jpeg(encode_jpeg(32, 32, px, 1, quality=100))
+        assert (w, h, c) == (32, 32, 1)
+        assert out == px
+
+
+def test_random_gray_q100_near_lossless():
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, 24 * 40, dtype=np.uint8).tobytes()
+    w, h, c, out = decode_jpeg(encode_jpeg(40, 24, px, 1, quality=100))
+    assert (w, h, c) == (40, 24, 1)
+    err = np.abs(
+        np.frombuffer(out, np.uint8).astype(int)
+        - np.frombuffer(px, np.uint8).astype(int)
+    )
+    assert err.max() <= 1  # only float/round noise at unit quantizers
+
+
+def test_gradient_q75_is_honestly_lossy_but_close():
+    g = np.fromfunction(
+        lambda y, x: np.minimum(x * 3 + y * 2, 255), (64, 48)
+    ).astype(np.uint8)
+    data = encode_jpeg(48, 64, g.tobytes(), 1, quality=75)
+    w, h, c, out = decode_jpeg(data)
+    err = np.abs(
+        np.frombuffer(out, np.uint8).astype(int)
+        - g.reshape(-1).astype(int)
+    )
+    assert err.mean() < 2.0  # smooth content compresses faithfully
+    # and it actually compresses (entropy coding does real work)
+    assert len(data) < 48 * 64
+
+
+def test_rgb_roundtrip_and_ycbcr_path():
+    rng = np.random.default_rng(7)
+    px3 = rng.integers(0, 256, 16 * 16 * 3, dtype=np.uint8).tobytes()
+    w, h, c, out = decode_jpeg(encode_jpeg(16, 16, px3, 3, quality=100))
+    assert (w, h, c) == (16, 16, 3)
+    err = np.abs(
+        np.frombuffer(out, np.uint8).astype(int)
+        - np.frombuffer(px3, np.uint8).astype(int)
+    )
+    assert err.max() <= 3  # YCbCr forward/inverse rounding only
+
+
+def test_non_multiple_of_8_dimensions():
+    px = bytes((i * 11) % 256 for i in range(13 * 9))
+    w, h, c, out = decode_jpeg(encode_jpeg(13, 9, px, 1, quality=100))
+    assert (w, h) == (13, 9)
+    assert len(out) == 13 * 9
+    got = np.frombuffer(out, np.uint8).astype(int)
+    want = np.frombuffer(px, np.uint8).astype(int)
+    # edge-padded blocks still reconstruct the real region closely
+    assert np.abs(got - want).max() <= 1
+
+
+def test_truncation_raises_valueerror_at_every_cut_point():
+    # The documented dead-letter contract: ANY malformed buffer raises
+    # ValueError (never struct/KeyError/IndexError) so callers can
+    # quarantine rows — the png.py six-cut-point discipline.
+    data = encode_jpeg(32, 32, synth_tile_pixels(5), 1, quality=100)
+    for cut in (1, 3, 6, 21, 30, 80, len(data) // 2, len(data) - 3):
+        with pytest.raises(ValueError):
+            decode_jpeg(data[:cut])
+
+
+def test_not_a_jpeg_rejected():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n garbage")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"")
+
+
+def test_unsupported_variants_rejected_with_valueerror():
+    data = bytearray(encode_jpeg(8, 8, bytes(64), 1, quality=100))
+    # flip SOF0 -> SOF2 (progressive)
+    i = bytes(data).find(b"\xff\xc0")
+    prog = bytearray(data)
+    prog[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF"):
+        decode_jpeg(bytes(prog))
+    # inject a DRI segment before SOS
+    j = bytes(data).find(b"\xff\xda")
+    dri = bytes(data[:j]) + b"\xff\xdd\x00\x04\x00\x08" + bytes(data[j:])
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(dri)
+    # claim 2x2 subsampling in SOF component spec
+    sub = bytearray(data)
+    sub[i + 11] = 0x22  # sampling byte of component 1
+    with pytest.raises(ValueError, match="4:4:4"):
+        decode_jpeg(bytes(sub))
+
+
+def test_encoder_input_validation():
+    with pytest.raises(ValueError):
+        encode_jpeg(4, 4, b"\x00" * 15, 1)  # wrong buffer size
+    with pytest.raises(ValueError):
+        encode_jpeg(4, 4, b"\x00" * 32, 2)  # channels=2
+    with pytest.raises(ValueError):
+        encode_jpeg(0, 0, b"", 1)  # empty
+    with pytest.raises(ValueError):
+        encode_jpeg(4, 4, b"\x00" * 16, 1, quality=0)
+
+
+def test_synth_tile_pixels_matches_oracle_formula():
+    # The L77_SQL twin recomputes the pixel sum from this formula —
+    # pin the Python side to it.
+    for doc_id in (0, 3, 999):
+        px = synth_tile_pixels(doc_id, tiles=4)
+        want = sum(
+            64 * ((doc_id * 31 + (i // 4) * 4 + (i % 4) * 7) % 256)
+            for i in range(16)
+        )
+        assert sum(px) == want
+        assert len(px) == 32 * 32
+
+
+def test_decode_image_payloads_sniffs_jpeg_and_png(spark):
+    # The widened S11 seam: one binary column, two real codecs, chosen
+    # by magic bytes; bad bytes dead-letter.
+    from pyspark_recs.llmops.multimodal import decode_image_payloads
+    from pyspark_recs.llmops.png import encode_png, synth_pixels
+
+    jpg = encode_jpeg(32, 32, synth_tile_pixels(3), 1, quality=100)
+    png = encode_png(8, 8, synth_pixels(3), 1)
+    df = spark.createDataFrame(
+        [(1, jpg), (2, png), (3, jpg[:24]), (4, b"neither")],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_image_payloads(df).collect()}
+    assert rows[1].status == "ok" and (rows[1].width, rows[1].height) == (32, 32)
+    assert rows[1].pixel_sum == sum(synth_tile_pixels(3))
+    assert rows[2].status == "ok" and rows[2].pixel_sum == sum(synth_pixels(3))
+    assert rows[3].status == "decode_error" and rows[3].width is None
+    assert rows[4].status == "decode_error"
