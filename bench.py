@@ -169,6 +169,8 @@ HEADLINE = [
     "rs30_ensemble_eval",
     "rs32_joint_feature_eval",
     "l76_png_decode_stats",
+    # round-9 addition: real JPEG codec round trip
+    "l77_jpeg_decode_stats",
 ]
 
 
