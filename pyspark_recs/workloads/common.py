@@ -196,10 +196,23 @@ def data_fingerprint(sf_dir: str) -> str:
     if fp is None:
         h = _hashlib.md5()
         for p in sorted(_glob.glob(_os.path.join(norm, "*.parquet"))):
-            h.update(f"{_os.path.basename(p)}:".encode())
-            with open(p, "rb") as fh:
-                for chunk in iter(lambda: fh.read(1 << 20), b""):
-                    h.update(chunk)
+            # a table is either a single parquet file (the driver
+            # testdata shape) or a Spark-written DIRECTORY of
+            # part-files (e.g. the 10x scale scratch dir)
+            if _os.path.isdir(p):
+                files = sorted(
+                    _os.path.join(r, f)
+                    for r, _, fs in _os.walk(p)
+                    for f in fs
+                )
+            else:
+                files = [p]
+            for f in files:
+                rel = _os.path.relpath(f, norm).replace(_os.sep, "/")
+                h.update(f"{rel}:".encode())
+                with open(f, "rb") as fh:
+                    for chunk in iter(lambda: fh.read(1 << 20), b""):
+                        h.update(chunk)
         fp = _FP_CACHE[("data", norm)] = h.hexdigest()
     return fp
 

@@ -314,3 +314,17 @@ def test_prune_tool_warm_set_covers_every_artifact_call_site():
 
     for q in WARM_QUERIES:
         assert q in QUERIES, q
+
+
+def test_data_fingerprint_handles_directory_tables(tmp_path):
+    # Spark-written tables are DIRECTORIES of part-files (the 10x
+    # scale scratch dir shape); the fingerprint must hash their
+    # contents, not crash on open(dir).
+    d = tmp_path / "sfY"
+    (d / "orders.parquet").mkdir(parents=True)
+    (d / "orders.parquet" / "part-0.snappy.parquet").write_bytes(b"aaa")
+    (d / "orders.parquet" / "_SUCCESS").write_bytes(b"")
+    fp1 = C.data_fingerprint(str(d))
+    C._FP_CACHE.pop(("data", os.path.normpath(str(d))))
+    (d / "orders.parquet" / "part-0.snappy.parquet").write_bytes(b"aab")
+    assert C.data_fingerprint(str(d)) != fp1
