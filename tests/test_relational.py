@@ -605,7 +605,9 @@ def test_rs05_family_rides_shared_candidate_subplans(spark):
     r05 = rs05_item_cooccurrence(spark, sfd)
     r05.count()
     keys = {k[2] for k in common._SHARED}
-    assert "cf_top5" in keys
+    # cf_top5 is artifact_plan-backed since round 9: its memo key is
+    # the fingerprinted stem (cf_top5_v<ARTIFACT_V>-<fp>)
+    assert any(k.startswith("cf_top5_v") for k in keys), keys
     r21 = rs21_coldstart_fallback(spark, sfd)
     r21.count()
     r26 = rs26_rrf_fusion(spark, sfd)
