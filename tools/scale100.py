@@ -58,6 +58,10 @@ QUERIES_100X = [
     "l45_hamming_neardup",
     "l58_ivfpq_search",
     "l64_decontaminate_spans",
+    # round-9 addition: the basket-counts builder (artifact-routed this
+    # round — the 100x run validates the BUILD path, see the artifact
+    # isolation note in main()
+    "rs15_association_rules",
 ]
 PARTITION_SETTINGS = (32, 13)
 
@@ -242,7 +246,19 @@ def main() -> None:
     )
     sc = spark.sparkContext
 
+    # artifact_plan (round 9) checkpoints builders to parquet keyed by
+    # code+data fingerprint — if both partition settings shared one
+    # artifact root, the p=13 run would LOAD what p=32 WROTE and the
+    # invariance checksum would compare the artifact against itself.
+    # Point each setting at its own scratch root so the BUILDER runs
+    # under both partitionings (the claim being validated).
+    from pyspark_recs.workloads import common as _common
+
+    def _artifact_root(parts: int) -> str:
+        return os.path.join(scale_dir, f"artifacts_p{parts}")
+
     def run_checksum(name: str, parts: int):
+        _common.ARTIFACT_ROOT = _artifact_root(parts)
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         sc.setJobGroup(f"{name}@p{parts}", name)
         t0 = time.perf_counter()
@@ -255,12 +271,16 @@ def main() -> None:
         sc.setJobGroup("idle", "idle")
         return row[0].c, round(sec, 2)
 
+    for parts in PARTITION_SETTINGS:
+        if os.path.isdir(_artifact_root(parts)):
+            shutil.rmtree(_artifact_root(parts))
+
     results: dict[str, dict] = {}
     mismatches = []
     for name in QUERIES_100X:
         c_a, t_a = run_checksum(name, PARTITION_SETTINGS[0])
         # Clear session-shared subplans between the two settings:
-        # otherwise the p=13 run would read artifacts MATERIALIZED at
+        # otherwise the p=13 run would read subplans MATERIALIZED at
         # p=32 (simhash32, gram tables, capped histories) and the
         # invariance claim would be partly vacuous.
         unpersist_shared(spark)
