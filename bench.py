@@ -171,6 +171,7 @@ HEADLINE = [
     "l76_png_decode_stats",
     # round-9 addition: real JPEG codec round trip
     "l77_jpeg_decode_stats",
+    "l78_wav_decode_stats",
 ]
 
 

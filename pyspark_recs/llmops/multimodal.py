@@ -149,6 +149,56 @@ def decode_image_payloads(df: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_SCHEMA = (
+    "doc_id bigint, status string, sample_rate int, channels int, "
+    "n_frames bigint, amp_sum bigint, amp_abs_sum bigint"
+)
+
+
+def decode_audio_payloads(df: DataFrame) -> DataFrame:
+    """REAL audio decode — the audio twin of ``decode_image_payloads``:
+    parse each binary payload as RIFF/PCM WAV (llmops/wav.py — real
+    chunk walking, format validation, exact int16 amplitude facts) and
+    emit typed audio facts (rate, channels, frame count, amplitude
+    sums). Undecodable payloads dead-letter as ``status=
+    'decode_error'`` rows with NULL facts.
+
+    Swap ``decode_wav`` for soundfile/ffmpeg to widen format support —
+    the Arrow batch shape, schema and partition parallelism are the
+    production contract. Scale: decode runs partition-parallel inside
+    ``mapInPandas``; payload bytes never shuffle (decode-then-drop
+    before any wide stage, the image-codec discipline)."""
+    from pyspark_recs.llmops.wav import decode_wav, pcm_facts
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                try:
+                    rate, ch, n, pcm = decode_wav(bytes(payload))
+                    total, abs_total, _, _ = pcm_facts(pcm)
+                    rows.append(("ok", rate, ch, n, total, abs_total))
+                except Exception:
+                    rows.append(
+                        ("decode_error", None, None, None, None, None)
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "status", "sample_rate", "channels", "n_frames",
+                    "amp_sum", "amp_abs_sum",
+                ],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return df.select("doc_id", "payload").mapInPandas(
+        decode_batches, schema=AUDIO_SCHEMA
+    )
+
+
 RESIZED_SCHEMA = "doc_id bigint, resized binary, n_bytes int"
 
 

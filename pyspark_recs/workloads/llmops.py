@@ -3817,6 +3817,78 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------- l78
+def l78_wav_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio-codec round trip through the multimodal pipeline —
+    the audio member of the l76 (PNG) / l77 (JPEG) family: per
+    document, synthesize 256 int16 PCM frames with the SQL-expressible
+    formula sample[i] = ((doc_id·37 + i·11) mod 4001) − 2000, ENCODE
+    them into a genuine RIFF/WAVE file (llmops/wav.py), push the
+    binary payloads through the same Arrow ``mapInPandas`` seam, and
+    DECODE them back (real chunk walking, fmt validation, exact int16
+    amplitude facts). Docs with doc_id % 17 == 0 ship a truncated
+    payload to exercise the dead-letter contract.
+
+    PCM is uncompressed, so the round trip is exact for arbitrary
+    content (no quality-100 trick needed): the DuckDB twin recomputes
+    every amplitude fact from the formula alone — the oracle never
+    sees WAV.
+
+    Scale: encode+decode run partition-parallel; payloads are born and
+    die inside one mapInPandas pair (never shuffled); output is 7
+    bounded integers per doc."""
+    import pandas as pd
+
+    from pyspark_recs.io.loaders import spread_partitions
+    from pyspark_recs.llmops.multimodal import decode_audio_payloads
+    from pyspark_recs.llmops.wav import encode_wav, synth_pcm
+
+    docs = spread_partitions(
+        load_table(spark, sf, "documents").select("doc_id")
+    )
+
+    def make_payloads(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                wav = encode_wav(8000, 1, synth_pcm(int(doc_id)))
+                payloads.append(wav[:30] if doc_id % 17 == 0 else wav)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    payloads = docs.mapInPandas(
+        make_payloads, schema="doc_id bigint, payload binary"
+    )
+    return decode_audio_payloads(payloads).select(
+        "doc_id", "status", "sample_rate", "channels", "n_frames",
+        "amp_sum", "amp_abs_sum",
+    )
+
+
+L78_SQL = """
+WITH amp AS (
+  SELECT d.doc_id,
+         CAST(sum(((d.doc_id * 37 + i * 11) % 4001) - 2000) AS BIGINT)
+           AS amp_sum,
+         CAST(sum(abs(((d.doc_id * 37 + i * 11) % 4001) - 2000))
+              AS BIGINT) AS amp_abs_sum
+  FROM documents d CROSS JOIN range(256) t(i)
+  GROUP BY d.doc_id)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 17 = 0 THEN 'decode_error' ELSE 'ok' END
+         AS status,
+       CASE WHEN d.doc_id % 17 = 0 THEN NULL ELSE 8000 END AS sample_rate,
+       CASE WHEN d.doc_id % 17 = 0 THEN NULL ELSE 1 END AS channels,
+       CASE WHEN d.doc_id % 17 = 0 THEN NULL
+            ELSE CAST(256 AS BIGINT) END AS n_frames,
+       CASE WHEN d.doc_id % 17 = 0 THEN NULL ELSE a.amp_sum END AS amp_sum,
+       CASE WHEN d.doc_id % 17 = 0 THEN NULL ELSE a.amp_abs_sum END
+         AS amp_abs_sum
+FROM documents d JOIN amp a USING (doc_id)
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -3895,6 +3967,7 @@ QUERIES = {
     "l75_mixture_sample": l75_mixture_sample,
     "l76_png_decode_stats": l76_png_decode_stats,
     "l77_jpeg_decode_stats": l77_jpeg_decode_stats,
+    "l78_wav_decode_stats": l78_wav_decode_stats,
 }
 
 ORACLE = {
@@ -3975,4 +4048,5 @@ ORACLE = {
     "l75_mixture_sample": L75_SQL,
     "l76_png_decode_stats": L76_SQL,
     "l77_jpeg_decode_stats": L77_SQL,
+    "l78_wav_decode_stats": L78_SQL,
 }
