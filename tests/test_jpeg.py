@@ -156,3 +156,88 @@ def test_decode_image_payloads_sniffs_jpeg_and_png(spark):
     assert rows[2].status == "ok" and rows[2].pixel_sum == sum(synth_pixels(3))
     assert rows[3].status == "decode_error" and rows[3].width is None
     assert rows[4].status == "decode_error"
+
+
+def test_mixed_format_fetch_and_sniff_over_loopback_http(spark):
+    """The reference fetches .jpg URLs (app_utils.py:14-26); this
+    serves a MIXED catalog — .png, .jpg and .wav assets — over a real
+    loopback http.server, fetches through the production urllib
+    fetcher, and decodes each through the matching real codec: images
+    via the magic-sniffing decode_image_payloads, audio via
+    decode_audio_payloads."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from pyspark.sql import functions as F
+
+    from pyspark_recs.llmops.multimodal import (
+        decode_audio_payloads,
+        decode_image_payloads,
+        fetch_payloads,
+        http_fetcher,
+    )
+    from pyspark_recs.llmops.png import encode_png, synth_pixels
+    from pyspark_recs.llmops.wav import encode_wav, pcm_facts, synth_pcm
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            name = self.path.rsplit("/", 1)[1]
+            asset_id = int(name.split(".")[0])
+            ext = name.split(".")[1]
+            if ext == "png":
+                body = encode_png(8, 8, synth_pixels(asset_id), 1)
+                ctype = "image/png"
+            elif ext == "jpg":
+                body = encode_jpeg(
+                    32, 32, synth_tile_pixels(asset_id), 1, quality=100
+                )
+                ctype = "image/jpeg"
+            else:
+                body = encode_wav(8000, 1, synth_pcm(asset_id))
+                ctype = "audio/wav"
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        df = spark.createDataFrame(
+            [
+                (1, f"http://127.0.0.1:{port}/1.png"),
+                (2, f"http://127.0.0.1:{port}/2.jpg"),
+                (3, f"http://127.0.0.1:{port}/3.wav"),
+            ],
+            "doc_id bigint, url string",
+        )
+        fetched = fetch_payloads(df, fetcher=http_fetcher(timeout=5.0))
+        ok = fetched.filter(F.col("status") == "ok")
+        assert ok.count() == 3
+        imgs = {
+            r.doc_id: r
+            for r in decode_image_payloads(
+                ok.filter(F.col("doc_id") < 3)
+            ).collect()
+        }
+        assert imgs[1].status == "ok" and imgs[1].pixel_sum == sum(
+            synth_pixels(1)
+        )
+        assert imgs[2].status == "ok" and imgs[2].pixel_sum == sum(
+            synth_tile_pixels(2)
+        )
+        assert (imgs[2].width, imgs[2].height) == (32, 32)
+        aud = decode_audio_payloads(
+            ok.filter(F.col("doc_id") == 3)
+        ).collect()[0]
+        total, abs_total, _, _ = pcm_facts(synth_pcm(3))
+        assert aud.status == "ok" and aud.amp_sum == total
+        assert aud.amp_abs_sum == abs_total and aud.n_frames == 256
+    finally:
+        server.shutdown()
+        server.server_close()
