@@ -172,6 +172,7 @@ HEADLINE = [
     # round-9 addition: real JPEG codec round trip
     "l77_jpeg_decode_stats",
     "l78_wav_decode_stats",
+    "l79_y4m_frame_stats",
 ]
 
 

@@ -199,6 +199,65 @@ def decode_audio_payloads(df: DataFrame) -> DataFrame:
     )
 
 
+VIDEO_SCHEMA = (
+    "doc_id bigint, status string, width int, height int, "
+    "colorspace string, n_frames bigint, n_sampled bigint, "
+    "luma_sum bigint"
+)
+
+
+def decode_video_payloads(df: DataFrame, sample_every: int = 4) -> DataFrame:
+    """REAL video-container decode — the video member of the
+    decode_image/audio family: parse each binary payload as Y4M
+    (llmops/y4m.py — real header/FRAME-marker walking), SAMPLE every
+    ``sample_every``-th frame by seek (fixed frame size: skipped
+    frames are never materialized — the production thin-before-
+    feature-extract step), and emit typed video facts (geometry,
+    total/sampled frame counts, exact integer luma sum over the
+    sampled frames). Undecodable payloads dead-letter as
+    ``status='decode_error'`` rows with NULL facts.
+
+    Swap ``decode_y4m`` for ffmpeg/PyAV to add compressed codecs — the
+    Arrow batch shape, schema and partition parallelism are the
+    production contract. Scale: decode runs partition-parallel inside
+    ``mapInPandas``; payload bytes never shuffle (decode-then-drop
+    before any wide stage, the codec-family discipline)."""
+    from pyspark_recs.llmops.y4m import decode_y4m
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                try:
+                    w, h, cs, n, lumas = decode_y4m(
+                        bytes(payload), sample_every=sample_every
+                    )
+                    rows.append(
+                        ("ok", w, h, cs, n, len(lumas),
+                         sum(sum(p) for p in lumas))
+                    )
+                except Exception:
+                    rows.append(
+                        ("decode_error", None, None, None, None, None,
+                         None)
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "status", "width", "height", "colorspace",
+                    "n_frames", "n_sampled", "luma_sum",
+                ],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return df.select("doc_id", "payload").mapInPandas(
+        decode_batches, schema=VIDEO_SCHEMA
+    )
+
+
 RESIZED_SCHEMA = "doc_id bigint, resized binary, n_bytes int"
 
 

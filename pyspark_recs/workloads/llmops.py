@@ -3889,6 +3889,85 @@ FROM documents d JOIN amp a USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------- l79
+def l79_y4m_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video-container round trip — the video member of the
+    l76/l77/l78 codec family: per document, synthesize a 12-frame
+    16×16 mono clip where frame f is CONSTANT luma
+    (doc_id·13 + f·29) mod 256, ENCODE it into a genuine YUV4MPEG2
+    stream (llmops/y4m.py), push the binary payloads through the same
+    Arrow ``mapInPandas`` seam, and DECODE with REAL frame sampling:
+    every 4th frame is extracted by seek (fixed frame size — skipped
+    frames never materialize), the production thin-before-features
+    step l16's byte-stride sampler stood in for. Docs with
+    doc_id % 17 == 0 ship a truncated payload (cut mid-frame) to
+    exercise the dead-letter contract.
+
+    Uncompressed frames make the round trip exact for arbitrary
+    content; the DuckDB twin recomputes the sampled luma sum from the
+    formula alone — the oracle never sees Y4M.
+
+    Scale: decode runs partition-parallel; payloads are born and die
+    inside one mapInPandas pair (never shuffled); sampling cost is
+    O(sampled frames), not O(stream bytes)."""
+    import pandas as pd
+
+    from pyspark_recs.io.loaders import spread_partitions
+    from pyspark_recs.llmops.multimodal import decode_video_payloads
+    from pyspark_recs.llmops.y4m import encode_y4m, synth_frames
+
+    docs = spread_partitions(
+        load_table(spark, sf, "documents").select("doc_id")
+    )
+
+    def make_payloads(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                clip = encode_y4m(16, 16, synth_frames(int(doc_id)))
+                payloads.append(
+                    clip[: len(clip) - 100]
+                    if doc_id % 17 == 0
+                    else clip
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    payloads = docs.mapInPandas(
+        make_payloads, schema="doc_id bigint, payload binary"
+    )
+    return decode_video_payloads(payloads, sample_every=4).select(
+        "doc_id", "status", "width", "height", "colorspace",
+        "n_frames", "n_sampled", "luma_sum",
+    )
+
+
+L79_SQL = """
+WITH luma AS (
+  SELECT d.doc_id,
+         CAST(sum(256 * ((d.doc_id * 13 + f * 29) % 256)) AS BIGINT)
+           AS luma_sum
+  FROM documents d CROSS JOIN range(12) t(f)
+  WHERE f % 4 = 0
+  GROUP BY d.doc_id)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 17 = 0 THEN 'decode_error' ELSE 'ok' END
+         AS status,
+       CASE WHEN d.doc_id % 17 = 0 THEN NULL ELSE 16 END AS width,
+       CASE WHEN d.doc_id % 17 = 0 THEN NULL ELSE 16 END AS height,
+       CASE WHEN d.doc_id % 17 = 0 THEN NULL ELSE 'mono' END
+         AS colorspace,
+       CASE WHEN d.doc_id % 17 = 0 THEN NULL
+            ELSE CAST(12 AS BIGINT) END AS n_frames,
+       CASE WHEN d.doc_id % 17 = 0 THEN NULL
+            ELSE CAST(3 AS BIGINT) END AS n_sampled,
+       CASE WHEN d.doc_id % 17 = 0 THEN NULL ELSE l.luma_sum END
+         AS luma_sum
+FROM documents d JOIN luma l USING (doc_id)
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -3968,6 +4047,7 @@ QUERIES = {
     "l76_png_decode_stats": l76_png_decode_stats,
     "l77_jpeg_decode_stats": l77_jpeg_decode_stats,
     "l78_wav_decode_stats": l78_wav_decode_stats,
+    "l79_y4m_frame_stats": l79_y4m_frame_stats,
 }
 
 ORACLE = {
@@ -4049,4 +4129,5 @@ ORACLE = {
     "l76_png_decode_stats": L76_SQL,
     "l77_jpeg_decode_stats": L77_SQL,
     "l78_wav_decode_stats": L78_SQL,
+    "l79_y4m_frame_stats": L79_SQL,
 }

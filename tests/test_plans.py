@@ -572,7 +572,7 @@ def test_codec_roundtrip_payloads_never_shuffle(spark):
     # mapInPandas pair — no Exchange may ever carry the payload column
     # (at 100 TB shuffling raw media bytes is the scale-killer).
     for q in ("l76_png_decode_stats", "l77_jpeg_decode_stats",
-              "l78_wav_decode_stats"):
+              "l78_wav_decode_stats", "l79_y4m_frame_stats"):
         plan = plan_of(QUERIES[q](spark, SF_DIR))
         blocks = re.split(r"^\(\d+\) ", plan, flags=re.M)
         for blk in blocks:
