@@ -173,6 +173,10 @@ HEADLINE = [
     "l77_jpeg_decode_stats",
     "l78_wav_decode_stats",
     "l79_y4m_frame_stats",
+    # round-9 additions: trainable quality signals + VAD
+    "l80_bigram_lm_score",
+    "l81_dsir_importance",
+    "l82_audio_vad_segments",
 ]
 
 

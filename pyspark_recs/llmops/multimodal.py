@@ -199,6 +199,127 @@ def decode_audio_payloads(df: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_WINDOW_SCHEMA = (
+    "doc_id bigint, status string, win_idx int, win_abs bigint"
+)
+
+
+def audio_window_energies(df: DataFrame, window: int = 32) -> DataFrame:
+    """Decode WAV payloads and emit one row per fixed-size sample
+    window with its absolute-amplitude energy — the codec half of the
+    energy-gate VAD pipeline (:func:`vad_segments` is the analytics
+    half). A trailing partial window is dropped (standard frame-based
+    audio analysis). Undecodable payloads dead-letter as a single
+    ``status='decode_error'`` row with NULL window facts, the
+    decode_audio_payloads contract.
+
+    Scale: decode + windowing run partition-parallel inside
+    ``mapInPandas``; payload bytes never shuffle (born and dropped in
+    one stage); output is n_frames/window bounded integer rows per doc
+    — the only thing that crosses a stage boundary.
+    """
+    import array
+    import sys
+
+    from pyspark_recs.llmops.wav import decode_wav
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, statuses, idxs, energies = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    _, channels, n_frames, pcm = decode_wav(
+                        bytes(payload)
+                    )
+                    a = array.array("h")
+                    a.frombytes(pcm)
+                    if sys.byteorder == "big":  # pragma: no cover
+                        a.byteswap()
+                    samples_per_win = window * channels
+                    for j in range(len(a) // samples_per_win):
+                        win = a[
+                            j * samples_per_win : (j + 1) * samples_per_win
+                        ]
+                        doc_ids.append(doc_id)
+                        statuses.append("ok")
+                        idxs.append(j)
+                        energies.append(
+                            sum(v if v >= 0 else -v for v in win)
+                        )
+                except Exception:
+                    doc_ids.append(doc_id)
+                    statuses.append("decode_error")
+                    idxs.append(None)
+                    energies.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "status": statuses,
+                    "win_idx": idxs,
+                    "win_abs": energies,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        decode_batches, schema=AUDIO_WINDOW_SCHEMA
+    )
+
+
+def vad_segments(windows: DataFrame, threshold: int) -> DataFrame:
+    """Energy-gate voice-activity detection over per-window energies:
+    windows with ``win_abs >= threshold`` are active; consecutive
+    active windows merge into segments via gaps-and-islands
+    (``win_idx - row_number()`` is constant within a run). Pure
+    DataFrame ops after the codec seam — the run-length logic is
+    window functions + two aggregations, never Python.
+
+    Returns one row per decodable doc: ``n_windows, n_active,
+    n_segments, longest_run, active_abs_sum`` (zeros when nothing is
+    active). Dead-letter rows are the caller's to re-attach — this
+    operator only sees ``status='ok'`` windows.
+
+    Scale: every window function and aggregation is partitioned by
+    ``doc_id`` (never a single-partition frame); rows per doc are
+    n_frames/window bounded, so skew is structurally impossible.
+    """
+    from pyspark.sql.window import Window as W
+
+    ok = windows.filter(F.col("status") == "ok")
+    base = ok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(
+            (F.col("win_abs") >= threshold).cast("long")
+        ).alias("n_active"),
+    )
+    w = W.partitionBy("doc_id").orderBy("win_idx")
+    seg = (
+        ok.filter(F.col("win_abs") >= threshold)
+        .withColumn("island", F.col("win_idx") - F.row_number().over(w))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.sum("win_abs").alias("seg_abs"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.max("run_len").alias("longest_run"),
+            F.sum("seg_abs").alias("active_abs_sum"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return base.join(seg, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        "n_active",
+        F.coalesce("n_segments", zero).alias("n_segments"),
+        F.coalesce("longest_run", zero).alias("longest_run"),
+        F.coalesce("active_abs_sum", zero).alias("active_abs_sum"),
+    )
+
+
 VIDEO_SCHEMA = (
     "doc_id bigint, status string, width int, height int, "
     "colorspace string, n_frames bigint, n_sampled bigint, "

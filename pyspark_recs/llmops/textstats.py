@@ -825,3 +825,159 @@ SELECT doc_id,
          AS saved_ppm
 FROM applied GROUP BY doc_id
 """
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    ppm_threshold: int = 34000,
+) -> DataFrame:
+    """Per-document bigram-LM fluency score — the CCNet/KenLM quality
+    filter (reference's data-quality gate family) with the log dropped
+    so arithmetic stays exact: fit corpus bigram conditionals
+    p(w2 | w1) = c(w1 w2) / c(w1 ·), then score each document by the
+    mean conditional probability of its bigrams. Fluent documents reuse
+    corpus-frequent transitions and score high; shuffled/garbled text
+    hits rare transitions and gets flagged. The bigram lift of
+    :func:`rare_token_score` (which this deliberately complements:
+    unigram frequency can't see word ORDER, conditionals can).
+
+    Arithmetic is integer until the final division: each distinct
+    bigram's conditional is the exact bigint division
+    ``(c12 * 1_000_000) div c1`` (DuckDB ``//``), per-doc sums are
+    bigint, and the mean is one final double division — bit-portable,
+    no transcendentals (module docstring).
+
+    Scale: the model is built from a doc-level bigram multiset
+    (``doc_id, bigram, cnt``), so the scoring join probes with at most
+    one row per distinct bigram per doc, not one per token. Three
+    combiner-friendly shuffles (bigram agg, context agg, doc re-agg);
+    the bigram→conditional join is broadcast here (test-scale vocab) —
+    at 100 TB the model table is vocab²-bounded, heavy-hitter
+    dominated: broadcast the top-M bigrams and shuffle-hash-join the
+    tail, exactly the rare_token_score vocabulary split.
+    """
+    pairs = F.expr(
+        "transform(sequence(0, size(words) - 2), "
+        "i -> concat(words[i], ' ', words[i + 1]))"
+    )
+    dbc = (
+        with_tokens(df, text_col)
+        .filter(F.size("words") >= 2)
+        .select("doc_id", F.explode(pairs).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dbc = dbc.cache()  # fit + score read it once each
+    big = (
+        dbc.groupBy("bigram")
+        .agg(F.sum("cnt").alias("c12"))
+        .withColumn("w1", F.expr("split(bigram, ' ')[0]"))
+    )
+    ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    model = big.join(ctx, "w1").select(
+        "bigram",
+        F.expr("(c12 * CAST(1000000 AS BIGINT)) div c1").alias("q"),
+    )
+    scored = (
+        dbc.join(F.broadcast(model), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("q") * F.col("cnt")).alias("q_sum"),
+        )
+    )
+    mean_ppm = F.col("q_sum").cast("double") / F.col("n_bigrams").cast(
+        "double"
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "q_sum",
+        mean_ppm.alias("mean_cond_ppm"),
+        (mean_ppm < F.lit(float(ppm_threshold))).alias("flag_disfluent"),
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    ppm_threshold: int = 433_000,
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    hash every token into ``n_buckets`` buckets, fit add-one-smoothed
+    bucket counts on the TARGET slice (rows where ``target_col ==
+    target_value``) and on the RAW corpus, and score each document by
+    the mean per-token target/raw count ratio. Documents distributed
+    like the target slice score high — the signal DSIR resamples on.
+
+    The log-likelihood-ratio sum is replaced by a mean of fixed-point
+    count ratios so arithmetic stays exact (module docstring): each
+    bucket's ratio is the bigint division ``((ct+1) * 1_000_000) div
+    (cr+1)`` (DuckDB ``//``), per-doc sums are bigint, one final double
+    division. The score is the UNCALIBRATED ratio mean — multiply by
+    ``(Nr + B) / (Nt + B) / 1e6`` for the calibrated importance weight;
+    ranking and thresholding are invariant to that constant.
+
+    Scale — the whole point of the hashing: the bucket table is
+    B-bounded (4096 rows) at ANY corpus size, so the scoring join is a
+    guaranteed broadcast; no vocabulary-sized shuffle ever exists. Doc
+    multisets pre-aggregate the probe side. At 100 TB this is two
+    counting shuffles + one broadcast join — the cheapest trainable
+    quality signal in the family.
+    """
+    from pyspark_recs.llmops.hashing import md5_long
+
+    tb = df.select(
+        "doc_id",
+        F.col(target_col).alias("_t"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).select(
+        "doc_id",
+        "_t",
+        (md5_long(F.col("token")) % n_buckets).alias("bucket"),
+    )
+    tb = tb.cache()  # raw counts, target counts, doc multisets
+    raw = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        tb.filter(F.col("_t") == target_value)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    model = (
+        raw.join(tgt, "bucket", "left")
+        .select(
+            "bucket",
+            F.expr(
+                "((coalesce(ct, CAST(0 AS BIGINT)) + 1)"
+                " * CAST(1000000 AS BIGINT)) div (cr + 1)"
+            ).alias("s"),
+        )
+    )
+    dbc = tb.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    scored = (
+        dbc.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("s") * F.col("cnt")).alias("s_sum"),
+        )
+    )
+    mean_ppm = F.col("s_sum").cast("double") / F.col("n_tokens").cast(
+        "double"
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "s_sum",
+        mean_ppm.alias("mean_ratio_ppm"),
+        (mean_ppm >= F.lit(float(ppm_threshold))).alias(
+            "flag_target_like"
+        ),
+    )

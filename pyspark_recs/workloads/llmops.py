@@ -3968,6 +3968,193 @@ FROM documents d JOIN luma l USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------- l80
+def l80_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM fluency scoring (the CCNet/KenLM perplexity quality
+    gate, log-free so arithmetic is exact): fit corpus conditionals
+    p(w2|w1), score each doc by its mean conditional in fixed-point
+    ppm, flag the disfluent tail. Complements l38 (unigram frequency is
+    order-blind; conditionals see word order). See
+    llmops/textstats.py:bigram_lm_score."""
+    from pyspark_recs.llmops.textstats import bigram_lm_score
+
+    return bigram_lm_score(load_table(spark, sf, "documents"))
+
+
+L80_SQL = f"""
+WITH toks AS ({_TOKS}),
+p AS (
+  SELECT doc_id, list_transform(range(1, len(words)),
+                                i -> words[i] || ' ' || words[i + 1]) AS prs
+  FROM toks WHERE len(words) >= 2),
+e AS (SELECT doc_id, unnest(prs) AS bigram FROM p),
+dbc AS (
+  SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS cnt
+  FROM e GROUP BY doc_id, bigram),
+b AS (
+  SELECT string_split(bigram, ' ')[1] AS w1, bigram,
+         CAST(sum(cnt) AS BIGINT) AS c12
+  FROM dbc GROUP BY 1, 2),
+cx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM b GROUP BY w1),
+m AS (
+  SELECT bigram, (c12 * 1000000) // c1 AS q
+  FROM b JOIN cx USING (w1))
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       CAST(sum(m.q * cnt) AS BIGINT) AS q_sum,
+       CAST(sum(m.q * cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+         AS mean_cond_ppm,
+       (CAST(sum(m.q * cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+         < 34000.0) AS flag_disfluent
+FROM dbc JOIN m USING (bigram) GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------- l81
+def l81_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR hashed-n-gram importance weights (Xie et al. 2023): hash
+    tokens into 4096 buckets, fit target (lang='en') vs raw bucket
+    counts, score docs by the mean fixed-point count ratio — the
+    importance-resampling signal with the log dropped for exactness.
+    The bucket table is B-bounded, so the scoring join is a guaranteed
+    broadcast at any corpus size. See
+    llmops/textstats.py:dsir_importance."""
+    from pyspark_recs.llmops.textstats import dsir_importance
+
+    return dsir_importance(load_table(spark, sf, "documents"))
+
+
+L81_SQL = f"""
+WITH toks AS ({_TOKS}),
+t AS (SELECT doc_id, lang, unnest(words) AS token FROM toks),
+tb AS (
+  SELECT doc_id, lang,
+         {_sql_md5_long('token')} % 4096 AS bucket
+  FROM t),
+r AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM tb GROUP BY 1),
+tg AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+  FROM tb WHERE lang = 'en' GROUP BY 1),
+m AS (
+  SELECT r.bucket, ((coalesce(ct, 0) + 1) * 1000000) // (cr + 1) AS s
+  FROM r LEFT JOIN tg USING (bucket)),
+dbc AS (
+  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM tb GROUP BY doc_id, bucket)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(sum(m.s * cnt) AS BIGINT) AS s_sum,
+       CAST(sum(m.s * cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+         AS mean_ratio_ppm,
+       (CAST(sum(m.s * cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+         >= 433000.0) AS flag_target_like
+FROM dbc JOIN m USING (bucket) GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------- l82
+def l82_audio_vad_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Energy-gate voice-activity detection over the l78 WAV corpus:
+    decode each synthesized RIFF/PCM payload (same SQL-expressible
+    sample formula and truncation branch as l78), window the int16
+    stream (32 samples), gate on absolute energy >= 32000, and merge
+    consecutive active windows into segments via gaps-and-islands —
+    the codec runs in one mapInPandas seam
+    (llmops/multimodal.py:audio_window_energies), the run-length
+    analytics are pure window-function DataFrame ops
+    (llmops/multimodal.py:vad_segments), everything partitioned by
+    doc_id (no single-partition frames). The DuckDB twin recomputes
+    windows and islands from the formula alone — it never sees WAV.
+
+    Scale: payload bytes never shuffle; only 8 bounded integer rows
+    per doc cross a stage boundary; VAD windows/aggregations are
+    doc_id-partitioned so skew is structurally impossible."""
+    import pandas as pd
+
+    from pyspark_recs.io.loaders import spread_partitions
+    from pyspark_recs.llmops.multimodal import (
+        audio_window_energies,
+        vad_segments,
+    )
+    from pyspark_recs.llmops.wav import encode_wav, synth_pcm
+
+    docs = spread_partitions(
+        load_table(spark, sf, "documents").select("doc_id")
+    )
+
+    def make_payloads(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                wav = encode_wav(8000, 1, synth_pcm(int(doc_id)))
+                payloads.append(wav[:30] if doc_id % 17 == 0 else wav)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    payloads = docs.mapInPandas(
+        make_payloads, schema="doc_id bigint, payload binary"
+    )
+    windows = audio_window_energies(payloads, window=32)
+    segs = vad_segments(windows, threshold=32000)
+    all_docs = load_table(spark, sf, "documents").select("doc_id")
+    return all_docs.join(segs, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 17 == 0, F.lit("decode_error"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+        "n_windows",
+        "n_active",
+        "n_segments",
+        "longest_run",
+        "active_abs_sum",
+    )
+
+
+L82_SQL = """
+WITH w AS (
+  SELECT d.doc_id, CAST(i // 32 AS INT) AS j,
+         CAST(sum(abs(((d.doc_id * 37 + i * 11) % 4001) - 2000))
+              AS BIGINT) AS win_abs
+  FROM documents d CROSS JOIN range(256) t(i)
+  WHERE d.doc_id % 17 <> 0
+  GROUP BY d.doc_id, CAST(i // 32 AS INT)),
+base AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN win_abs >= 32000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_active
+  FROM w GROUP BY doc_id),
+act AS (SELECT doc_id, j, win_abs FROM w WHERE win_abs >= 32000),
+isl AS (
+  SELECT doc_id, j, win_abs,
+         j - row_number() OVER (PARTITION BY doc_id ORDER BY j)
+           AS island
+  FROM act),
+seg AS (
+  SELECT doc_id, island, CAST(count(*) AS BIGINT) AS run_len,
+         CAST(sum(win_abs) AS BIGINT) AS seg_abs
+  FROM isl GROUP BY doc_id, island),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(max(run_len) AS BIGINT) AS longest_run,
+         CAST(sum(seg_abs) AS BIGINT) AS active_abs_sum
+  FROM seg GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 17 = 0 THEN 'decode_error' ELSE 'ok' END
+         AS status,
+       b.n_windows, b.n_active,
+       CASE WHEN d.doc_id % 17 = 0 THEN NULL
+            ELSE coalesce(p.n_segments, 0) END AS n_segments,
+       CASE WHEN d.doc_id % 17 = 0 THEN NULL
+            ELSE coalesce(p.longest_run, 0) END AS longest_run,
+       CASE WHEN d.doc_id % 17 = 0 THEN NULL
+            ELSE coalesce(p.active_abs_sum, 0) END AS active_abs_sum
+FROM documents d
+LEFT JOIN base b USING (doc_id)
+LEFT JOIN per p USING (doc_id)
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -4048,6 +4235,9 @@ QUERIES = {
     "l77_jpeg_decode_stats": l77_jpeg_decode_stats,
     "l78_wav_decode_stats": l78_wav_decode_stats,
     "l79_y4m_frame_stats": l79_y4m_frame_stats,
+    "l80_bigram_lm_score": l80_bigram_lm_score,
+    "l81_dsir_importance": l81_dsir_importance,
+    "l82_audio_vad_segments": l82_audio_vad_segments,
 }
 
 ORACLE = {
@@ -4130,4 +4320,7 @@ ORACLE = {
     "l77_jpeg_decode_stats": L77_SQL,
     "l78_wav_decode_stats": L78_SQL,
     "l79_y4m_frame_stats": L79_SQL,
+    "l80_bigram_lm_score": L80_SQL,
+    "l81_dsir_importance": L81_SQL,
+    "l82_audio_vad_segments": L82_SQL,
 }
