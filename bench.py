@@ -177,6 +177,7 @@ HEADLINE = [
     "l80_bigram_lm_score",
     "l81_dsir_importance",
     "l82_audio_vad_segments",
+    "l83_image_phash_dedup",
 ]
 
 

@@ -199,6 +199,95 @@ def decode_audio_payloads(df: DataFrame) -> DataFrame:
     )
 
 
+AHASH_SCHEMA = (
+    "doc_id bigint, status string, n_pixels int, "
+    "phash_hi bigint, phash_lo bigint"
+)
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) over REAL-decoded image
+    payloads: decode (PNG/JPEG by magic sniff, the
+    ``decode_image_payloads`` seam), then set bit i iff
+    ``pixel[i] * n_pixels > pixel_sum`` (strict, ties clear — integer
+    math, no float mean). Byte-distinct images that look alike hash
+    alike, which is what payload-digest dedup (l65) structurally
+    cannot see. Multi-channel images hash channel 0.
+
+    The 64 bits are emitted as two 32-bit halves (``phash_hi``,
+    ``phash_lo``) so the value stays inside non-negative BIGINT range
+    on every engine — a single 64-bit word would overflow into the
+    sign bit differently across engines. Undecodable payloads
+    dead-letter as ``status='decode_error'`` rows with NULL hashes.
+
+    Scale: decode + hash run partition-parallel inside
+    ``mapInPandas``; payload bytes never shuffle — only the two hash
+    words cross a stage boundary, so the downstream bucket-groupBy
+    shuffles 16 bytes per image regardless of image size. Hamming-ball
+    widening (near-identical rather than identical hashes) is l45's
+    pigeonhole band join over these same words.
+    """
+    from pyspark_recs.llmops.jpeg import decode_jpeg
+    from pyspark_recs.llmops.png import decode_png
+
+    def hash_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                data = bytes(payload)
+                try:
+                    if data[:8] == b"\x89PNG\r\n\x1a\n":
+                        w, h, ch, px = decode_png(data)
+                    elif data[:2] == b"\xff\xd8":
+                        w, h, ch, px = decode_jpeg(data)
+                    else:
+                        raise ValueError("unknown image magic")
+                    if w < 8 or h < 8:
+                        raise ValueError("image below aHash grid")
+                    gray = px[::ch] if ch > 1 else px
+                    # 8x8 block means via EXACT integer cross-multiply:
+                    # block mean > global mean <=> bsum*n > psum*bsize
+                    # (trailing rows/cols beyond 8*(dim//8) are ignored,
+                    # so bsize is the same for every block)
+                    bw, bh = w // 8, h // 8
+                    n = 8 * bw * 8 * bh
+                    psum = 0
+                    bsums = [0] * 64
+                    for by in range(8):
+                        for bx in range(8):
+                            s = 0
+                            for y in range(by * bh, (by + 1) * bh):
+                                row = y * w + bx * bw
+                                for p in gray[row : row + bw]:
+                                    s += p
+                            bsums[by * 8 + bx] = s
+                            psum += s
+                    bsize = bw * bh
+                    hi = 0
+                    lo = 0
+                    for i, s in enumerate(bsums):
+                        if s * n > psum * bsize:
+                            if i >= 32:
+                                hi |= 1 << (i - 32)
+                            else:
+                                lo |= 1 << i
+                    rows.append(("ok", n, hi, lo))
+                except Exception:
+                    rows.append(("decode_error", None, None, None))
+            out = pd.DataFrame(
+                rows,
+                columns=["status", "n_pixels", "phash_hi", "phash_lo"],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return df.select("doc_id", "payload").mapInPandas(
+        hash_batches, schema=AHASH_SCHEMA
+    )
+
+
 AUDIO_WINDOW_SCHEMA = (
     "doc_id bigint, status string, win_idx int, win_abs bigint"
 )

@@ -4155,6 +4155,122 @@ LEFT JOIN per p USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------- l83
+def l83_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual near-dup detection over REAL-decoded images — the
+    multimodal dedup step payload digests (l65) structurally cannot do:
+    per document, synthesize an 8×8 grayscale image whose BASE pattern
+    depends only on doc_id % 16 (16 perceptual clusters) plus per-doc
+    ±3 pixel noise — pixel[i] = clip(((doc_id%16)·31 + i·7) mod 256
+    + ((doc_id·13 + i·5) mod 7) − 3) — so same-cluster images are
+    BYTE-DISTINCT (md5 dedup finds nothing) yet perceptually identical.
+    Encode to genuine PNG, decode through the real codec, average-hash
+    the DECODED pixels (llmops/multimodal.py:image_ahash — strict
+    integer bit rule, two 32-bit words), and group by the hash:
+    cluster size, canonical (min doc_id) election, is_dup flag. Docs
+    with doc_id % 17 == 0 ship truncated payloads (dead-letter
+    contract). The DuckDB twin recomputes pixels, hash bits and
+    clusters from the formula alone — it never sees PNG.
+
+    Scale: decode+hash are partition-parallel; payload bytes never
+    shuffle (16 hash bytes per image cross the stage boundary); the
+    bucket groupBy is one combiner-friendly shuffle. Hamming-ball
+    widening over these words is l45's pigeonhole band join."""
+    import pandas as pd
+
+    from pyspark_recs.io.loaders import spread_partitions
+    from pyspark_recs.llmops.multimodal import image_ahash
+    from pyspark_recs.llmops.png import encode_png
+
+    docs = spread_partitions(
+        load_table(spark, sf, "documents").select("doc_id")
+    )
+
+    def make_payloads(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                px = bytes(
+                    min(
+                        255,
+                        max(
+                            0,
+                            ((d % 16) * 31 + i * 7) % 256
+                            + ((d * 13 + i * 5) % 7)
+                            - 3,
+                        ),
+                    )
+                    for i in range(64)
+                )
+                png = encode_png(8, 8, px, 1)
+                payloads.append(png[:20] if d % 17 == 0 else png)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    payloads = docs.mapInPandas(
+        make_payloads, schema="doc_id bigint, payload binary"
+    )
+    hashed = image_ahash(payloads)
+    ok = hashed.filter(F.col("status") == "ok")
+    clusters = ok.groupBy("phash_hi", "phash_lo").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+    return (
+        hashed.join(clusters, ["phash_hi", "phash_lo"], "left")
+        .select(
+            "doc_id",
+            "status",
+            "phash_hi",
+            "phash_lo",
+            F.when(F.col("status") == "ok", F.col("cluster_size"))
+            .alias("cluster_size"),
+            F.when(F.col("status") == "ok", F.col("canonical_id"))
+            .alias("canonical_id"),
+            F.when(
+                F.col("status") == "ok", F.col("cluster_size") > 1
+            ).alias("is_dup"),
+        )
+    )
+
+
+L83_SQL = """
+WITH px AS (
+  SELECT d.doc_id, i,
+         least(255, greatest(0,
+           ((d.doc_id % 16) * 31 + i * 7) % 256
+           + ((d.doc_id * 13 + i * 5) % 7) - 3)) AS p
+  FROM documents d CROSS JOIN range(64) t(i)
+  WHERE d.doc_id % 17 <> 0),
+s AS (SELECT doc_id, CAST(sum(p) AS BIGINT) AS psum FROM px GROUP BY doc_id),
+b AS (
+  SELECT px.doc_id,
+         CAST(sum(CASE WHEN i >= 32 AND px.p * 64 > s.psum
+                       THEN CAST(1 AS BIGINT) << CAST(i - 32 AS INT)
+                       ELSE 0 END) AS BIGINT) AS phash_hi,
+         CAST(sum(CASE WHEN i < 32 AND px.p * 64 > s.psum
+                       THEN CAST(1 AS BIGINT) << CAST(i AS INT)
+                       ELSE 0 END) AS BIGINT) AS phash_lo
+  FROM px JOIN s USING (doc_id) GROUP BY px.doc_id),
+c AS (
+  SELECT phash_hi, phash_lo, CAST(count(*) AS BIGINT) AS cluster_size,
+         CAST(min(doc_id) AS BIGINT) AS canonical_id
+  FROM b GROUP BY phash_hi, phash_lo)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 17 = 0 THEN 'decode_error' ELSE 'ok' END
+         AS status,
+       b.phash_hi, b.phash_lo,
+       c.cluster_size, c.canonical_id,
+       CASE WHEN d.doc_id % 17 = 0 THEN NULL
+            ELSE (c.cluster_size > 1) END AS is_dup
+FROM documents d
+LEFT JOIN b USING (doc_id)
+LEFT JOIN c ON b.phash_hi = c.phash_hi AND b.phash_lo = c.phash_lo
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -4238,6 +4354,7 @@ QUERIES = {
     "l80_bigram_lm_score": l80_bigram_lm_score,
     "l81_dsir_importance": l81_dsir_importance,
     "l82_audio_vad_segments": l82_audio_vad_segments,
+    "l83_image_phash_dedup": l83_image_phash_dedup,
 }
 
 ORACLE = {
@@ -4323,4 +4440,5 @@ ORACLE = {
     "l80_bigram_lm_score": L80_SQL,
     "l81_dsir_importance": L81_SQL,
     "l82_audio_vad_segments": L82_SQL,
+    "l83_image_phash_dedup": L83_SQL,
 }
