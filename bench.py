@@ -178,6 +178,7 @@ HEADLINE = [
     "l81_dsir_importance",
     "l82_audio_vad_segments",
     "l83_image_phash_dedup",
+    "l84_duplicate_text_spans",
 ]
 
 

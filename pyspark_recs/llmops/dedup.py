@@ -698,3 +698,108 @@ def segment_dedup(
             / F.sum("seg_toks").cast("double")
         ).alias("retained_ratio"),
     )
+
+
+def duplicate_text_spans(
+    docs: DataFrame,
+    k: int = 5,
+    min_docs: int = 2,
+    trim_ppm_threshold: int = 500_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Arbitrary-offset duplicated-SPAN accounting (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    substring-dedup shape): a sliding token ``k``-gram is duplicated
+    iff it occurs in >= ``min_docs`` DISTINCT documents; consecutive
+    duplicated gram starts merge into maximal spans (gaps-and-islands —
+    starts s, s' belong to one covered span iff s' - s <= k, i.e.
+    their k-token windows overlap or touch); each document reports the
+    union of covered tokens, its longest span, and a trim flag.
+
+    Distinct from the neighbors: l48 cuts FIXED non-overlapping
+    segments (misses any duplicate not aligned to a segment boundary),
+    l34 flags common grams but keeps no positions (no spans, no
+    coverage), l64 excises against an external benchmark (this is
+    corpus-internal).
+
+    Arithmetic is integer end-to-end; the coverage ratio is fixed-point
+    ppm via exact bigint division (DuckDB ``//``).
+
+    Scale: grams shuffle as (hash, doc) pairs for one distinct-doc
+    count (combiner-friendly); the duplicated-gram set joins back by
+    hash (shuffle join — the dup set is corpus-sized, never collected
+    or broadcast); island detection windows are partitioned by
+    ``doc_id`` and ordered by position (never a single-partition
+    frame). Text never shuffles — only 8-byte hashes and positions.
+    """
+    words = tokens(F.col(text_col))
+    grams = (
+        docs.select(F.col(id_col), words.alias("words"))
+        .filter(F.size("words") >= k)
+        .select(
+            id_col,
+            F.size("words").alias("n_tokens"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(words) - {k}), "
+                    f"i -> concat_ws(' ', slice(words, i + 1, {k})))"
+                )
+            ).alias("pos", "gram"),
+        )
+        .select(
+            id_col, "n_tokens", "pos", md5_long(F.col("gram")).alias("gh")
+        )
+    )
+    dup_grams = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    starts = grams.join(dup_grams, "gh")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(id_col).orderBy("pos")
+    spans = (
+        starts.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "new_span",
+            (F.col("prev").isNull() | (F.col("pos") - F.col("prev") > k))
+            .cast("long"),
+        )
+        .withColumn("span_id", F.sum("new_span").over(w))
+        .groupBy(id_col, "n_tokens", "span_id")
+        .agg(
+            (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
+        )
+        .groupBy(id_col, "n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_tokens").alias("covered_tokens"),
+            F.max("span_tokens").alias("max_span_tokens"),
+        )
+    )
+    base = docs.select(
+        id_col, F.size(words).alias("n_tokens")
+    )
+    zero = F.lit(0).cast("long")
+    out = base.join(spans.drop("n_tokens"), id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_spans", zero).alias("n_spans"),
+        F.coalesce("covered_tokens", zero).alias("covered_tokens"),
+        F.coalesce("max_span_tokens", zero).alias("max_span_tokens"),
+    )
+    dup_ppm = F.expr(
+        "CAST((covered_tokens * 1000000) div n_tokens AS BIGINT)"
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_spans",
+        "covered_tokens",
+        "max_span_tokens",
+        dup_ppm.alias("dup_ppm"),
+        (dup_ppm > F.lit(trim_ppm_threshold)).alias("flag_trim"),
+    )

@@ -4271,6 +4271,72 @@ LEFT JOIN c ON b.phash_hi = c.phash_hi AND b.phash_lo = c.phash_lo
 """
 
 
+# --------------------------------------------------------------------- l84
+def l84_duplicate_text_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Arbitrary-offset duplicated-span accounting — the Lee et al.
+    2022 substring-dedup shape: sliding 5-gram hashes, duplicated iff
+    in >= 2 distinct docs, consecutive duplicated starts merged into
+    maximal spans by gaps-and-islands, per-doc coverage + longest span
+    + trim flag in exact fixed-point ppm. Catches the cross-doc
+    duplicates l48's fixed segment boundaries miss and keeps the
+    positions l34 throws away. See
+    llmops/dedup.py:duplicate_text_spans."""
+    from pyspark_recs.llmops.dedup import duplicate_text_spans
+
+    return duplicate_text_spans(load_table(spark, sf, "documents"))
+
+
+_L84_GRAM = " || ' ' || ".join(f"words[i + {j}]" for j in range(5))
+
+L84_SQL = f"""
+WITH toks AS ({_TOKS}),
+p AS (
+  SELECT doc_id, len(words) AS n_tokens,
+         list_transform(range(1, len(words) - 3),
+           i -> struct_pack(pos := i - 1,
+                            g := {_L84_GRAM})) AS gs
+  FROM toks WHERE len(words) >= 5),
+e AS (
+  SELECT doc_id, unnest(gs, recursive := true) FROM p),
+eh AS (
+  SELECT doc_id, pos, {_sql_md5_long('g')} AS gh FROM e),
+d AS (SELECT gh FROM eh GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+s AS (SELECT eh.doc_id, eh.pos FROM eh SEMI JOIN d USING (gh)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                        ORDER BY pos) > 5
+              OR lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_span
+  FROM s),
+sp AS (
+  SELECT doc_id, pos,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM isl),
+spans AS (
+  SELECT doc_id, span_id,
+         max(pos) - min(pos) + 5 AS span_tokens
+  FROM sp GROUP BY doc_id, span_id),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(span_tokens) AS BIGINT) AS covered_tokens,
+         CAST(max(span_tokens) AS BIGINT) AS max_span_tokens
+  FROM spans GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.words) AS BIGINT) AS n_tokens,
+       coalesce(p2.n_spans, 0) AS n_spans,
+       coalesce(p2.covered_tokens, 0) AS covered_tokens,
+       coalesce(p2.max_span_tokens, 0) AS max_span_tokens,
+       CAST((coalesce(p2.covered_tokens, 0) * 1000000)
+            // len(t.words) AS BIGINT) AS dup_ppm,
+       ((coalesce(p2.covered_tokens, 0) * 1000000) // len(t.words)
+         > 500000) AS flag_trim
+FROM toks t LEFT JOIN per p2 USING (doc_id)
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -4355,6 +4421,7 @@ QUERIES = {
     "l81_dsir_importance": l81_dsir_importance,
     "l82_audio_vad_segments": l82_audio_vad_segments,
     "l83_image_phash_dedup": l83_image_phash_dedup,
+    "l84_duplicate_text_spans": l84_duplicate_text_spans,
 }
 
 ORACLE = {
@@ -4441,4 +4508,5 @@ ORACLE = {
     "l81_dsir_importance": L81_SQL,
     "l82_audio_vad_segments": L82_SQL,
     "l83_image_phash_dedup": L83_SQL,
+    "l84_duplicate_text_spans": L84_SQL,
 }

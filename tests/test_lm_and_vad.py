@@ -129,3 +129,32 @@ def test_audio_window_energies_round_trip(spark):
     (err,) = by_doc[2]
     assert err.status == "decode_error"
     assert err.win_idx is None and err.win_abs is None
+
+
+def test_duplicate_text_spans_islands(spark):
+    from pyspark_recs.llmops.dedup import duplicate_text_spans
+
+    docs = _docs(
+        spark,
+        [
+            # d1/d2 share exactly the 5-gram 'a1..a5' at pos 0
+            (1, "a1 a2 a3 a4 a5 f g h", "en", 15),
+            (2, "a1 a2 a3 a4 a5 x y z", "en", 15),
+            # d4/d5 share 'b1..b5' AND 'c1..c5'; in d4 the two starts
+            # are 5 apart (touching windows -> ONE span covering the
+            # whole doc), in d5 the 'Z' pushes them 6 apart (TWO spans)
+            (4, "b1 b2 b3 b4 b5 c1 c2 c3 c4 c5", "en", 19),
+            (5, "b1 b2 b3 b4 b5 Z c1 c2 c3 c4 c5", "en", 21),
+            # no cross-doc 5-gram at all
+            (3, "n1 n2 n3 n4 n5 n6 n7", "en", 13),
+        ],
+    )
+    rows = {r.doc_id: r for r in duplicate_text_spans(docs).collect()}
+    assert (rows[1].n_spans, rows[1].covered_tokens, rows[1].max_span_tokens) == (1, 5, 5)
+    assert rows[1].dup_ppm == (5 * 1_000_000) // 8
+    assert rows[1].flag_trim  # 625000 > 500000
+    assert (rows[4].n_spans, rows[4].covered_tokens, rows[4].max_span_tokens) == (1, 10, 10)
+    assert rows[4].dup_ppm == 1_000_000
+    assert (rows[5].n_spans, rows[5].covered_tokens, rows[5].max_span_tokens) == (2, 10, 5)
+    assert (rows[3].n_spans, rows[3].covered_tokens, rows[3].dup_ppm) == (0, 0, 0)
+    assert not rows[3].flag_trim
