@@ -179,6 +179,7 @@ HEADLINE = [
     "l82_audio_vad_segments",
     "l83_image_phash_dedup",
     "l84_duplicate_text_spans",
+    "l85_kmeans_train",
 ]
 
 

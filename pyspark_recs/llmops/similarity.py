@@ -1377,3 +1377,127 @@ def cluster_balanced_sample(
             (F.col("hrank") <= cap_per_cell).alias("kept"),
         )
     )
+
+
+def lloyd_kmeans_fixed(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Lloyd's k-means in FIXED-POINT arithmetic — the hash-checkable
+    sibling of :func:`kmeans_centroids` (whose pyspark.ml float
+    iterations force the rows-only correctness path). Vectors are
+    quantized once to bigint (``floor(x*scale + 0.5)``), every
+    distance is an exact integer sum of squared differences, and each
+    centroid update is ``floor(sum / count)`` evaluated as an exact
+    double division of exactly-representable integers — so any engine
+    replaying the same unrolled iterations lands on the SAME centroids
+    bit-for-bit. Seeds are the ``n_cells`` lowest-id vectors
+    (deterministic, the ``assign_cells`` convention); assignment ties
+    break on lowest cell_id; a cell that loses all members keeps its
+    previous centroid.
+
+    Returns per-cell training stats after ``iters`` Lloyd rounds plus
+    a final assignment: (cell_id, n_vectors, inertia, centroid_l1) —
+    inertia is the exact integer within-cell squared distance at
+    quantized scale, centroid_l1 an order-free centroid checksum.
+
+    Scale: assignment is a broadcast cross-score + min(struct) partial
+    aggregate (never a window over the N×C expansion); the update is
+    one posexplode → (cell, dim) combiner-friendly sum — shuffle rows
+    = C·d regardless of corpus size; per-iteration cost is one pass.
+    At 100 TB you run exactly this loop on a sample, publish the
+    centroid table as an artifact, and ``assign_cells`` the full
+    corpus against it.
+    """
+    q = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(scale)) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("q"),
+    )
+    q = q.cache()  # one quantization, iters+1 assignment passes
+    cents = (
+        q.orderBy(F.asc("vec_id"))
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell_id"), F.col("q").alias("cvec"))
+    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("q"), F.col("cvec"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        scored = q.crossJoin(F.broadcast(cents_df)).select(
+            "vec_id", F.col("cell_id"), dist.alias("dist")
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cell_id")).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.dist").alias("dist"),
+                F.col("m.cell_id").alias("cell_id"),
+            )
+        )
+
+    for _ in range(iters):
+        assigned = assign(cents).join(q, "vec_id")
+        upd = (
+            assigned.select(
+                "cell_id", F.posexplode("q").alias("idx", "v")
+            )
+            .groupBy("cell_id", "idx")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+            .select(
+                "cell_id",
+                "idx",
+                F.floor(F.col("s").cast("double") / F.col("cnt"))
+                .cast("long")
+                .alias("cv"),
+            )
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("cvec")
+            )
+        )
+        cents = (
+            cents.select("cell_id", F.col("cvec").alias("prev"))
+            .join(upd.withColumnRenamed("cvec", "new"), "cell_id", "left")
+            .select(
+                "cell_id", F.coalesce("new", "prev").alias("cvec")
+            )
+        )
+
+    final = assign(cents)
+    stats = final.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("dist").alias("inertia"),
+    )
+    l1 = F.aggregate(
+        F.col("cvec"),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + F.abs(v),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        cents.join(stats, "cell_id", "left")
+        .select(
+            "cell_id",
+            F.coalesce("n_vectors", zero).alias("n_vectors"),
+            F.coalesce("inertia", zero).alias("inertia"),
+            l1.alias("centroid_l1"),
+        )
+    )

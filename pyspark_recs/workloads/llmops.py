@@ -4337,6 +4337,98 @@ FROM toks t LEFT JOIN per p2 USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------- l85
+def l85_kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic Lloyd's k-means TRAINING over the embeddings
+    table — iterative clustering on the hash-checked path (the
+    pyspark.ml ``kmeans_centroids`` fit is rows-only by nature; this
+    fixed-point formulation is exact): 2 Lloyd rounds at scale 1e6,
+    8 lowest-id seeds, integer distances, floor-division centroid
+    updates, empty cells keep their centroid. The DuckDB twin replays
+    both unrolled iterations CTE-by-CTE (the l71 BPE oracle
+    discipline) and must land on identical centroids, inertia and
+    counts. See llmops/similarity.py:lloyd_kmeans_fixed."""
+    from pyspark_recs.llmops.similarity import lloyd_kmeans_fixed
+
+    return lloyd_kmeans_fixed(
+        load_table(spark, sf, "embeddings"), n_cells=8, iters=2
+    )
+
+
+def _l85_sql(n_cells: int = 8, iters: int = 2) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`l85_kmeans_train`."""
+    ctes = [
+        """q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                     AS BIGINT)) AS q
+  FROM embeddings)""",
+        f"""c0 AS (
+  SELECT vec_id AS cell_id, q AS cvec FROM q
+  ORDER BY vec_id LIMIT {n_cells})""",
+        """e AS (
+  SELECT vec_id,
+         unnest(list_transform(range(1, len(q) + 1),
+                i -> struct_pack(idx := i, v := q[i])),
+                recursive := true)
+  FROM q)""",
+    ]
+    for r in range(1, iters + 1):
+        prev = f"c{r - 1}"
+        ctes.append(f"""a{r} AS (
+  SELECT vec_id, cell_id, dist FROM (
+    SELECT vec_id, cell_id, dist,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cell_id) AS rn
+    FROM (
+      SELECT q.vec_id, c.cell_id,
+             CAST(list_sum(list_transform(list_zip(q.q, c.cvec),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)
+               AS dist
+      FROM q, {prev} c))
+  WHERE rn = 1)""")
+        ctes.append(f"""u{r} AS (
+  SELECT cell_id, list(cv ORDER BY idx) AS cvec FROM (
+    SELECT a.cell_id, e.idx,
+           CAST(floor(CAST(sum(e.v) AS DOUBLE) / count(*))
+                AS BIGINT) AS cv
+    FROM a{r} a JOIN e USING (vec_id)
+    GROUP BY a.cell_id, e.idx)
+  GROUP BY cell_id)""")
+        ctes.append(f"""c{r} AS (
+  SELECT {prev}.cell_id, coalesce(u{r}.cvec, {prev}.cvec) AS cvec
+  FROM {prev} LEFT JOIN u{r} USING (cell_id))""")
+    last = f"c{iters}"
+    ctes.append(f"""af AS (
+  SELECT vec_id, cell_id, dist FROM (
+    SELECT vec_id, cell_id, dist,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cell_id) AS rn
+    FROM (
+      SELECT q.vec_id, c.cell_id,
+             CAST(list_sum(list_transform(list_zip(q.q, c.cvec),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)
+               AS dist
+      FROM q, {last} c))
+  WHERE rn = 1)""")
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined}
+SELECT c.cell_id,
+       coalesce(s.n_vectors, 0) AS n_vectors,
+       coalesce(s.inertia, 0) AS inertia,
+       CAST(list_sum(list_transform(c.cvec, v -> abs(v)))
+            AS BIGINT) AS centroid_l1
+FROM {last} c LEFT JOIN (
+  SELECT cell_id, CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(sum(dist) AS BIGINT) AS inertia
+  FROM af GROUP BY cell_id) s USING (cell_id)
+"""
+
+
+L85_SQL = _l85_sql()
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -4422,6 +4514,7 @@ QUERIES = {
     "l82_audio_vad_segments": l82_audio_vad_segments,
     "l83_image_phash_dedup": l83_image_phash_dedup,
     "l84_duplicate_text_spans": l84_duplicate_text_spans,
+    "l85_kmeans_train": l85_kmeans_train,
 }
 
 ORACLE = {
@@ -4509,4 +4602,5 @@ ORACLE = {
     "l82_audio_vad_segments": L82_SQL,
     "l83_image_phash_dedup": L83_SQL,
     "l84_duplicate_text_spans": L84_SQL,
+    "l85_kmeans_train": L85_SQL,
 }
