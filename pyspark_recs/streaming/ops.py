@@ -1281,3 +1281,91 @@ def streaming_corpus_admission(
         batch_df.unpersist()
 
     return process
+
+
+def streaming_vad(
+    windows: DataFrame,
+    threshold: int = 32000,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming energy-gate VAD via ``applyInPandasWithState`` — the
+    stateful twin of ``llmops.multimodal.vad_segments``: per-window
+    energies arrive as a stream and each doc's segment accounting is
+    maintained in O(1) state (last active index, current run length,
+    totals) instead of re-windowing history. Where the batch form
+    merges islands with a window function over ALL windows, the
+    streaming fold needs only the PREVIOUS active index to decide
+    "extends the run" vs "opens a segment" — the property that makes
+    run-length semantics streamable at all.
+
+    Emits the cumulative per-doc stats each micro-batch (update mode);
+    once a doc's windows have all arrived the latest row equals the
+    batch operator's output exactly (integer arithmetic end-to-end).
+    Cross-batch order relies on in-order arrival per key, the
+    streaming_sessionize caveat; out-of-order windows within one
+    micro-batch are sorted before folding.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "doc_id long, n_windows long, n_active long, n_segments long, "
+        "longest_run long, active_abs_sum long"
+    )
+    state_schema = (
+        "last_active int, cur_run long, n_windows long, n_active long, "
+        "n_segments long, longest_run long, active_abs_sum long"
+    )
+
+    rows = windows.filter(F.col("status") == "ok").select(
+        F.col(doc_col).alias("doc_id"), "win_idx", "win_abs"
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            (last_active, cur_run, n_windows, n_active,
+             n_segments, longest_run, active_abs) = state.get
+        else:
+            # -2 sentinel: "no active window yet" (idx are >= 0, so
+            # idx == -2 + 1 can never fire)
+            last_active, cur_run = -2, 0
+            n_windows = n_active = n_segments = longest_run = 0
+            active_abs = 0
+        for pdf in pdfs:
+            ordered = pdf.sort_values("win_idx")
+            for idx, e in zip(ordered["win_idx"], ordered["win_abs"]):
+                idx, e = int(idx), int(e)
+                n_windows += 1
+                if e >= threshold:
+                    if idx == last_active + 1:
+                        cur_run += 1
+                    else:
+                        n_segments += 1
+                        cur_run = 1
+                    last_active = idx
+                    n_active += 1
+                    active_abs += e
+                    if cur_run > longest_run:
+                        longest_run = cur_run
+        state.update(
+            (last_active, cur_run, n_windows, n_active,
+             n_segments, longest_run, active_abs)
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": [key[0]],
+                "n_windows": [n_windows],
+                "n_active": [n_active],
+                "n_segments": [n_segments],
+                "longest_run": [longest_run],
+                "active_abs_sum": [active_abs],
+            }
+        )
+
+    return rows.groupBy("doc_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

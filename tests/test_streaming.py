@@ -1267,3 +1267,57 @@ def test_stateful_midstream_crash_same_checkpoint_exactly_once(
     # not committed, so its replay must not double-count sessions.
     assert emitted[7] == (3, 5)
     assert emitted[8] == (2, 2)
+
+
+def test_streaming_vad_parity_on_real_wav_windows(spark, tmp_path):
+    """Streaming-vs-batch parity for the energy-gate VAD: the stateful
+    run-length fold over sf0.001's decoded WAV window energies must
+    reproduce vad_segments' gaps-and-islands output exactly for every
+    doc (integer arithmetic end-to-end)."""
+    import pandas as pd
+
+    from pyspark_recs.io import load_table
+    from pyspark_recs.llmops.multimodal import (
+        audio_window_energies,
+        vad_segments,
+    )
+    from pyspark_recs.llmops.wav import encode_wav, synth_pcm
+    from pyspark_recs.streaming import streaming_vad
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id").limit(64)
+
+    def make_payloads(batches):
+        for pdf in batches:
+            payloads = [
+                encode_wav(8000, 1, synth_pcm(int(d))) for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    payloads = docs.mapInPandas(
+        make_payloads, schema="doc_id bigint, payload binary"
+    )
+    windows = audio_window_energies(payloads, window=32)
+    src = str(tmp_path / "vad_windows")
+    windows.write.parquet(src)
+
+    batch = {
+        r.doc_id: (r.n_windows, r.n_active, r.n_segments, r.longest_run,
+                   r.active_abs_sum)
+        for r in vad_segments(
+            spark.read.parquet(src), threshold=32000
+        ).collect()
+    }
+    stream = spark.readStream.schema(windows.schema).parquet(src)
+    out = _run_stream(
+        streaming_vad(stream, threshold=32000), tmp_path, mode="update"
+    )
+    streamed = {}
+    for r in out.collect():  # keep the most-complete row per doc
+        cur = streamed.get(r.doc_id)
+        if cur is None or r.n_windows > cur[0]:
+            streamed[r.doc_id] = (r.n_windows, r.n_active, r.n_segments,
+                                  r.longest_run, r.active_abs_sum)
+    assert streamed == batch  # exact, every doc
