@@ -751,6 +751,7 @@ def duplicate_text_spans(
             id_col, "n_tokens", "pos", md5_long(F.col("gram")).alias("gh")
         )
     )
+    grams = grams.cache()  # gram-count fit + position probe each read once
     dup_grams = (
         grams.groupBy("gh")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))

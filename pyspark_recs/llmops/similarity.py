@@ -1480,6 +1480,10 @@ def lloyd_kmeans_fixed(
                 "cell_id", F.coalesce("new", "prev").alias("cvec")
             )
         )
+        # C rows by construction (the l71 merge-table precedent):
+        # truncate the lineage so iteration r+1's plan doesn't
+        # re-execute every earlier assign/update round
+        cents = cents.localCheckpoint(eager=True)
 
     final = assign(cents)
     stats = final.groupBy("cell_id").agg(

@@ -4281,9 +4281,14 @@ def l84_duplicate_text_spans(spark: SparkSession, sf: str) -> DataFrame:
     duplicates l48's fixed segment boundaries miss and keeps the
     positions l34 throws away. See
     llmops/dedup.py:duplicate_text_spans."""
+    from pyspark_recs.io.loaders import spread_partitions
     from pyspark_recs.llmops.dedup import duplicate_text_spans
 
-    return duplicate_text_spans(load_table(spark, sf, "documents"))
+    # single-file testdata parquet would tokenize+hash in ONE task;
+    # spread first (at 100 TB file count provides this for free)
+    return duplicate_text_spans(
+        spread_partitions(load_table(spark, sf, "documents"))
+    )
 
 
 _L84_GRAM = " || ' ' || ".join(f"words[i + {j}]" for j in range(5))

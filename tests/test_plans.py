@@ -580,3 +580,49 @@ def test_codec_roundtrip_payloads_never_shuffle(spark):
                 m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", blk)
                 if m:
                     assert "payload" not in m.group(1), (q, blk[:200])
+
+
+def test_round9_payload_ops_never_shuffle_payloads(spark):
+    # l82/l83 extend the codec discipline: payloads die inside the
+    # decode mapInPandas; only window energies / 16-byte hashes shuffle
+    for q in ("l82_audio_vad_segments", "l83_image_phash_dedup"):
+        plan = plan_of(QUERIES[q](spark, SF_DIR))
+        blocks = re.split(r"^\(\d+\) ", plan, flags=re.M)
+        for blk in blocks:
+            if blk.startswith(("Exchange", "BroadcastExchange")):
+                m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", blk)
+                if m:
+                    assert "payload" not in m.group(1), (q, blk[:200])
+
+
+def test_round9_windows_partitioned_by_doc(spark):
+    # VAD island merge and span merge must never plan a
+    # single-partition window: every Window block names doc_id in its
+    # partition spec (the positive-direction check ADVICE r8 asked for)
+    for q in ("l82_audio_vad_segments", "l84_duplicate_text_spans"):
+        plan = plan_of(QUERIES[q](spark, SF_DIR))
+        blocks = re.split(r"^\(\d+\) ", plan, flags=re.M)
+        wins = [b for b in blocks if b.startswith("Window")]
+        assert wins, q  # the island logic IS a window — it must exist
+        for blk in wins:
+            assert "doc_id" in blk, (q, blk[:200])
+        assert "Exchange SinglePartition\n" not in "".join(
+            b for b in blocks if b.startswith("Exchange")
+        ), q
+
+
+def test_round9_model_joins_broadcast(spark):
+    # l80's bigram-conditional table and l81's 4096-bucket table are
+    # broadcast to the doc-multiset probe side — no shuffle join on
+    # the scoring path
+    for q in ("l80_bigram_lm_score", "l81_dsir_importance"):
+        plan = plan_of(QUERIES[q](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, q
+
+
+def test_kmeans_assignment_is_broadcast_not_cartesian(spark):
+    # the N x C cross-score must be a broadcast nested loop over the
+    # C-row centroid table, never a CartesianProduct shuffle
+    plan = plan_of(QUERIES["l85_kmeans_train"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan

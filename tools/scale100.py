@@ -62,6 +62,16 @@ QUERIES_100X = [
     # round — the 100x run validates the BUILD path, see the artifact
     # isolation note in main()
     "rs15_association_rules",
+    # round-9 quality/trainer additions: the bigram-conditional model
+    # join (vocabulary-sized build side), arbitrary-offset span dedup
+    # (gram-hash shuffle + doc-partitioned island windows), and the
+    # fixed-point Lloyd trainer (iterative assign/update loop) — the
+    # three new shapes whose partition-invariance isn't implied by an
+    # existing entry. l81's 4096-bucket join and the l82/l83 codec
+    # seams are bounded by construction (B rows / per-doc payloads).
+    "l80_bigram_lm_score",
+    "l84_duplicate_text_spans",
+    "l85_kmeans_train",
 ]
 PARTITION_SETTINGS = (32, 13)
 
