@@ -94,6 +94,13 @@ HEADLINE = [
     "rs24_cf_holdout_eval",
     "rs26_rrf_fusion",
     "rs27_sampled_metrics_bias",
+    # round-9 quality/trainer additions (documents/embeddings are
+    # unscaled here like l02/l04 — the comparison is engine-vs-engine
+    # on identical inputs, not a scale test)
+    "l80_bigram_lm_score",
+    "l81_dsir_importance",
+    "l84_duplicate_text_spans",
+    "l85_kmeans_train",
 ]
 KEY_SHIFT = 10_000_000  # > max o_orderkey at sf0.1 (600k)
 
