@@ -180,6 +180,7 @@ HEADLINE = [
     "l83_image_phash_dedup",
     "l84_duplicate_text_spans",
     "l85_kmeans_train",
+    "l86_audio_downsample",
 ]
 
 

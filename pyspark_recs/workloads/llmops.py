@@ -4434,6 +4434,69 @@ FROM {last} c LEFT JOIN (
 L85_SQL = _l85_sql()
 
 
+# --------------------------------------------------------------------- l86
+def l86_audio_downsample(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio resampling round trip — decode the l78 WAV corpus,
+    decimate 2x with an exact integer box filter (floor-mean of each
+    sample pair), re-encode at 4000 Hz, decode AGAIN, and report the
+    re-decoded amplitude facts: the decode→resample→encode→decode
+    chain every audio training pipeline runs before feature
+    extraction, with every byte of it on the hash-checked path (the
+    oracle recomputes the decimated samples from the synth formula —
+    it never sees WAV at either rate). Same truncation dead-letter
+    branch as l78/l82. See
+    llmops/multimodal.py:downsample_audio_payloads."""
+    import pandas as pd
+
+    from pyspark_recs.io.loaders import spread_partitions
+    from pyspark_recs.llmops.multimodal import downsample_audio_payloads
+    from pyspark_recs.llmops.wav import encode_wav, synth_pcm
+
+    docs = spread_partitions(
+        load_table(spark, sf, "documents").select("doc_id")
+    )
+
+    def make_payloads(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                wav = encode_wav(8000, 1, synth_pcm(int(doc_id)))
+                payloads.append(wav[:30] if doc_id % 17 == 0 else wav)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    payloads = docs.mapInPandas(
+        make_payloads, schema="doc_id bigint, payload binary"
+    )
+    return downsample_audio_payloads(payloads, factor=2)
+
+
+L86_SQL = """
+WITH y AS (
+  SELECT d.doc_id,
+         CAST(floor((
+           (((d.doc_id * 37 + (2 * j) * 11) % 4001) - 2000)
+           + (((d.doc_id * 37 + (2 * j + 1) * 11) % 4001) - 2000)
+         ) / 2.0) AS BIGINT) AS v
+  FROM documents d CROSS JOIN range(128) t(j)
+  WHERE d.doc_id % 17 <> 0),
+agg AS (
+  SELECT doc_id, CAST(sum(v) AS BIGINT) AS amp_sum,
+         CAST(sum(abs(v)) AS BIGINT) AS amp_abs_sum
+  FROM y GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 17 = 0 THEN 'decode_error' ELSE 'ok' END
+         AS status,
+       CASE WHEN d.doc_id % 17 = 0 THEN NULL ELSE 4000 END
+         AS sample_rate,
+       CASE WHEN d.doc_id % 17 = 0 THEN NULL
+            ELSE CAST(128 AS BIGINT) END AS n_frames,
+       a.amp_sum, a.amp_abs_sum
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -4520,6 +4583,7 @@ QUERIES = {
     "l83_image_phash_dedup": l83_image_phash_dedup,
     "l84_duplicate_text_spans": l84_duplicate_text_spans,
     "l85_kmeans_train": l85_kmeans_train,
+    "l86_audio_downsample": l86_audio_downsample,
 }
 
 ORACLE = {
@@ -4608,4 +4672,5 @@ ORACLE = {
     "l83_image_phash_dedup": L83_SQL,
     "l84_duplicate_text_spans": L84_SQL,
     "l85_kmeans_train": L85_SQL,
+    "l86_audio_downsample": L86_SQL,
 }

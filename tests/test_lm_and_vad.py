@@ -158,3 +158,29 @@ def test_duplicate_text_spans_islands(spark):
     assert (rows[5].n_spans, rows[5].covered_tokens, rows[5].max_span_tokens) == (2, 10, 5)
     assert (rows[3].n_spans, rows[3].covered_tokens, rows[3].dup_ppm) == (0, 0, 0)
     assert not rows[3].flag_trim
+
+
+def test_audio_downsample_floor_semantics(spark):
+    from pyspark_recs.llmops.multimodal import downsample_audio_payloads
+    from pyspark_recs.llmops.wav import encode_wav
+
+    # pairs: (100,101) -> floor(201/2) = 100; (-5,-6) -> floor(-11/2)
+    # = -6 (FLOOR, not truncation toward zero: -5 would be the
+    # cross-engine bug the oracle would catch)
+    pcm = b"".join(
+        v.to_bytes(2, "little", signed=True) for v in [100, 101, -5, -6]
+    )
+    good = encode_wav(8000, 1, pcm)
+    payloads = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(good[:30]))],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        r.doc_id: r
+        for r in downsample_audio_payloads(payloads, factor=2).collect()
+    }
+    r1 = rows[1]
+    assert (r1.status, r1.sample_rate, r1.n_frames) == ("ok", 4000, 2)
+    assert r1.amp_sum == 100 + (-6)
+    assert r1.amp_abs_sum == 100 + 6
+    assert rows[2].status == "decode_error"
