@@ -181,6 +181,8 @@ HEADLINE = [
     "l84_duplicate_text_spans",
     "l85_kmeans_train",
     "l86_audio_downsample",
+    "l87_image_augment",
+    "l88_audio_zcr",
 ]
 
 

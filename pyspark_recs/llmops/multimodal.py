@@ -356,6 +356,76 @@ def audio_window_energies(df: DataFrame, window: int = 32) -> DataFrame:
     )
 
 
+AUDIO_ZCR_SCHEMA = (
+    "doc_id bigint, status string, win_idx int, win_zcr int"
+)
+
+
+def audio_window_zcr(df: DataFrame, window: int = 32) -> DataFrame:
+    """Per-window zero-crossing rate over decoded WAV payloads — the
+    classic cheap spectral proxy next to :func:`audio_window_energies`'
+    amplitude gate (speech/music/noise discrimination uses both): a
+    crossing is counted when consecutive samples change sign
+    (``x >= 0`` vs ``x < 0``, 31 pairs per 32-sample window). Exact
+    integer counting, so the oracle replays it from the synth formula.
+    Trailing partial windows drop; undecodable payloads dead-letter as
+    one ``status='decode_error'`` row.
+
+    Scale: same contract as the energy windows — decode + count in one
+    ``mapInPandas``, payload bytes never shuffle, bounded integer rows
+    per doc.
+    """
+    import array
+    import sys
+
+    from pyspark_recs.llmops.wav import decode_wav
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, statuses, idxs, zcrs = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    _, channels, _, pcm = decode_wav(bytes(payload))
+                    if channels != 1:
+                        raise ValueError("mono only")
+                    a = array.array("h")
+                    a.frombytes(pcm)
+                    if sys.byteorder == "big":  # pragma: no cover
+                        a.byteswap()
+                    for j in range(len(a) // window):
+                        win = a[j * window : (j + 1) * window]
+                        z = 0
+                        prev_neg = win[0] < 0
+                        for v in win[1:]:
+                            neg = v < 0
+                            if neg != prev_neg:
+                                z += 1
+                            prev_neg = neg
+                        doc_ids.append(doc_id)
+                        statuses.append("ok")
+                        idxs.append(j)
+                        zcrs.append(z)
+                except Exception:
+                    doc_ids.append(doc_id)
+                    statuses.append("decode_error")
+                    idxs.append(None)
+                    zcrs.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "status": statuses,
+                    "win_idx": idxs,
+                    "win_zcr": zcrs,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        decode_batches, schema=AUDIO_ZCR_SCHEMA
+    )
+
+
 def vad_segments(windows: DataFrame, threshold: int) -> DataFrame:
     """Energy-gate voice-activity detection over per-window energies:
     windows with ``win_abs >= threshold`` are active; consecutive
@@ -406,6 +476,91 @@ def vad_segments(windows: DataFrame, threshold: int) -> DataFrame:
         F.coalesce("n_segments", zero).alias("n_segments"),
         F.coalesce("longest_run", zero).alias("longest_run"),
         F.coalesce("active_abs_sum", zero).alias("active_abs_sum"),
+    )
+
+
+AUGMENT_SCHEMA = (
+    "doc_id bigint, variant string, status string, "
+    "pixel_sum bigint, pos_weighted_sum bigint"
+)
+
+
+def augment_image_payloads(df: DataFrame) -> DataFrame:
+    """Training-data image AUGMENTATION over real-decoded payloads:
+    decode (PNG/JPEG by magic sniff), emit the original plus two exact
+    geometric variants — 90° clockwise rotation and horizontal flip —
+    as three rows per image. Alongside the permutation-invariant
+    ``pixel_sum``, each row carries ``pos_weighted_sum`` =
+    Σ (i+1)·p'[i], which CHANGES under any wrong permutation — the
+    fact that proves the rotation/flip index math is right, not just
+    that the bytes survived. Grayscale (channel 0) geometry;
+    undecodable payloads dead-letter as three ``status=
+    'decode_error'`` rows so output cardinality is uniform.
+
+    Scale: decode + both transforms run inside one ``mapInPandas``;
+    payload bytes never shuffle; output is 2 integers per (doc,
+    variant). The augmented PIXELS stay inside the seam — a real
+    pipeline would hand them straight to the feature extractor
+    (``extract_features``) in the same pass, never materializing
+    augmented images.
+    """
+    from pyspark_recs.llmops.jpeg import decode_jpeg
+    from pyspark_recs.llmops.png import decode_png
+
+    def augment_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                try:
+                    if data[:8] == b"\x89PNG\r\n\x1a\n":
+                        w, h, ch, px = decode_png(data)
+                    elif data[:2] == b"\xff\xd8":
+                        w, h, ch, px = decode_jpeg(data)
+                    else:
+                        raise ValueError("unknown image magic")
+                    gray = px[::ch] if ch > 1 else px
+
+                    def facts(variant, pixels):
+                        s = 0
+                        ws = 0
+                        for i, p in enumerate(pixels):
+                            s += p
+                            ws += (i + 1) * p
+                        rows.append((doc_id, variant, "ok", s, ws))
+
+                    facts("orig", gray)
+                    # 90 deg clockwise: out[y*w' + x] = in[(h-1-x)*w + y]
+                    # (w' = h); for square images w' = w
+                    rot = [
+                        gray[(h - 1 - x) * w + y]
+                        for y in range(w)
+                        for x in range(h)
+                    ]
+                    facts("rot90", rot)
+                    flip = [
+                        gray[y * w + (w - 1 - x)]
+                        for y in range(h)
+                        for x in range(w)
+                    ]
+                    facts("flip_h", flip)
+                except Exception:
+                    for variant in ("orig", "rot90", "flip_h"):
+                        rows.append(
+                            (doc_id, variant, "decode_error", None, None)
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "variant", "status",
+                    "pixel_sum", "pos_weighted_sum",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        augment_batches, schema=AUGMENT_SCHEMA
     )
 
 

@@ -4497,6 +4497,127 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------- l87
+def l87_image_augment(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-data image augmentation on the hash-checked path:
+    decode the l76 PNG corpus and emit original + 90°-rotated +
+    horizontally-flipped facts per image. ``pos_weighted_sum`` =
+    Σ (i+1)·p'[i] changes under any wrong permutation, so the oracle
+    (which recomputes all three permutations from the pixel formula
+    with pure index arithmetic — it never sees PNG) proves the
+    geometry, not just byte survival. Dead-letter docs emit three
+    uniform error rows. See
+    llmops/multimodal.py:augment_image_payloads."""
+    import pandas as pd
+
+    from pyspark_recs.io.loaders import spread_partitions
+    from pyspark_recs.llmops.multimodal import augment_image_payloads
+    from pyspark_recs.llmops.png import encode_png, synth_pixels
+
+    docs = spread_partitions(
+        load_table(spark, sf, "documents").select("doc_id")
+    )
+
+    def make_payloads(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                png = encode_png(8, 8, synth_pixels(int(doc_id)), 1)
+                payloads.append(png[:20] if doc_id % 17 == 0 else png)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    payloads = docs.mapInPandas(
+        make_payloads, schema="doc_id bigint, payload binary"
+    )
+    return augment_image_payloads(payloads)
+
+
+L87_SQL = """
+WITH px AS (
+  SELECT d.doc_id, k,
+         (d.doc_id * 31 + k * 7) % 256 AS p_orig,
+         (d.doc_id * 31
+          + ((7 - (k % 8)) * 8 + (k // 8)) * 7) % 256 AS p_rot,
+         (d.doc_id * 31
+          + ((k // 8) * 8 + (7 - (k % 8))) * 7) % 256 AS p_flip
+  FROM documents d CROSS JOIN range(64) t(k)
+  WHERE d.doc_id % 17 <> 0),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(p_orig) AS BIGINT) AS s,
+         CAST(sum((k + 1) * p_orig) AS BIGINT) AS w_orig,
+         CAST(sum((k + 1) * p_rot) AS BIGINT) AS w_rot,
+         CAST(sum((k + 1) * p_flip) AS BIGINT) AS w_flip
+  FROM px GROUP BY doc_id),
+v(variant) AS (VALUES ('orig'), ('rot90'), ('flip_h'))
+SELECT d.doc_id, v.variant,
+       CASE WHEN d.doc_id % 17 = 0 THEN 'decode_error' ELSE 'ok' END
+         AS status,
+       CASE WHEN d.doc_id % 17 = 0 THEN NULL ELSE a.s END AS pixel_sum,
+       CASE WHEN d.doc_id % 17 = 0 THEN NULL
+            WHEN v.variant = 'orig' THEN a.w_orig
+            WHEN v.variant = 'rot90' THEN a.w_rot
+            ELSE a.w_flip END AS pos_weighted_sum
+FROM documents d CROSS JOIN v LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------- l88
+def l88_audio_zcr(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-window zero-crossing rate over the l78 WAV corpus — the
+    cheap spectral proxy beside l82's amplitude gate (speech/music
+    discrimination uses both): sign-change counts over 32-sample
+    windows, exact integer arithmetic, oracle replayed from the synth
+    formula alone. Same truncation dead-letter branch. See
+    llmops/multimodal.py:audio_window_zcr."""
+    import pandas as pd
+
+    from pyspark_recs.io.loaders import spread_partitions
+    from pyspark_recs.llmops.multimodal import audio_window_zcr
+    from pyspark_recs.llmops.wav import encode_wav, synth_pcm
+
+    docs = spread_partitions(
+        load_table(spark, sf, "documents").select("doc_id")
+    )
+
+    def make_payloads(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                wav = encode_wav(8000, 1, synth_pcm(int(doc_id)))
+                payloads.append(wav[:30] if doc_id % 17 == 0 else wav)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    payloads = docs.mapInPandas(
+        make_payloads, schema="doc_id bigint, payload binary"
+    )
+    return audio_window_zcr(payloads, window=32)
+
+
+L88_SQL = """
+WITH w AS (
+  SELECT d.doc_id, CAST(i // 32 AS INT) AS j,
+         CAST(sum(CASE WHEN i % 32 = 0 THEN 0
+                       WHEN ((((d.doc_id * 37 + i * 11) % 4001) - 2000
+                              < 0)
+                             <> (((d.doc_id * 37 + (i - 1) * 11) % 4001)
+                                 - 2000 < 0))
+                       THEN 1 ELSE 0 END) AS INT) AS win_zcr
+  FROM documents d CROSS JOIN range(256) t(i)
+  WHERE d.doc_id % 17 <> 0
+  GROUP BY d.doc_id, CAST(i // 32 AS INT))
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 17 = 0 THEN 'decode_error' ELSE 'ok' END
+         AS status,
+       w.j AS win_idx, w.win_zcr
+FROM documents d LEFT JOIN w USING (doc_id)
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -4584,6 +4705,8 @@ QUERIES = {
     "l84_duplicate_text_spans": l84_duplicate_text_spans,
     "l85_kmeans_train": l85_kmeans_train,
     "l86_audio_downsample": l86_audio_downsample,
+    "l87_image_augment": l87_image_augment,
+    "l88_audio_zcr": l88_audio_zcr,
 }
 
 ORACLE = {
@@ -4673,4 +4796,6 @@ ORACLE = {
     "l84_duplicate_text_spans": L84_SQL,
     "l85_kmeans_train": L85_SQL,
     "l86_audio_downsample": L86_SQL,
+    "l87_image_augment": L87_SQL,
+    "l88_audio_zcr": L88_SQL,
 }

@@ -68,3 +68,83 @@ def test_ahash_dead_letter_and_noise_robustness(spark):
     assert _hamming(rows[0], rows[2]) > 4
     assert rows[3].status == "decode_error"
     assert rows[3].phash_hi is None and rows[3].phash_lo is None
+
+
+def test_augment_permutation_facts_2x2(spark):
+    from pyspark_recs.llmops.multimodal import augment_image_payloads
+
+    # 2x2 image [1,2 / 3,4]: rot90 cw -> [3,1 / 4,2], flip_h ->
+    # [2,1 / 4,3]; pos_weighted_sum distinguishes the permutations
+    png = encode_png(2, 2, bytes([1, 2, 3, 4]), 1)
+    out = augment_image_payloads(
+        spark.createDataFrame(
+            [(1, bytearray(png)), (2, bytearray(png[:20]))],
+            "doc_id long, payload binary",
+        )
+    ).collect()
+    ok = {r.variant: r for r in out if r.doc_id == 1}
+    assert {r.pixel_sum for r in ok.values()} == {10}
+    assert ok["orig"].pos_weighted_sum == 1 * 1 + 2 * 2 + 3 * 3 + 4 * 4
+    assert ok["rot90"].pos_weighted_sum == 1 * 3 + 2 * 1 + 3 * 4 + 4 * 2
+    assert ok["flip_h"].pos_weighted_sum == 1 * 2 + 2 * 1 + 3 * 4 + 4 * 3
+    err = [r for r in out if r.doc_id == 2]
+    assert len(err) == 3  # uniform cardinality on dead-letter
+    assert all(r.status == "decode_error" for r in err)
+
+
+def test_audio_zcr_hand_computed(spark):
+    from pyspark_recs.llmops.multimodal import audio_window_zcr
+    from pyspark_recs.llmops.wav import encode_wav
+
+    # window [5,-3,-2,7]: sign changes at 5->-3 and -2->7 -> zcr 2;
+    # window [1,2,3,4]: zcr 0
+    pcm = b"".join(
+        v.to_bytes(2, "little", signed=True)
+        for v in [5, -3, -2, 7, 1, 2, 3, 4]
+    )
+    good = encode_wav(8000, 1, pcm)
+    rows = audio_window_zcr(
+        spark.createDataFrame(
+            [(1, bytearray(good))], "doc_id long, payload binary"
+        ),
+        window=4,
+    ).collect()
+    got = {r.win_idx: r.win_zcr for r in rows}
+    assert got == {0: 2, 1: 0}
+
+
+def test_vad_segments_randomized_differential(spark):
+    """vad_segments vs an independent pure-Python island fold over 50
+    seeded-random energy sequences — the run-length semantics, not
+    just the hand-picked cases."""
+    import random
+
+    from pyspark_recs.llmops.multimodal import vad_segments
+
+    rng = random.Random(20260815)
+    docs = {
+        d: [rng.randrange(0, 64_000) for _ in range(rng.randrange(1, 12))]
+        for d in range(50)
+    }
+    win = spark.createDataFrame(
+        [(d, "ok", i, e) for d, es in docs.items() for i, e in enumerate(es)],
+        "doc_id long, status string, win_idx int, win_abs long",
+    )
+    got = {
+        r.doc_id: (r.n_windows, r.n_active, r.n_segments, r.longest_run,
+                   r.active_abs_sum)
+        for r in vad_segments(win, 32_000).collect()
+    }
+    for d, es in docs.items():
+        n_seg = longest = run = active = abs_sum = 0
+        for e in es:
+            if e >= 32_000:
+                run += 1
+                active += 1
+                abs_sum += e
+                if run == 1:
+                    n_seg += 1
+                longest = max(longest, run)
+            else:
+                run = 0
+        assert got[d] == (len(es), active, n_seg, longest, abs_sum), d
