@@ -183,6 +183,7 @@ HEADLINE = [
     "l86_audio_downsample",
     "l87_image_augment",
     "l88_audio_zcr",
+    "l89_video_scene_cuts",
 ]
 
 

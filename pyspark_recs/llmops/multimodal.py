@@ -698,6 +698,103 @@ def decode_video_payloads(df: DataFrame, sample_every: int = 4) -> DataFrame:
 RESIZED_SCHEMA = "doc_id bigint, resized binary, n_bytes int"
 
 
+VIDEO_FRAME_SCHEMA = (
+    "doc_id bigint, status string, frame_idx int, luma_sum bigint"
+)
+
+
+def video_frame_lumas(df: DataFrame) -> DataFrame:
+    """Decode Y4M payloads to one row per FRAME with its exact integer
+    luma sum — the per-frame feed for scene-cut detection
+    (cut = large inter-frame luma delta, merged into scenes by the
+    same gaps-and-islands discipline as l82's audio segments and
+    l84's text spans). Undecodable payloads dead-letter as one
+    ``status='decode_error'`` row.
+
+    Scale: decode runs partition-parallel in one ``mapInPandas``;
+    frame PLANES never leave the seam — only (frame_idx, luma_sum)
+    integers cross a stage boundary, so downstream windows shuffle
+    n_frames rows per clip regardless of resolution.
+    """
+    from pyspark_recs.llmops.y4m import decode_y4m
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, statuses, idxs, lumas = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    _, _, _, _, planes = decode_y4m(
+                        bytes(payload), sample_every=1
+                    )
+                    for f, plane in enumerate(planes):
+                        doc_ids.append(doc_id)
+                        statuses.append("ok")
+                        idxs.append(f)
+                        lumas.append(sum(plane))
+                except Exception:
+                    doc_ids.append(doc_id)
+                    statuses.append("decode_error")
+                    idxs.append(None)
+                    lumas.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "status": statuses,
+                    "frame_idx": idxs,
+                    "luma_sum": lumas,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        decode_batches, schema=VIDEO_FRAME_SCHEMA
+    )
+
+
+def scene_cuts(frames: DataFrame, threshold: int) -> DataFrame:
+    """Scene-cut detection over per-frame luma sums: a cut opens a new
+    scene when ``|luma(f) - luma(f-1)| > threshold``; scenes are
+    contiguous frame runs between cuts. Pure window-function
+    DataFrame ops partitioned by ``doc_id`` (the video member of the
+    gaps-and-islands family). Returns one row per decodable doc:
+    ``n_frames, n_cuts, n_scenes, longest_scene_frames``.
+    """
+    from pyspark.sql.window import Window as W
+
+    ok = frames.filter(F.col("status") == "ok")
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    cuts = ok.withColumn(
+        "is_cut",
+        (
+            F.abs(
+                F.col("luma_sum") - F.lag("luma_sum").over(w)
+            )
+            > threshold
+        )
+        .cast("long"),
+    ).withColumn(
+        "is_cut", F.coalesce("is_cut", F.lit(0).cast("long"))
+    ).withColumn("scene_id", F.sum("is_cut").over(w))
+    per_scene = cuts.groupBy("doc_id", "scene_id").agg(
+        F.count(F.lit(1)).alias("scene_frames")
+    )
+    return (
+        cuts.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("is_cut").alias("n_cuts"),
+        )
+        .join(
+            per_scene.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_scenes"),
+                F.max("scene_frames").alias("longest_scene_frames"),
+            ),
+            "doc_id",
+        )
+    )
+
+
 def resize_payload(df: DataFrame, out_bytes: int = 16) -> DataFrame:
     """Resize/thumbnail over binary payloads: fixed-size output byte
     grid via evenly-strided sampling (the nearest-neighbor-downsample

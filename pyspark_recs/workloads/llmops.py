@@ -4618,6 +4618,85 @@ FROM documents d LEFT JOIN w USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------- l89
+def l89_video_scene_cuts(spark: SparkSession, sf: str) -> DataFrame:
+    """Scene-cut detection over the l79 Y4M corpus — the video member
+    of the gaps-and-islands family (audio segments l82, text spans
+    l84): decode every frame to its exact luma sum inside one Arrow
+    seam (frame planes never shuffle), flag cuts where the
+    inter-frame luma delta exceeds the threshold, and account scenes
+    as contiguous runs — doc_id-partitioned window functions
+    end-to-end. The per-frame constant-luma formula steps by 29 mod
+    256, so most deltas are small and the mod-wraparounds are the
+    cuts; the DuckDB twin replays frames, cuts and scenes from the
+    formula alone (it never sees Y4M). Truncated payloads (doc_id %
+    17 == 0) dead-letter inside the seam and drop from the scene
+    report. See llmops/multimodal.py:video_frame_lumas and
+    :scene_cuts."""
+    import pandas as pd
+
+    from pyspark_recs.io.loaders import spread_partitions
+    from pyspark_recs.llmops.multimodal import scene_cuts, video_frame_lumas
+    from pyspark_recs.llmops.y4m import encode_y4m, synth_frames
+
+    docs = spread_partitions(
+        load_table(spark, sf, "documents").select("doc_id")
+    )
+
+    def make_payloads(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                clip = encode_y4m(16, 16, synth_frames(int(doc_id)))
+                payloads.append(
+                    clip[: len(clip) - 100]
+                    if doc_id % 17 == 0
+                    else clip
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    payloads = docs.mapInPandas(
+        make_payloads, schema="doc_id bigint, payload binary"
+    )
+    return scene_cuts(video_frame_lumas(payloads), threshold=25600)
+
+
+L89_SQL = """
+WITH fr AS (
+  SELECT d.doc_id, f,
+         CAST(256 * ((d.doc_id * 13 + f * 29) % 256) AS BIGINT) AS luma
+  FROM documents d CROSS JOIN range(12) t(f)
+  WHERE d.doc_id % 17 <> 0),
+c AS (
+  SELECT doc_id, f,
+         CASE WHEN abs(luma - lag(luma) OVER (PARTITION BY doc_id
+                                              ORDER BY f)) > 25600
+              THEN 1 ELSE 0 END AS is_cut
+  FROM fr),
+sc AS (
+  SELECT doc_id, f, is_cut,
+         sum(is_cut) OVER (PARTITION BY doc_id ORDER BY f
+                           ROWS UNBOUNDED PRECEDING) AS scene_id
+  FROM c),
+per AS (
+  SELECT doc_id, scene_id, CAST(count(*) AS BIGINT) AS scene_frames
+  FROM sc GROUP BY doc_id, scene_id),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+         CAST(sum(is_cut) AS BIGINT) AS n_cuts
+  FROM sc GROUP BY doc_id),
+ps AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scenes,
+         CAST(max(scene_frames) AS BIGINT) AS longest_scene_frames
+  FROM per GROUP BY doc_id)
+SELECT a.doc_id, a.n_frames, a.n_cuts, ps.n_scenes,
+       ps.longest_scene_frames
+FROM agg a JOIN ps USING (doc_id)
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -4707,6 +4786,7 @@ QUERIES = {
     "l86_audio_downsample": l86_audio_downsample,
     "l87_image_augment": l87_image_augment,
     "l88_audio_zcr": l88_audio_zcr,
+    "l89_video_scene_cuts": l89_video_scene_cuts,
 }
 
 ORACLE = {
@@ -4798,4 +4878,5 @@ ORACLE = {
     "l86_audio_downsample": L86_SQL,
     "l87_image_augment": L87_SQL,
     "l88_audio_zcr": L88_SQL,
+    "l89_video_scene_cuts": L89_SQL,
 }

@@ -148,3 +148,40 @@ def test_vad_segments_randomized_differential(spark):
             else:
                 run = 0
         assert got[d] == (len(es), active, n_seg, longest, abs_sum), d
+
+
+def test_scene_cuts_hand_computed(spark):
+    from pyspark_recs.llmops.multimodal import scene_cuts
+
+    # lumas [100,120,500,510,100] at threshold 200: cuts at frames 2
+    # and 4 -> 3 scenes of lengths [2,2,1]
+    frames = spark.createDataFrame(
+        [(1, "ok", i, v) for i, v in enumerate([100, 120, 500, 510, 100])],
+        "doc_id long, status string, frame_idx int, luma_sum long",
+    )
+    (r,) = scene_cuts(frames, threshold=200).collect()
+    assert (r.n_frames, r.n_cuts, r.n_scenes, r.longest_scene_frames) == (
+        5, 2, 3, 2,
+    )
+
+
+def test_video_frame_lumas_round_trip(spark):
+    from pyspark_recs.llmops.multimodal import video_frame_lumas
+    from pyspark_recs.llmops.y4m import encode_y4m
+
+    # 3 frames of 2x2 mono with constant lumas 10, 10, 200
+    clip = encode_y4m(
+        2, 2, [bytes([v] * 4) for v in (10, 10, 200)]
+    )
+    rows = video_frame_lumas(
+        spark.createDataFrame(
+            [(1, bytearray(clip)), (2, bytearray(clip[:-3]))],
+            "doc_id long, payload binary",
+        )
+    ).collect()
+    ok = sorted((r for r in rows if r.doc_id == 1), key=lambda r: r.frame_idx)
+    assert [(r.frame_idx, r.luma_sum) for r in ok] == [
+        (0, 40), (1, 40), (2, 800),
+    ]
+    (err,) = [r for r in rows if r.doc_id == 2]
+    assert err.status == "decode_error" and err.frame_idx is None
