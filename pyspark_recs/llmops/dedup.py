@@ -734,12 +734,15 @@ def duplicate_text_spans(
     frame). Text never shuffles — only 8-byte hashes and positions.
     """
     words = tokens(F.col(text_col))
+    toks = docs.select(
+        F.col(id_col), words.alias("words"), F.size(words).alias("n_tokens")
+    )
+    toks = toks.cache()  # one tokenization feeds grams AND the base counts
     grams = (
-        docs.select(F.col(id_col), words.alias("words"))
-        .filter(F.size("words") >= k)
+        toks.filter(F.col("n_tokens") >= k)
         .select(
             id_col,
-            F.size("words").alias("n_tokens"),
+            "n_tokens",
             F.posexplode(
                 F.expr(
                     f"transform(sequence(0, size(words) - {k}), "
@@ -781,9 +784,7 @@ def duplicate_text_spans(
             F.max("span_tokens").alias("max_span_tokens"),
         )
     )
-    base = docs.select(
-        id_col, F.size(words).alias("n_tokens")
-    )
+    base = toks.select(id_col, "n_tokens")
     zero = F.lit(0).cast("long")
     out = base.join(spans.drop("n_tokens"), id_col, "left").select(
         id_col,
@@ -792,9 +793,12 @@ def duplicate_text_spans(
         F.coalesce("covered_tokens", zero).alias("covered_tokens"),
         F.coalesce("max_span_tokens", zero).alias("max_span_tokens"),
     )
-    dup_ppm = F.expr(
-        "CAST((covered_tokens * 1000000) div n_tokens AS BIGINT)"
-    )
+    # empty/whitespace-only docs have n_tokens = 0: guard the division
+    # (Spark 4 runs ANSI mode by default, so a bare div would THROW)
+    dup_ppm = F.when(
+        F.col("n_tokens") > 0,
+        F.expr("CAST((covered_tokens * 1000000) div n_tokens AS BIGINT)"),
+    ).otherwise(F.lit(0).cast("long"))
     return out.select(
         id_col,
         "n_tokens",

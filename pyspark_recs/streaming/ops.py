@@ -1331,8 +1331,14 @@ def streaming_vad(
             last_active, cur_run = -2, 0
             n_windows = n_active = n_segments = longest_run = 0
             active_abs = 0
-        for pdf in pdfs:
-            ordered = pdf.sort_values("win_idx")
+        # concat ALL of the micro-batch's Arrow chunks before sorting:
+        # a group's rows can arrive as multiple chunks (split at
+        # arrow.maxRecordsPerBatch), and per-chunk sorting would fold
+        # high indices before low ones across a chunk boundary
+        chunks = list(pdfs)
+        batch = pd.concat(chunks) if chunks else None
+        if batch is not None and len(batch):
+            ordered = batch.sort_values("win_idx")
             for idx, e in zip(ordered["win_idx"], ordered["win_abs"]):
                 idx, e = int(idx), int(e)
                 n_windows += 1

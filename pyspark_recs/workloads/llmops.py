@@ -264,6 +264,73 @@ def _cell_assign16(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+def _payload_corpus(spark: SparkSession, sf: str, build) -> DataFrame:
+    """Shared synthetic-payload corpus builder for the codec queries:
+    one payload per doc_id from a SQL-expressible formula, with the
+    family's doc_id % 17 == 0 truncation branch applied by ``build``.
+    Single definition so the synth formulas and the dead-letter branch
+    can never drift between the queries (and their SQL twins) that
+    share a corpus."""
+    import pandas as pd
+
+    from pyspark_recs.io.loaders import spread_partitions
+
+    docs = spread_partitions(
+        load_table(spark, sf, "documents").select("doc_id")
+    )
+
+    def make_payloads(batches):
+        for pdf in batches:
+            payloads = [build(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.mapInPandas(
+        make_payloads, schema="doc_id bigint, payload binary"
+    )
+
+
+def _wav_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The l78/l82/l86/l88 WAV corpus: 256 PCM frames per doc from
+    sample[i] = ((doc_id*37 + i*11) mod 4001) - 2000, truncated to 30
+    bytes when doc_id % 17 == 0."""
+    from pyspark_recs.llmops.wav import encode_wav, synth_pcm
+
+    def build(d: int) -> bytes:
+        wav = encode_wav(8000, 1, synth_pcm(d))
+        return wav[:30] if d % 17 == 0 else wav
+
+    return _payload_corpus(spark, sf, build)
+
+
+def _y4m_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The l79/l89 Y4M corpus: 12 constant-luma 16x16 mono frames per
+    doc from (doc_id*13 + f*29) mod 256, cut mid-frame when
+    doc_id % 17 == 0."""
+    from pyspark_recs.llmops.y4m import encode_y4m, synth_frames
+
+    def build(d: int) -> bytes:
+        clip = encode_y4m(16, 16, synth_frames(d))
+        return clip[: len(clip) - 100] if d % 17 == 0 else clip
+
+    return _payload_corpus(spark, sf, build)
+
+
+def _png_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The l76/l87 PNG corpus: 8x8 grayscale pixel[i] = (doc_id*31 +
+    i*7) mod 256, truncated to 20 bytes when doc_id % 17 == 0."""
+    from pyspark_recs.llmops.png import encode_png, synth_pixels
+
+    def build(d: int) -> bytes:
+        png = encode_png(8, 8, synth_pixels(d), 1)
+        return png[:20] if d % 17 == 0 else png
+
+    return _payload_corpus(spark, sf, build)
+
+
 # --------------------------------------------------------------------- l01
 def l01_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup by content digest (generalizes A2)."""
@@ -3707,29 +3774,9 @@ def l76_png_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     Scale: encode+decode run partition-parallel; payloads are born and
     die inside one mapInPandas pair (never shuffled); output is 6
     bounded integers per doc."""
-    import pandas as pd
-
-    from pyspark_recs.io.loaders import spread_partitions
     from pyspark_recs.llmops.multimodal import decode_image_payloads
-    from pyspark_recs.llmops.png import encode_png, synth_pixels
 
-    docs = spread_partitions(
-        load_table(spark, sf, "documents").select("doc_id")
-    )
-
-    def make_payloads(batches):
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                png = encode_png(8, 8, synth_pixels(int(doc_id)), 1)
-                payloads.append(png[:20] if doc_id % 17 == 0 else png)
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].values, "payload": payloads}
-            )
-
-    payloads = docs.mapInPandas(
-        make_payloads, schema="doc_id bigint, payload binary"
-    )
+    payloads = _png_corpus(spark, sf)
     return decode_image_payloads(payloads).select(
         "doc_id", "status", "width", "height", "channels", "pixel_sum"
     )
@@ -3837,29 +3884,9 @@ def l78_wav_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     Scale: encode+decode run partition-parallel; payloads are born and
     die inside one mapInPandas pair (never shuffled); output is 7
     bounded integers per doc."""
-    import pandas as pd
-
-    from pyspark_recs.io.loaders import spread_partitions
     from pyspark_recs.llmops.multimodal import decode_audio_payloads
-    from pyspark_recs.llmops.wav import encode_wav, synth_pcm
 
-    docs = spread_partitions(
-        load_table(spark, sf, "documents").select("doc_id")
-    )
-
-    def make_payloads(batches):
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                wav = encode_wav(8000, 1, synth_pcm(int(doc_id)))
-                payloads.append(wav[:30] if doc_id % 17 == 0 else wav)
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].values, "payload": payloads}
-            )
-
-    payloads = docs.mapInPandas(
-        make_payloads, schema="doc_id bigint, payload binary"
-    )
+    payloads = _wav_corpus(spark, sf)
     return decode_audio_payloads(payloads).select(
         "doc_id", "status", "sample_rate", "channels", "n_frames",
         "amp_sum", "amp_abs_sum",
@@ -3910,33 +3937,9 @@ def l79_y4m_frame_stats(spark: SparkSession, sf: str) -> DataFrame:
     Scale: decode runs partition-parallel; payloads are born and die
     inside one mapInPandas pair (never shuffled); sampling cost is
     O(sampled frames), not O(stream bytes)."""
-    import pandas as pd
-
-    from pyspark_recs.io.loaders import spread_partitions
     from pyspark_recs.llmops.multimodal import decode_video_payloads
-    from pyspark_recs.llmops.y4m import encode_y4m, synth_frames
 
-    docs = spread_partitions(
-        load_table(spark, sf, "documents").select("doc_id")
-    )
-
-    def make_payloads(batches):
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                clip = encode_y4m(16, 16, synth_frames(int(doc_id)))
-                payloads.append(
-                    clip[: len(clip) - 100]
-                    if doc_id % 17 == 0
-                    else clip
-                )
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].values, "payload": payloads}
-            )
-
-    payloads = docs.mapInPandas(
-        make_payloads, schema="doc_id bigint, payload binary"
-    )
+    payloads = _y4m_corpus(spark, sf)
     return decode_video_payloads(payloads, sample_every=4).select(
         "doc_id", "status", "width", "height", "colorspace",
         "n_frames", "n_sampled", "luma_sum",
@@ -4069,38 +4072,24 @@ def l82_audio_vad_segments(spark: SparkSession, sf: str) -> DataFrame:
     Scale: payload bytes never shuffle; only 8 bounded integer rows
     per doc cross a stage boundary; VAD windows/aggregations are
     doc_id-partitioned so skew is structurally impossible."""
-    import pandas as pd
-
-    from pyspark_recs.io.loaders import spread_partitions
     from pyspark_recs.llmops.multimodal import (
         audio_window_energies,
         vad_segments,
     )
-    from pyspark_recs.llmops.wav import encode_wav, synth_pcm
 
-    docs = spread_partitions(
-        load_table(spark, sf, "documents").select("doc_id")
-    )
-
-    def make_payloads(batches):
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                wav = encode_wav(8000, 1, synth_pcm(int(doc_id)))
-                payloads.append(wav[:30] if doc_id % 17 == 0 else wav)
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].values, "payload": payloads}
-            )
-
-    payloads = docs.mapInPandas(
-        make_payloads, schema="doc_id bigint, payload binary"
-    )
+    payloads = _wav_corpus(spark, sf)
     windows = audio_window_energies(payloads, window=32)
     segs = vad_segments(windows, threshold=32000)
     all_docs = load_table(spark, sf, "documents").select("doc_id")
+    # status comes from the SEAM's outcome, not the generator's fault
+    # formula: a doc with no surviving windows (NULL n_windows after
+    # the left join) is exactly a dead-lettered decode — so ANY decode
+    # failure reports decode_error, not just the planted truncation.
+    # (Every decodable payload here yields 8 windows, so NULL can't
+    # mean "ok but short".)
     return all_docs.join(segs, "doc_id", "left").select(
         "doc_id",
-        F.when(F.col("doc_id") % 17 == 0, F.lit("decode_error"))
+        F.when(F.col("n_windows").isNull(), F.lit("decode_error"))
         .otherwise(F.lit("ok"))
         .alias("status"),
         "n_windows",
@@ -4334,10 +4323,12 @@ SELECT t.doc_id,
        coalesce(p2.n_spans, 0) AS n_spans,
        coalesce(p2.covered_tokens, 0) AS covered_tokens,
        coalesce(p2.max_span_tokens, 0) AS max_span_tokens,
-       CAST((coalesce(p2.covered_tokens, 0) * 1000000)
-            // len(t.words) AS BIGINT) AS dup_ppm,
-       ((coalesce(p2.covered_tokens, 0) * 1000000) // len(t.words)
-         > 500000) AS flag_trim
+       CASE WHEN len(t.words) = 0 THEN 0
+            ELSE CAST((coalesce(p2.covered_tokens, 0) * 1000000)
+                      // len(t.words) AS BIGINT) END AS dup_ppm,
+       (CASE WHEN len(t.words) = 0 THEN 0
+             ELSE (coalesce(p2.covered_tokens, 0) * 1000000)
+                  // len(t.words) END > 500000) AS flag_trim
 FROM toks t LEFT JOIN per p2 USING (doc_id)
 """
 
@@ -4446,30 +4437,9 @@ def l86_audio_downsample(spark: SparkSession, sf: str) -> DataFrame:
     it never sees WAV at either rate). Same truncation dead-letter
     branch as l78/l82. See
     llmops/multimodal.py:downsample_audio_payloads."""
-    import pandas as pd
-
-    from pyspark_recs.io.loaders import spread_partitions
     from pyspark_recs.llmops.multimodal import downsample_audio_payloads
-    from pyspark_recs.llmops.wav import encode_wav, synth_pcm
 
-    docs = spread_partitions(
-        load_table(spark, sf, "documents").select("doc_id")
-    )
-
-    def make_payloads(batches):
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                wav = encode_wav(8000, 1, synth_pcm(int(doc_id)))
-                payloads.append(wav[:30] if doc_id % 17 == 0 else wav)
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].values, "payload": payloads}
-            )
-
-    payloads = docs.mapInPandas(
-        make_payloads, schema="doc_id bigint, payload binary"
-    )
-    return downsample_audio_payloads(payloads, factor=2)
+    return downsample_audio_payloads(_wav_corpus(spark, sf), factor=2)
 
 
 L86_SQL = """
@@ -4508,30 +4478,9 @@ def l87_image_augment(spark: SparkSession, sf: str) -> DataFrame:
     geometry, not just byte survival. Dead-letter docs emit three
     uniform error rows. See
     llmops/multimodal.py:augment_image_payloads."""
-    import pandas as pd
-
-    from pyspark_recs.io.loaders import spread_partitions
     from pyspark_recs.llmops.multimodal import augment_image_payloads
-    from pyspark_recs.llmops.png import encode_png, synth_pixels
 
-    docs = spread_partitions(
-        load_table(spark, sf, "documents").select("doc_id")
-    )
-
-    def make_payloads(batches):
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                png = encode_png(8, 8, synth_pixels(int(doc_id)), 1)
-                payloads.append(png[:20] if doc_id % 17 == 0 else png)
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].values, "payload": payloads}
-            )
-
-    payloads = docs.mapInPandas(
-        make_payloads, schema="doc_id bigint, payload binary"
-    )
-    return augment_image_payloads(payloads)
+    return augment_image_payloads(_png_corpus(spark, sf))
 
 
 L87_SQL = """
@@ -4572,30 +4521,9 @@ def l88_audio_zcr(spark: SparkSession, sf: str) -> DataFrame:
     windows, exact integer arithmetic, oracle replayed from the synth
     formula alone. Same truncation dead-letter branch. See
     llmops/multimodal.py:audio_window_zcr."""
-    import pandas as pd
-
-    from pyspark_recs.io.loaders import spread_partitions
     from pyspark_recs.llmops.multimodal import audio_window_zcr
-    from pyspark_recs.llmops.wav import encode_wav, synth_pcm
 
-    docs = spread_partitions(
-        load_table(spark, sf, "documents").select("doc_id")
-    )
-
-    def make_payloads(batches):
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                wav = encode_wav(8000, 1, synth_pcm(int(doc_id)))
-                payloads.append(wav[:30] if doc_id % 17 == 0 else wav)
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].values, "payload": payloads}
-            )
-
-    payloads = docs.mapInPandas(
-        make_payloads, schema="doc_id bigint, payload binary"
-    )
-    return audio_window_zcr(payloads, window=32)
+    return audio_window_zcr(_wav_corpus(spark, sf), window=32)
 
 
 L88_SQL = """
@@ -4633,34 +4561,11 @@ def l89_video_scene_cuts(spark: SparkSession, sf: str) -> DataFrame:
     17 == 0) dead-letter inside the seam and drop from the scene
     report. See llmops/multimodal.py:video_frame_lumas and
     :scene_cuts."""
-    import pandas as pd
-
-    from pyspark_recs.io.loaders import spread_partitions
     from pyspark_recs.llmops.multimodal import scene_cuts, video_frame_lumas
-    from pyspark_recs.llmops.y4m import encode_y4m, synth_frames
 
-    docs = spread_partitions(
-        load_table(spark, sf, "documents").select("doc_id")
+    return scene_cuts(
+        video_frame_lumas(_y4m_corpus(spark, sf)), threshold=25600
     )
-
-    def make_payloads(batches):
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                clip = encode_y4m(16, 16, synth_frames(int(doc_id)))
-                payloads.append(
-                    clip[: len(clip) - 100]
-                    if doc_id % 17 == 0
-                    else clip
-                )
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].values, "payload": payloads}
-            )
-
-    payloads = docs.mapInPandas(
-        make_payloads, schema="doc_id bigint, payload binary"
-    )
-    return scene_cuts(video_frame_lumas(payloads), threshold=25600)
 
 
 L89_SQL = """

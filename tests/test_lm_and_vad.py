@@ -184,3 +184,22 @@ def test_audio_downsample_floor_semantics(spark):
     assert r1.amp_sum == 100 + (-6)
     assert r1.amp_abs_sum == 100 + 6
     assert rows[2].status == "decode_error"
+
+
+def test_duplicate_text_spans_empty_doc_ansi_safe(spark):
+    # Spark 4 runs ANSI mode by default: an empty doc (0 tokens) must
+    # produce a zero-coverage row, not a DIVIDE_BY_ZERO abort
+    from pyspark_recs.llmops.dedup import duplicate_text_spans
+
+    docs = _docs(
+        spark,
+        [
+            (1, "", "en", 0),
+            (2, "a b c d e", "en", 9),
+            (3, "a b c d e", "en", 9),
+        ],
+    )
+    rows = {r.doc_id: r for r in duplicate_text_spans(docs).collect()}
+    assert (rows[1].n_tokens, rows[1].dup_ppm) == (0, 0)
+    assert rows[1].flag_trim is False
+    assert rows[2].dup_ppm == 1_000_000  # the dup pair still detected
