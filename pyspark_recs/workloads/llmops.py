@@ -3074,9 +3074,13 @@ kept AS (
   FROM rebuilt)
 SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
        CAST(n_tokens - len(kept_words) AS INTEGER) AS n_removed,
-       md5(array_to_string(kept_words, ' ')) AS clean_md5
+       md5(coalesce(array_to_string(kept_words, ' '), '')) AS clean_md5
 FROM kept
 """
+# NOTE (sf0.001 regression find): DuckDB's array_to_string([]) is NULL
+# where Spark's array_join([]) is '' — a fully-excised document (every
+# token inside a contaminated window) hit this; the coalesce pins the
+# Spark semantics (digest of the empty string).
 
 
 # --------------------------------------------------------------------- l65

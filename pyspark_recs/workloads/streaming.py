@@ -408,11 +408,26 @@ def s10_recursive_ewma(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# NOTE (sf0.001 regression find, round 9): DuckDB 1.0's list_reduce can
+# return a fold value NOT derivable from the input list (observed on an
+# 88-element bigint list in s12; the struct-accumulator variant of the
+# same bug was found in round 3). Both fold oracles now use RECURSIVE
+# CTEs — the step-by-step replay is immune and already the l21/l66
+# oracle pattern.
 S10_SQL = """
-SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-       list_reduce(list(value ORDER BY ts, event_id),
-                   (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma
-FROM events GROUP BY user_id
+WITH RECURSIVE ev AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+counts AS (SELECT user_id, max(rn) AS n FROM ev GROUP BY user_id),
+walk AS (
+  SELECT user_id, rn, value AS ewma FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, 0.5 * e.value + 0.5 * w.ewma
+  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+SELECT w.user_id, CAST(c.n AS BIGINT) AS n_events, w.ewma
+FROM walk w JOIN counts c USING (user_id) WHERE w.rn = c.n
 """
 
 
@@ -539,33 +554,34 @@ def s12_debounce(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# NOTE: the fold accumulator is a 2-element LIST [last, n], not a
-# STRUCT — DuckDB 1.0's list_reduce with a struct-typed accumulator
-# returns wrong folds when evaluated over many group rows at once
-# (verified: struct form yields n_kept=70 vs the correct 67 on the
-# same per-group list; the LIST-typed accumulator and Python both give
-# 67, matching Spark's named_struct fold).
+# NOTE: this oracle twice hit DuckDB 1.0 list_reduce miscomputes —
+# round 3 with a STRUCT accumulator (n_kept=70 vs the correct 67) and
+# round 9 at sf0.001 with the LIST accumulator (n_kept=71 vs 74 on an
+# 88-element list, fold value not present in the input). The recursive
+# CTE replays the fold row by row and is immune.
 S12_SQL = f"""
-WITH ev AS (
+WITH RECURSIVE ev AS (
   SELECT user_id,
-         epoch_us(ts) * 4096 + event_id % 4096 AS k
+         epoch_us(ts) * 4096 + event_id % 4096 AS k,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) * 4096
+                                     + event_id % 4096) AS rn
   FROM events),
-lists AS (
-  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-         list(k ORDER BY k) AS ks
-  FROM ev GROUP BY user_id),
-folded AS (
-  SELECT user_id, n_events,
-         list_reduce(
-           list_transform(ks, x -> [x, CAST(1 AS BIGINT)]),
-           (acc, x) -> CASE WHEN x[1] - acc[1] >= {DEBOUNCE_GAP_US * 4096}
-                            THEN [x[1], acc[2] + 1]
-                            ELSE acc END) AS st
-  FROM lists)
-SELECT user_id, n_events,
-       CAST(st[2] AS BIGINT) AS n_kept,
-       CAST(st[1] AS BIGINT) AS last_kept_k
-FROM folded
+counts AS (SELECT user_id, max(rn) AS n FROM ev GROUP BY user_id),
+walk AS (
+  SELECT user_id, rn, k AS last_kept, CAST(1 AS BIGINT) AS n_kept
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn,
+         CASE WHEN e.k - w.last_kept >= {DEBOUNCE_GAP_US * 4096}
+              THEN e.k ELSE w.last_kept END,
+         CASE WHEN e.k - w.last_kept >= {DEBOUNCE_GAP_US * 4096}
+              THEN w.n_kept + 1 ELSE w.n_kept END
+  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+SELECT w.user_id, CAST(c.n AS BIGINT) AS n_events,
+       CAST(w.n_kept AS BIGINT) AS n_kept,
+       CAST(w.last_kept AS BIGINT) AS last_kept_k
+FROM walk w JOIN counts c USING (user_id) WHERE w.rn = c.n
 """
 
 
