@@ -60,3 +60,61 @@ def test_kmeans_fixed_empty_cell_keeps_centroid(spark):
     assert rows[0].centroid_l1 == 6 * M  # converged onto (3,3)
     assert rows[1].n_vectors == 2 and rows[1].inertia == 0
     assert rows[1].centroid_l1 == 0  # retained (0,0) through the empty round
+
+
+def test_kmeans_fixed_randomized_differential(spark):
+    """lloyd_kmeans_fixed vs an independent pure-Python Lloyd fold on
+    seeded-random integer-valued vectors — ties, empty cells and
+    floor-division updates included, not just the hand-picked cases."""
+    import random
+
+    rng = random.Random(20260816)
+    n, dim, k, iters = 40, 4, 3, 2
+    vecs = {
+        i: [float(rng.randrange(-5, 6)) for _ in range(dim)]
+        for i in range(n)
+    }
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>, label long",
+    )
+    got = {
+        r.cell_id: (r.n_vectors, r.inertia, r.centroid_l1)
+        for r in lloyd_kmeans_fixed(df, n_cells=k, iters=iters).collect()
+    }
+
+    # independent reference in exact integer arithmetic
+    import math
+
+    q = {i: [round(x * M) for x in v] for i, v in vecs.items()}
+    cents = {c: list(q[c]) for c in range(k)}  # lowest-id seeds
+
+    def assign():
+        out = {}
+        for i, v in q.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(v, cents[c])), c)
+                for c in cents
+            )
+            out[i] = best  # (dist, cell)
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        sums = {}
+        for i, (_, c) in a.items():
+            s, cnt = sums.get(c, ([0] * dim, 0))
+            s = [x + y for x, y in zip(s, q[i])]
+            sums[c] = (s, cnt + 1)
+        for c, (s, cnt) in sums.items():
+            cents[c] = [math.floor(x / cnt) for x in s]
+    final = assign()
+    expect = {}
+    for c in cents:
+        members = [i for i, (_, cc) in final.items() if cc == c]
+        expect[c] = (
+            len(members),
+            sum(final[i][0] for i in members),
+            sum(abs(x) for x in cents[c]),
+        )
+    assert got == expect

@@ -203,3 +203,48 @@ def test_duplicate_text_spans_empty_doc_ansi_safe(spark):
     assert (rows[1].n_tokens, rows[1].dup_ppm) == (0, 0)
     assert rows[1].flag_trim is False
     assert rows[2].dup_ppm == 1_000_000  # the dup pair still detected
+
+
+def test_duplicate_text_spans_randomized_differential(spark):
+    """duplicate_text_spans vs an independent pure-Python reference
+    (gram counting + interval-union coverage) on a seeded-random
+    small-vocab corpus, where cross-doc 5-gram collisions are common."""
+    import random
+
+    from pyspark_recs.llmops.dedup import duplicate_text_spans
+
+    rng = random.Random(20260817)
+    vocab = ["w%d" % i for i in range(6)]
+    texts = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 25)))
+        for d in range(30)
+    }
+    docs = _docs(spark, [(d, t, "en", len(t)) for d, t in texts.items()])
+    got = {
+        r.doc_id: (r.n_tokens, r.n_spans, r.covered_tokens,
+                   r.max_span_tokens, r.dup_ppm)
+        for r in duplicate_text_spans(docs).collect()
+    }
+
+    k = 5
+    toks = {d: t.split() for d, t in texts.items()}
+    gram_docs: dict[tuple, set] = {}
+    for d, ws in toks.items():
+        for i in range(len(ws) - k + 1):
+            gram_docs.setdefault(tuple(ws[i : i + k]), set()).add(d)
+    for d, ws in toks.items():
+        starts = [
+            i
+            for i in range(len(ws) - k + 1)
+            if len(gram_docs[tuple(ws[i : i + k])]) >= 2
+        ]
+        spans = []
+        for s in starts:  # merge starts whose windows overlap or touch
+            if spans and s - spans[-1][1] <= k:
+                spans[-1][1] = s
+            else:
+                spans.append([s, s])
+        covered = sum(e - b + k for b, e in spans)
+        longest = max((e - b + k for b, e in spans), default=0)
+        ppm = (covered * 1_000_000) // len(ws) if ws else 0
+        assert got[d] == (len(ws), len(spans), covered, longest, ppm), d
