@@ -426,6 +426,76 @@ def audio_window_zcr(df: DataFrame, window: int = 32) -> DataFrame:
     )
 
 
+AUDIO_AUTOCORR_SCHEMA = (
+    "doc_id bigint, status string, energy bigint,"
+    " ac1 bigint, ac2 bigint, ac4 bigint"
+)
+
+
+def audio_autocorrelation(df: DataFrame) -> DataFrame:
+    """Raw integer autocorrelation at fixed lags over decoded WAV
+    payloads — the pitch/periodicity proxy beside the ZCR and energy
+    windows (a periodic signal's autocorrelation peaks at its period;
+    dominant-lag ratios are the classic cheap F0 detector): ``ac_k =
+    sum(x[i] * x[i-k])`` for k in {1, 2, 4}, plus ``energy`` (the lag-0
+    term, sum of squares). 16-bit samples keep every product below
+    2^31 and the 256-term sums far below 2^63, so the arithmetic is
+    exact int64 and the DuckDB twin replays it from the synth formula
+    alone. Undecodable payloads dead-letter as one
+    ``status='decode_error'`` row with NULL features.
+
+    Scale: decode + the lag folds happen inside one vectorized
+    ``mapInPandas`` pass (numpy dot per lag) — payload bytes never
+    shuffle, output is one bounded row per doc.
+    """
+    import array
+    import sys
+
+    import numpy as np
+
+    from pyspark_recs.llmops.wav import decode_wav
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    _, channels, _, pcm = decode_wav(bytes(payload))
+                    if channels != 1:
+                        raise ValueError("mono only")
+                    a = array.array("h")
+                    a.frombytes(pcm)
+                    if sys.byteorder == "big":  # pragma: no cover
+                        a.byteswap()
+                    x = np.asarray(a, dtype=np.int64)
+                    rows.append(
+                        (
+                            doc_id,
+                            "ok",
+                            int(np.dot(x, x)),
+                            int(np.dot(x[1:], x[:-1])),
+                            int(np.dot(x[2:], x[:-2])),
+                            int(np.dot(x[4:], x[:-4])),
+                        )
+                    )
+                except Exception:
+                    rows.append(
+                        (doc_id, "decode_error", None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "status", "energy", "ac1", "ac2", "ac4",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        decode_batches, schema=AUDIO_AUTOCORR_SCHEMA
+    )
+
+
 def vad_segments(windows: DataFrame, threshold: int) -> DataFrame:
     """Energy-gate voice-activity detection over per-window energies:
     windows with ``win_abs >= threshold`` are active; consecutive

@@ -4606,6 +4606,98 @@ FROM agg a JOIN ps USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------- l90
+def l90_audio_autocorr(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-lag autocorrelation over the l78 WAV corpus — the
+    periodicity/pitch proxy completing the cheap-audio-features
+    trio (energy l82, ZCR l88): exact int64 ``sum(x[i]*x[i-k])`` at
+    lags 1/2/4 plus the lag-0 energy, computed inside the decode seam
+    (numpy dot per lag, payload bytes never shuffle). The oracle
+    replays the synth formula with window-lag SQL — it never sees WAV.
+    Same truncation dead-letter branch as l78/l82/l86/l88. See
+    llmops/multimodal.py:audio_autocorrelation."""
+    from pyspark_recs.llmops.multimodal import audio_autocorrelation
+
+    return audio_autocorrelation(_wav_corpus(spark, sf))
+
+
+L90_SQL = """
+WITH y AS (
+  SELECT d.doc_id, i,
+         (((d.doc_id * 37 + i * 11) % 4001) - 2000) AS v
+  FROM documents d CROSS JOIN range(256) t(i)
+  WHERE d.doc_id % 17 <> 0),
+l AS (
+  SELECT doc_id, v,
+         lag(v, 1) OVER w AS v1,
+         lag(v, 2) OVER w AS v2,
+         lag(v, 4) OVER w AS v4
+  FROM y WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(v * v) AS BIGINT) AS energy,
+         CAST(sum(v * v1) AS BIGINT) AS ac1,
+         CAST(sum(v * v2) AS BIGINT) AS ac2,
+         CAST(sum(v * v4) AS BIGINT) AS ac4
+  FROM l GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 17 = 0 THEN 'decode_error' ELSE 'ok' END
+         AS status,
+       a.energy, a.ac1, a.ac2, a.ac4
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------- l91
+def l91_maxsim_retrieval(spark: SparkSession, sf: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval: each 64-dim embedding
+    is read as 8 contiguous 8-dim "token" sub-vectors and query↔doc
+    pairs score ``Σ_t max_s dot(q_t, d_s)`` — the multi-vector scorer
+    between bi-encoder cosine (l06) and full rerank, exact by the same
+    fixed-point-int64 discipline (max/sum stay integer, one final
+    divide). Queries are vec_id < 8; top-3 per query. See
+    llmops/similarity.py:maxsim_topk for the no-row-explosion token
+    view and the IVF-front serving topology at corpus scale."""
+    from pyspark_recs.llmops.similarity import maxsim_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return maxsim_topk(
+        candidates=emb, queries=emb.filter(F.col("vec_id") < 8), k=3
+    )
+
+
+_TOKDOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(floor(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) * 1e12"
+    " + 0.5) AS BIGINT)))"
+)
+
+L91_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+best AS (
+  SELECT query_id, neighbor_id, tq.t AS tq,
+         max({_TOKDOT.format(
+             a='qv[8 * tq.t + 1 : 8 * tq.t + 8]',
+             b='cv[8 * td.t + 1 : 8 * td.t + 8]')}) AS best_dot
+  FROM q, c, range(8) tq(t), range(8) td(t)
+  WHERE neighbor_id <> query_id
+  GROUP BY query_id, neighbor_id, tq.t),
+scores AS (
+  SELECT query_id, neighbor_id,
+         CAST(sum(best_dot) AS DOUBLE) / 1e12 AS maxsim
+  FROM best GROUP BY query_id, neighbor_id)
+SELECT query_id, neighbor_id, maxsim, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT query_id, neighbor_id, maxsim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY maxsim DESC, neighbor_id) AS rank
+  FROM scores)
+WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -4696,6 +4788,8 @@ QUERIES = {
     "l87_image_augment": l87_image_augment,
     "l88_audio_zcr": l88_audio_zcr,
     "l89_video_scene_cuts": l89_video_scene_cuts,
+    "l90_audio_autocorr": l90_audio_autocorr,
+    "l91_maxsim_retrieval": l91_maxsim_retrieval,
 }
 
 ORACLE = {
@@ -4788,4 +4882,6 @@ ORACLE = {
     "l87_image_augment": L87_SQL,
     "l88_audio_zcr": L88_SQL,
     "l89_video_scene_cuts": L89_SQL,
+    "l90_audio_autocorr": L90_SQL,
+    "l91_maxsim_retrieval": L91_SQL,
 }

@@ -3437,6 +3437,69 @@ UNION ALL SELECT * FROM diversity
 """
 
 
+# --------------------------------------------------------------------- rs33
+def rs33_ips_ctr_debias(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverse-propensity-scored position-bias correction (Joachims et
+    al., WSDM'17 unbiased learning-to-rank; the counterfactual side of
+    rs19's popularity bias): treating each lineitem as a logged
+    impression of item ``l_partkey`` at slot ``l_linenumber`` with
+    click proxy ``l_returnflag = 'R'``, the position-bias examination
+    model P(examined | pos) = 1/pos makes the IPS-corrected click mass
+    ``Σ click·pos`` — an INTEGER weight, so the whole debias table is
+    exact int64 arithmetic end to end. Per item the query emits the
+    naive rate and the debiased rate side by side (both exact ppm via
+    integer division), which is the table an unbiased ranker trains
+    from and the bias audit reads (items over-shown at slot 1 have
+    naive ≫ debiased; long-tail items surface when debiased ≫ naive).
+
+    Determinism/exactness: counts, the pos-weighted mass and both ppm
+    divisions are int64 ops (``DIV``); no floats anywhere. int64
+    headroom: 10⁶ · Σ click·pos ≤ 10⁶ · 7 · |lineitem| — fine beyond
+    sf10⁴.
+
+    Scale: one map-side-combined groupBy on item — the minimal
+    single-shuffle shape; the per-row weight is a branch-free
+    expression inside whole-stage codegen.
+    """
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_partkey").alias("item_id"),
+        F.col("l_linenumber").cast("long").alias("pos"),
+        (F.col("l_returnflag") == "R").cast("long").alias("click"),
+    )
+    agg = li.groupBy("item_id").agg(
+        F.count(F.lit(1)).alias("n_impressions"),
+        F.sum("click").alias("n_clicks"),
+        F.sum(F.col("click") * F.col("pos")).alias("ips_click_mass"),
+    )
+    return agg.select(
+        "item_id",
+        "n_impressions",
+        "n_clicks",
+        "ips_click_mass",
+        F.expr("(1000000 * n_clicks) DIV n_impressions").alias("ctr_ppm"),
+        F.expr("(1000000 * ips_click_mass) DIV n_impressions").alias(
+            "ips_ctr_ppm"
+        ),
+    )
+
+
+RS33_SQL = """
+SELECT l_partkey AS item_id,
+       CAST(count(*) AS BIGINT) AS n_impressions,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clicks,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN l_linenumber
+                     ELSE 0 END) AS BIGINT) AS ips_click_mass,
+       CAST(1000000 * sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS ctr_ppm,
+       CAST(1000000 * sum(CASE WHEN l_returnflag = 'R' THEN l_linenumber
+                               ELSE 0 END)
+            // count(*) AS BIGINT) AS ips_ctr_ppm
+FROM lineitem
+GROUP BY l_partkey
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -3470,6 +3533,7 @@ QUERIES = {
     "rs30_ensemble_eval": rs30_ensemble_eval,
     "rs31_behavioral_audit": rs31_behavioral_audit,
     "rs32_joint_feature_eval": rs32_joint_feature_eval,
+    "rs33_ips_ctr_debias": rs33_ips_ctr_debias,
 }
 
 ORACLE = {
@@ -3505,4 +3569,5 @@ ORACLE = {
     "rs30_ensemble_eval": RS30_SQL,
     "rs31_behavioral_audit": RS31_SQL,
     "rs32_joint_feature_eval": RS32_SQL,
+    "rs33_ips_ctr_debias": RS33_SQL,
 }

@@ -4434,6 +4434,105 @@ WHERE pair_value > (SELECT {sql_dsum('pair_value')} / count(*) * 2.0 FROM pairva
 """
 
 
+# --------------------------------------------------------------------- r89
+def r89_trade_reach(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source-free BFS reachability: minimum hop distance from
+    the NATION_0..4 seed bloc to every nation reachable within 4 hops
+    over the trade BACKBONE — nation pairs whose exact quantity volume
+    is ≥ the mean pair volume (the disparity-filter idea: prune noise edges,
+    keep the heavy trading relations, THEN ask connectivity
+    questions). The graph primitive r57's PageRank can't answer: "how
+    far is X from Y", i.e. shortest paths.
+
+    Determinism: pair volumes are exact fixed-point BIGINT sums
+    (``dsum`` quantization without the final divide) and the backbone
+    test is the integer cross-multiplication ``q·n ≥ total`` —
+    no float threshold anywhere; distances are integer hop counts.
+    int64 headroom: q ≤ Σqty·10⁶ ≈ 3·10¹³ at sf0.1 and n ≤ 625, so
+    2·q·n < 4·10¹⁶ « 2⁶³ (at petabyte fact sizes drop the quantize
+    scale to 10²).
+
+    Scale: the fact scan reduces to ≤ N² nation pairs BEFORE any graph
+    work (the r54/r57 reduce-early ordering); the single-row totals
+    frame broadcasts; BFS state is node-sized per hop
+    (graph.khop_min_distance — one equi-join + distinct per hop,
+    early-exit on a converged frontier).
+    """
+    from pyspark_recs.graph import khop_min_distance
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cus = F.broadcast(
+        load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    )
+    sup = F.broadcast(
+        load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    nation = load_table(spark, sf, "nation")
+    pair = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cus, F.col("o_custkey") == F.col("c_custkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_quantity") * F.lit(1e6) + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("q")
+        )
+    )
+    tot = pair.agg(
+        F.sum("q").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    edges = (
+        pair.crossJoin(F.broadcast(tot))
+        .filter(F.col("q") * F.col("n") >= F.col("total"))
+        .select("src", "dst")
+    )
+    seeds = nation.filter(F.col("n_nationkey") < 5).select(
+        F.col("n_nationkey")
+    )
+    dist = khop_min_distance(edges, seeds, max_hops=4)
+    return (
+        dist.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            dist["node"] == F.col("n_nationkey"),
+        )
+        .select("n_nationkey", "n_name", "distance")
+    )
+
+
+R89_SQL = """
+WITH RECURSIVE pair AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         CAST(sum(CAST(floor(l.l_quantity * 1000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS q
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE c.c_nationkey <> s.s_nationkey
+  GROUP BY 1, 2),
+tot AS (SELECT sum(q) AS total, count(*) AS n FROM pair),
+e AS (SELECT src, dst FROM pair, tot WHERE q * n >= total),
+walk(node, d) AS (
+  SELECT n_nationkey, 0 FROM nation WHERE n_nationkey < 5
+  UNION ALL
+  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.d < 4)
+SELECT n.n_nationkey, n.n_name, CAST(min(w.d) AS BIGINT) AS distance
+FROM walk w JOIN nation n ON n.n_nationkey = w.node
+GROUP BY n.n_nationkey, n.n_name
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -4523,6 +4622,7 @@ QUERIES = {
     "r86_product_type_profit": r86_product_type_profit,
     "r87_top_supplier": r87_top_supplier,
     "r88_important_stock": r88_important_stock,
+    "r89_trade_reach": r89_trade_reach,
 }
 
 ORACLE = {
@@ -4613,6 +4713,7 @@ ORACLE = {
     "r86_product_type_profit": R86_SQL,
     "r87_top_supplier": R87_SQL,
     "r88_important_stock": R88_SQL,
+    "r89_trade_reach": R89_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }

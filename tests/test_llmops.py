@@ -1285,3 +1285,75 @@ def test_png_truncation_raises_valueerror_not_struct_error():
     for cut in (9, 12, 15, 20, len(data) // 2, len(data) - 3):
         with _pytest.raises(ValueError):
             decode_png(data[:cut])
+
+
+def test_maxsim_late_interaction_hand_computed(spark):
+    from pyspark_recs.llmops.similarity import maxsim_topk
+
+    # 4-dim vectors read as 2 tokens of 2 dims. Query 0 = [e1 | e2].
+    # doc 1 carries BOTH query tokens (maxsim 2.0), doc 2 only the
+    # first (1.0), doc 3 has weak overlap everywhere (2 * 0.5) — late
+    # interaction ranks 1 > 2 = 3, and a single-vector dot would have
+    # called doc 3 (dot 1.0 after the split) equal to doc 1's tokens.
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 1.0]),
+            (1, [1.0, 0.0, 0.0, 1.0]),
+            (2, [1.0, 0.0, 1.0, 0.0]),
+            (3, [0.5, 0.0, 0.0, 0.5]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = maxsim_topk(
+        vecs, vecs.filter(F.col("vec_id") == 0), k=3, n_tokens=2
+    ).collect()
+    by_rank = sorted(out, key=lambda r: r.rank)
+    assert [r.neighbor_id for r in by_rank] == [1, 2, 3]
+    assert by_rank[0].maxsim == 2.0
+    # doc 2: token1 best-matches e1 (1.0), token2's best is also e1
+    # column -> max(dot(e2,[1,0]), dot(e2,[1,0])) = 0 -> total 1.0
+    assert by_rank[1].maxsim == 1.0
+    assert by_rank[2].maxsim == 1.0  # 0.5 + 0.5
+    assert all(r.query_id == 0 for r in out)
+
+
+def test_maxsim_single_token_matches_plain_dot_ranking(spark):
+    import random
+
+    from pyspark_recs.llmops.similarity import maxsim_topk
+
+    random.seed(29)
+    data = [
+        (i, [random.gauss(0, 1) for _ in range(8)]) for i in range(40)
+    ]
+    vecs = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    queries = vecs.filter(F.col("vec_id") < 3)
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in maxsim_topk(vecs, queries, k=5, n_tokens=1).collect()
+    }
+    # n_tokens=1 degenerates to exact dot-product ranking: recompute
+    # driver-side from the same fixed-point quantization, INCLUDING the
+    # array<float> storage truncation (float32) the engine sees.
+    import math
+    import struct
+
+    def f32(v):
+        return struct.unpack("f", struct.pack("f", v))[0]
+
+    def fixed(a, b):
+        return sum(
+            math.floor(x * y * 1e12 + 0.5) for x, y in zip(a, b)
+        )
+
+    emb = {i: [f32(v) for v in vec] for i, vec in data}
+    for q in range(3):
+        scores = sorted(
+            (
+                (-fixed(emb[q], emb[c]), c)
+                for c in emb
+                if c != q
+            ),
+        )[:5]
+        expect = [c for _, c in scores]
+        assert [got[(q, r)] for r in range(1, 6)] == expect

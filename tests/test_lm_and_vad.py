@@ -248,3 +248,30 @@ def test_duplicate_text_spans_randomized_differential(spark):
         longest = max((e - b + k for b, e in spans), default=0)
         ppm = (covered * 1_000_000) // len(ws) if ws else 0
         assert got[d] == (len(ws), len(spans), covered, longest, ppm), d
+
+
+def test_audio_autocorrelation_hand_computed(spark):
+    from pyspark_recs.llmops.multimodal import audio_autocorrelation
+    from pyspark_recs.llmops.wav import encode_wav
+
+    # period-2 square wave +3/-3: energy = n*9, ac1 = -(n-1)*9,
+    # ac2 = +(n-2)*9, ac4 = +(n-4)*9 — autocorrelation flags the
+    # periodicity (positive at even lags, negative at odd).
+    n = 16
+    vals = [3 if i % 2 == 0 else -3 for i in range(n)]
+    pcm = b"".join(v.to_bytes(2, "little", signed=True) for v in vals)
+    good = encode_wav(8000, 1, pcm)
+    payloads = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(good[:30]))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in audio_autocorrelation(payloads).collect()}
+    ok = rows[1]
+    assert ok.status == "ok"
+    assert ok.energy == n * 9
+    assert ok.ac1 == -(n - 1) * 9
+    assert ok.ac2 == (n - 2) * 9
+    assert ok.ac4 == (n - 4) * 9
+    err = rows[2]
+    assert err.status == "decode_error"
+    assert (err.energy, err.ac1, err.ac2, err.ac4) == (None,) * 4

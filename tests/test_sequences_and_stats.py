@@ -385,3 +385,36 @@ def test_bias_baseline_shrinks_rare_entities(spark):
     # items 1 and 2 deviate equally per-rating, but item 1 has 20 votes
     assert out[("item", 1)] > out[("item", 2)] > 0
     assert abs(out[("item", 2)]) < abs(out[("item", 1)])
+
+
+def test_khop_min_distance_chain_multisource_and_early_exit(spark):
+    from pyspark_recs.graph import khop_min_distance
+
+    # chain 1->2->3->4->5->6 plus isolated edge 8->9: seed {1} reaches
+    # 2..5 within 4 hops (6 is 5 hops away -> absent), 8/9 unreachable.
+    chain = [(i, i + 1) for i in range(1, 6)] + [(8, 9), (3, 3)]
+    edges = spark.createDataFrame(chain, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "n long")
+    got = {
+        r.node: r.distance
+        for r in khop_min_distance(edges, seeds, max_hops=4).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+    # multi-source takes the MINIMUM distance over seeds: seeding
+    # {1, 4} pulls 5 and 6 to distances 1 and 2.
+    seeds2 = spark.createDataFrame([(1,), (4,)], "n long")
+    got2 = {
+        r.node: r.distance
+        for r in khop_min_distance(edges, seeds2, max_hops=4).collect()
+    }
+    assert got2 == {1: 0, 4: 0, 2: 1, 5: 1, 3: 2, 6: 2}
+
+    # early exit: a 2-node graph converges long before max_hops; the
+    # result is still correct (and the loop stopped issuing jobs).
+    tiny = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got3 = {
+        r.node: r.distance
+        for r in khop_min_distance(tiny, seeds, max_hops=50).collect()
+    }
+    assert got3 == {1: 0, 2: 1}
