@@ -921,6 +921,86 @@ FROM scored GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------- s17
+def s17_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per user (the
+    matrix upgrade of s10's scalar EWMA recurrence — level AND trend
+    state): over the (ts, event_id)-ordered value stream,
+    ``level ← ½x + ½(level + trend)`` then
+    ``trend ← ½(level' − level) + ½trend``, initialized at
+    (x₁, 0); the one-step-ahead forecast ``level + trend`` is the
+    number a capacity planner or anomaly gate reads. α = β = ½ keeps
+    every step a sum of halvings, and both engines execute the SAME
+    operation sequence in the SAME order (an ordered fold here, a
+    step-by-step recursive CTE there), so the doubles agree bit for
+    bit — the s10 determinism argument, now with a 2-component state.
+
+    Scale: one shuffle on user_id; per-key state is O(1) in the
+    streaming form (the s09/s10 discipline) and the batch fold is one
+    JVM-side ``aggregate`` over each user's sorted history — cap with
+    a trailing slice for unbounded keys. The fold is a linear
+    recurrence in (level, trend), so the 100 TB alternative is the
+    associative matrix-prefix scan over ``scalable_prefix_sum`` if
+    per-key histories ever outgrow a task.
+    """
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value"
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts_us", "event_id", "value"))
+    )
+    folded = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.transform(arr, lambda s: s["value"]).alias("vals"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.expr(
+                "aggregate(slice(vals, 2, size(vals) - 1),"
+                " named_struct('l', vals[0], 'b', CAST(0.0 AS DOUBLE)),"
+                " (acc, x) -> named_struct("
+                "   'l', 0.5D * x + 0.5D * (acc.l + acc.b),"
+                "   'b', 0.5D * ((0.5D * x + 0.5D * (acc.l + acc.b))"
+                "        - acc.l) + 0.5D * acc.b))"
+            ).alias("st"),
+        )
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        F.col("st.l").alias("level"),
+        F.col("st.b").alias("trend"),
+        (F.col("st.l") + F.col("st.b")).alias("forecast1"),
+    )
+
+
+# Step-by-step RECURSIVE CTE (not list_reduce — see the s10 note on the
+# DuckDB fold bug); the l_new expression is duplicated verbatim inside
+# b_new so both engines evaluate the identical IEEE sequence.
+S17_SQL = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+counts AS (SELECT user_id, max(rn) AS n FROM ev GROUP BY user_id),
+walk AS (
+  SELECT user_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn,
+         0.5 * e.value + 0.5 * (w.l + w.b),
+         0.5 * ((0.5 * e.value + 0.5 * (w.l + w.b)) - w.l) + 0.5 * w.b
+  FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+SELECT w.user_id, CAST(c.n AS BIGINT) AS n_events,
+       w.l AS level, w.b AS trend, w.l + w.b AS forecast1
+FROM walk w JOIN counts c USING (user_id) WHERE w.rn = c.n
+"""
+
+
 QUERIES = {
     "s01_tumbling_daily": s01_tumbling_daily,
     "s02_sessionize": s02_sessionize,
@@ -938,6 +1018,7 @@ QUERIES = {
     "s14_utouch_attribution": s14_utouch_attribution,
     "s15_histogram_quantiles": s15_histogram_quantiles,
     "s16_value_drift": s16_value_drift,
+    "s17_holt_forecast": s17_holt_forecast,
 }
 
 ORACLE = {
@@ -957,4 +1038,5 @@ ORACLE = {
     "s14_utouch_attribution": S14_SQL,
     "s15_histogram_quantiles": S15_SQL,
     "s16_value_drift": S16_SQL,
+    "s17_holt_forecast": S17_SQL,
 }

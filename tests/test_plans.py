@@ -626,3 +626,23 @@ def test_kmeans_assignment_is_broadcast_not_cartesian(spark):
     plan = plan_of(QUERIES["l85_kmeans_train"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_l91_maxsim_no_token_explosion_and_pruned_topk(spark):
+    # MaxSim's token view must stay an expression (no Generate node —
+    # exploding 8 tokens/row would 8x the shuffle), the tiny query side
+    # must broadcast, and the per-query top-k must pre-prune.
+    plan = plan_of(QUERIES["l91_maxsim_retrieval"](spark, SF_DIR))
+    assert "Generate" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_rs33_ips_debias_single_shuffle(spark):
+    # The IPS debias table is one map-side-combined groupBy: exactly
+    # one shuffle exchange, partial aggregation before it, and the
+    # click/pos weights folded as expressions (no Python, no join).
+    plan = plan_of(QUERIES["rs33_ips_ctr_debias"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan

@@ -1321,3 +1321,32 @@ def test_streaming_vad_parity_on_real_wav_windows(spark, tmp_path):
             streamed[r.doc_id] = (r.n_windows, r.n_active, r.n_segments,
                                   r.longest_run, r.active_abs_sum)
     assert streamed == batch  # exact, every doc
+
+
+def test_holt_forecast_hand_computed(spark, tmp_path):
+    """s17 Holt recurrence on a 3-step sequence, checked against the
+    by-hand halvings (every intermediate is a dyadic rational, so the
+    doubles are exact): x = [4, 8, 2] ->
+      t1: l=4, b=0
+      t2: l = .5*8 + .5*4 = 6;  b = .5*(6-4) + 0 = 1
+      t3: l = .5*2 + .5*7 = 4.5; b = .5*(4.5-6) + .5*1 = -0.25
+    forecast1 = 4.25. A single-event user stays (x, 0, x)."""
+    from pyspark_recs.workloads.streaming import s17_holt_forecast
+
+    src = str(tmp_path / "holt_events")
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "click", 4.0, '{}'),
+        (2, "2024-01-01 00:00:01", 7, "click", 8.0, '{}'),
+        (3, "2024-01-01 00:00:02", 7, "click", 2.0, '{}'),
+        (4, "2024-01-01 00:00:03", 9, "view", 5.0, '{}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(src + "/events.parquet")
+    got = {r.user_id: r for r in s17_holt_forecast(spark, src).collect()}
+    assert (got[7].level, got[7].trend, got[7].forecast1) == (4.5, -0.25, 4.25)
+    assert got[7].n_events == 3
+    assert (got[9].level, got[9].trend, got[9].forecast1) == (5.0, 0.0, 5.0)
