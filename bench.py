@@ -184,6 +184,13 @@ HEADLINE = [
     "l87_image_augment",
     "l88_audio_zcr",
     "l89_video_scene_cuts",
+    # round-9 session-3 additions: autocorrelation, late interaction,
+    # BFS reach, IPS debias, Holt forecast
+    "l90_audio_autocorr",
+    "l91_maxsim_retrieval",
+    "r89_trade_reach",
+    "rs33_ips_ctr_debias",
+    "s17_holt_forecast",
 ]
 
 

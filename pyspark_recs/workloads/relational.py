@@ -4471,6 +4471,11 @@ def r89_trade_reach(spark: SparkSession, sf: str) -> DataFrame:
         load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
     )
     nation = load_table(spark, sf, "nation")
+    # The pair table is consumed three times (the totals row, the
+    # backbone filter, and the BFS's distinct'd edge list) and Spark
+    # has no DataFrame CSE — cache it so the 3-join fact aggregation
+    # runs ONCE. It is bounded at ≤ N² nation pairs, so the cache is
+    # KBs at any fact scale.
     pair = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cus, F.col("o_custkey") == F.col("c_custkey"))
@@ -4487,6 +4492,7 @@ def r89_trade_reach(spark: SparkSession, sf: str) -> DataFrame:
                 )
             ).alias("q")
         )
+        .cache()
     )
     tot = pair.agg(
         F.sum("q").alias("total"), F.count(F.lit(1)).alias("n")

@@ -1357,3 +1357,28 @@ def test_maxsim_single_token_matches_plain_dot_ranking(spark):
         )[:5]
         expect = [c for _, c in scores]
         assert [got[(q, r)] for r in range(1, 6)] == expect
+
+
+def test_maxsim_arrow_and_expr_impls_bit_identical(spark):
+    import random
+
+    from pyspark_recs.llmops.similarity import maxsim_topk
+
+    random.seed(31)
+    data = [
+        (i, [random.gauss(0, 1) for _ in range(16)]) for i in range(60)
+    ]
+    vecs = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    queries = vecs.filter(F.col("vec_id") < 4)
+
+    def rows(impl):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.maxsim)
+            for r in maxsim_topk(
+                vecs, queries, k=5, n_tokens=4, impl=impl
+            ).collect()
+        )
+
+    # The numpy float64 product + floor quantization must reproduce
+    # the JVM fold exactly — scores AND ranks, not just the id sets.
+    assert rows("arrow") == rows("expr")

@@ -629,13 +629,17 @@ def test_kmeans_assignment_is_broadcast_not_cartesian(spark):
 
 
 def test_l91_maxsim_no_token_explosion_and_pruned_topk(spark):
-    # MaxSim's token view must stay an expression (no Generate node —
+    # MaxSim's token view must never become rows (no Generate node —
     # exploding 8 tokens/row would 8x the shuffle), the tiny query side
-    # must broadcast, and the per-query top-k must pre-prune.
+    # must broadcast, the per-query top-k must pre-prune, and the
+    # scorer must be the ARROW-vectorized UDF (numpy batch), never a
+    # row-at-a-time Python eval.
     plan = plan_of(QUERIES["l91_maxsim_retrieval"](spark, SF_DIR))
     assert "Generate" not in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "WindowGroupLimit" in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_rs33_ips_debias_single_shuffle(spark):
