@@ -249,6 +249,73 @@ def streaming_ewma(
     )
 
 
+def streaming_holt(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Incremental Holt linear-trend smoothing per user — the streaming
+    twin of workloads/streaming.s17_holt_forecast, and the 2-state
+    upgrade of :func:`streaming_ewma`: state is (level, trend, count);
+    each value applies ``level' = ½x + ½(level + trend)`` then
+    ``trend' = ½(level' − level) + ½trend`` in (ts, event_id) order.
+    O(1) memory per key for unbounded histories; with α = β = ½ every
+    update is the identical IEEE double sequence the batch fold runs,
+    so the running (level, trend, forecast) equals the batch result
+    bit for bit (real-table parity test). Same in-order-arrival caveat
+    as streaming_ewma.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, n_events long, level double, trend double,"
+        " forecast1 double"
+    )
+    state_schema = "level double, trend double, n_events long"
+
+    rows = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(value_col).alias("value"),
+    )
+
+    def update(key, pdfs, state):
+        level, trend, n = state.get if state.exists else (None, 0.0, 0)
+        for pdf in pdfs:
+            ordered = pdf.sort_values(["ts_us", "event_id"])["value"]
+            for x in ordered:
+                x = float(x)
+                if level is None:
+                    level, trend = x, 0.0
+                else:
+                    new_l = 0.5 * x + 0.5 * (level + trend)
+                    trend = 0.5 * (new_l - level) + 0.5 * trend
+                    level = new_l
+                n += 1
+        state.update((level, trend, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "level": [level],
+                "trend": [trend],
+                "forecast1": [level + trend],
+            }
+        )
+
+    return rows.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_attribution(
     events: DataFrame,
     ts_col: str = "ts",

@@ -936,7 +936,9 @@ def s17_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
     bit — the s10 determinism argument, now with a 2-component state.
 
     Scale: one shuffle on user_id; per-key state is O(1) in the
-    streaming form (the s09/s10 discipline) and the batch fold is one
+    streaming form (streaming/ops.py:streaming_holt — real-table
+    parity-tested bit-exact, the s09/s10 discipline) and the batch
+    fold is one
     JVM-side ``aggregate`` over each user's sorted history — cap with
     a trailing slice for unbounded keys. The fold is a linear
     recurrence in (level, trend), so the 100 TB alternative is the

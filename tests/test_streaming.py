@@ -1350,3 +1350,31 @@ def test_holt_forecast_hand_computed(spark, tmp_path):
     assert (got[7].level, got[7].trend, got[7].forecast1) == (4.5, -0.25, 4.25)
     assert got[7].n_events == 3
     assert (got[9].level, got[9].trend, got[9].forecast1) == (5.0, 0.0, 5.0)
+
+
+def test_streaming_holt_parity_on_real_events_table(spark, tmp_path):
+    """Streaming-vs-batch parity for the Holt fold on the REAL driver
+    testdata: the O(1)-state (level, trend) recurrence must reproduce
+    s17's batch array-fold bit for bit for every user."""
+    from pyspark_recs.io import load_table
+    from pyspark_recs.streaming import streaming_holt
+    from pyspark_recs.workloads.streaming import s17_holt_forecast
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "events_src_holt")
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "ts", "event_type", "value", "user_id"
+    )
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = _run_stream(streaming_holt(stream), tmp_path, mode="update")
+    streamed = {}
+    for r in out.collect():  # keep the row with the max n_events per user
+        cur = streamed.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            streamed[r.user_id] = (r.n_events, r.level, r.trend, r.forecast1)
+    batch = {
+        r.user_id: (r.n_events, r.level, r.trend, r.forecast1)
+        for r in s17_holt_forecast(spark, sf).collect()
+    }
+    assert streamed == batch  # bit-exact, every user

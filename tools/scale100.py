@@ -72,6 +72,15 @@ QUERIES_100X = [
     "l80_bigram_lm_score",
     "l84_duplicate_text_spans",
     "l85_kmeans_train",
+    # round-9 session-3 additions: the Arrow-batched MaxSim pair
+    # scorer over the 5 M-vector replicated corpus (the pair stream is
+    # the stress: 40 M pairs x 128 floats through the Arrow seam), and
+    # the BFS trade-reach whose pair aggregation rides the 60 M-row
+    # fact join before the nation-sized frontier loop. l90/rs33/s17
+    # are bounded-by-construction shapes already implied by l88/r01/
+    # s10 entries.
+    "l91_maxsim_retrieval",
+    "r89_trade_reach",
 ]
 PARTITION_SETTINGS = (32, 13)
 
