@@ -191,6 +191,7 @@ HEADLINE = [
     "r89_trade_reach",
     "rs33_ips_ctr_debias",
     "s17_holt_forecast",
+    "l92_score_calibration",
 ]
 
 

@@ -4698,6 +4698,92 @@ WHERE rank <= 3
 """
 
 
+# --------------------------------------------------------------------- l92
+def l92_score_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability-diagram calibration audit for the l56 linear quality
+    classifier — the eval artifact every learned data filter needs
+    before its threshold is trusted (is a higher score actually a
+    higher empirical rate of the property being predicted?): documents
+    bin by score (fixed 30k-ppm-wide bins, clamped to 8) and each bin
+    reports its doc count, positive count, observed positive rate and
+    mean score — all exact int64 (rates/means by integer division), so
+    the whole diagram is engine-agreed. The reference label is the
+    deterministic non-repetitiveness indicator ``2·n_distinct ≥
+    n_tokens`` (the property l56's diversity-weighted score is built
+    to track). rs27 audits a recommender protocol the same way; this
+    is the corpus-filter sibling.
+
+    Scale: one projection pass (the l56 features are per-row
+    expressions) into one map-side-combined 8-group aggregation —
+    nothing downstream of the scan exceeds 8 rows.
+    """
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    feats = docs.select(
+        F.size(words).cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
+    )
+    scored = feats.select(
+        (
+            F.col("n_tokens") * 1500
+            + F.col("n_chars") * 30
+            + F.col("n_distinct") * 2500
+        ).alias("score"),
+        (2 * F.col("n_distinct") >= F.col("n_tokens"))
+        .cast("long")
+        .alias("label"),
+    )
+    binned = scored.select(
+        F.least(
+            F.lit(7), F.greatest(F.lit(0), F.expr("score DIV 30000"))
+        ).alias("bin"),
+        "score",
+        "label",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("label").alias("n_pos"),
+            F.sum("score").alias("_score_sum"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            F.expr("(1000000 * n_pos) DIV n_docs").alias("pos_rate_ppm"),
+            F.expr("_score_sum DIV n_docs").alias("mean_score"),
+        )
+    )
+
+
+L92_SQL = """
+WITH feats AS (
+  SELECT CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS BIGINT) AS n_tokens,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(len(list_distinct(
+             list_filter(string_split(text, ' '), w -> w <> '')))
+              AS BIGINT) AS n_distinct
+  FROM documents),
+scored AS (
+  SELECT n_tokens * 1500 + n_chars * 30 + n_distinct * 2500 AS score,
+         CASE WHEN 2 * n_distinct >= n_tokens THEN 1 ELSE 0 END AS label
+  FROM feats)
+SELECT least(7, greatest(0, score // 30000)) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(label) AS BIGINT) AS n_pos,
+       CAST((1000000 * sum(label)) // count(*) AS BIGINT)
+         AS pos_rate_ppm,
+       CAST(sum(score) // count(*) AS BIGINT) AS mean_score
+FROM scored
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -4790,6 +4876,7 @@ QUERIES = {
     "l89_video_scene_cuts": l89_video_scene_cuts,
     "l90_audio_autocorr": l90_audio_autocorr,
     "l91_maxsim_retrieval": l91_maxsim_retrieval,
+    "l92_score_calibration": l92_score_calibration,
 }
 
 ORACLE = {
@@ -4884,4 +4971,5 @@ ORACLE = {
     "l89_video_scene_cuts": L89_SQL,
     "l90_audio_autocorr": L90_SQL,
     "l91_maxsim_retrieval": L91_SQL,
+    "l92_score_calibration": L92_SQL,
 }

@@ -1382,3 +1382,21 @@ def test_maxsim_arrow_and_expr_impls_bit_identical(spark):
     # The numpy float64 product + floor quantization must reproduce
     # the JVM fold exactly — scores AND ranks, not just the id sets.
     assert rows("arrow") == rows("expr")
+
+
+def test_score_calibration_bins_partition_corpus(spark):
+    from pyspark_recs.workloads.llmops import l92_score_calibration
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.bin: r for r in l92_score_calibration(spark, sf).collect()}
+    total = sum(r.n_docs for r in rows.values())
+    n_docs_table = 500
+    assert total == n_docs_table  # every doc lands in exactly one bin
+    for r in rows.values():
+        assert 0 <= r.n_pos <= r.n_docs
+        assert 0 <= r.pos_rate_ppm <= 1_000_000
+        # interior bins: the mean score must sit inside the bin bounds
+        if 0 < r.bin < 7:
+            assert r.bin * 30000 <= r.mean_score < (r.bin + 1) * 30000
+    # the diagram must be non-degenerate: multiple populated bins
+    assert len(rows) >= 3
