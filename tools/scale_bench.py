@@ -101,6 +101,13 @@ HEADLINE = [
     "l81_dsir_importance",
     "l84_duplicate_text_spans",
     "l85_kmeans_train",
+    # round-9 session-3 additions: BFS reach + IPS debias ride the
+    # replicated fact tables; MaxSim and Holt are engine-vs-engine on
+    # identical unscaled inputs like l85/s01.
+    "r89_trade_reach",
+    "rs33_ips_ctr_debias",
+    "l91_maxsim_retrieval",
+    "s17_holt_forecast",
 ]
 KEY_SHIFT = 10_000_000  # > max o_orderkey at sf0.1 (600k)
 
