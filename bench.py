@@ -192,6 +192,7 @@ HEADLINE = [
     "rs33_ips_ctr_debias",
     "s17_holt_forecast",
     "l92_score_calibration",
+    "rs34_candidate_recall_sweep",
 ]
 
 

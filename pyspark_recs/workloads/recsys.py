@@ -3500,6 +3500,135 @@ GROUP BY l_partkey
 """
 
 
+# --------------------------------------------------------------------- rs34
+def rs34_candidate_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate-generation recall@N sweep — the retrieval-ceiling
+    audit every two-stage recommender tracks (a ranker can never
+    recover an item the candidate stage dropped, so recall@N of the
+    FIRST stage upper-bounds end-to-end hit rate): over the exact
+    rs24 protocol (leave-last-order-out holdout, train-only capped
+    histories, ≥2-support co-occurrence neighbors), measure for
+    N ∈ {1, 3, 5, 10} the fraction of anchor users whose held-out
+    order is hit within the top-N neighbor list. l68 sweeps a dedup
+    threshold from one verification pass; this sweeps the serving
+    cutoff from one scoring pass — per user only the FIRST hit rank
+    is kept, then each cutoff is a conditional count. Exact integer
+    ppm; fully deterministic tie-breaks inherited from rs24.
+
+    Scale: rides the session-shared/artifact-backed holdout tables
+    (one lineitem scan + one pair expansion per session for the whole
+    eval family); `hits` is ≤ one row per user, the cutoff table is 4
+    rows, and the final aggregation is 4 groups.
+    """
+    test_items = _holdout_test_items(spark, sf)
+    lists = _holdout_lists(spark, sf)
+    wn = Window.partitionBy("item_a").orderBy(F.desc("n_ab"), F.asc("item_b"))
+    ranked = (
+        _holdout_co(spark, sf)
+        .withColumn("nrank", F.row_number().over(wn))
+        .filter(F.col("nrank") <= 10)
+        .select("item_a", "item_b", F.col("nrank").cast("long").alias("nrank"))
+    )
+    anchors = lists.select("user_id", "anchor_item")
+    hits = (
+        anchors.join(ranked, anchors.anchor_item == ranked.item_a)
+        .join(
+            test_items.select(
+                F.col("user_id").alias("t_user"),
+                F.col("item_id").alias("t_item"),
+            ),
+            (F.col("user_id") == F.col("t_user"))
+            & (F.col("item_b") == F.col("t_item")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("nrank").alias("first_hit_rank"))
+    )
+    tot = anchors.agg(F.count(F.lit(1)).alias("n_users"))
+    cut = spark.createDataFrame([(1,), (3,), (5,), (10,)], "n long")
+    return (
+        cut.crossJoin(F.broadcast(tot))
+        .join(hits, F.lit(True), "left")
+        .groupBy("n", "n_users")
+        .agg(
+            F.count(
+                F.when(F.col("first_hit_rank") <= F.col("n"), F.lit(1))
+            ).alias("n_hits")
+        )
+        .select(
+            "n",
+            "n_users",
+            "n_hits",
+            F.expr("(1000000 * n_hits) DIV n_users").alias("recall_ppm"),
+        )
+    )
+
+
+RS34_SQL = """
+WITH tagged_orders AS (
+  SELECT o_orderkey, o_custkey AS user_id,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+           AS is_test
+  FROM orders),
+tagged AS (
+  SELECT t.user_id, l.l_partkey AS item_id, t.is_test
+  FROM lineitem l JOIN tagged_orders t ON l.l_orderkey = t.o_orderkey),
+test_items AS (
+  SELECT DISTINCT user_id, item_id FROM tagged WHERE is_test),
+inter AS (
+  SELECT user_id, item_id, CAST(count(*) AS BIGINT) AS n_purchases
+  FROM tagged WHERE NOT is_test GROUP BY user_id, item_id),
+hist AS (
+  SELECT user_id, item_id FROM (
+    SELECT user_id, item_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY n_purchases DESC, item_id) AS hr
+    FROM inter)
+  WHERE hr <= 20),
+half AS (
+  SELECT a.item_id AS item_a, b.item_id AS item_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM hist a JOIN hist b
+    ON a.user_id = b.user_id AND a.item_id < b.item_id
+  GROUP BY a.item_id, b.item_id
+  HAVING count(*) >= 2),
+mirrored AS (
+  SELECT item_a, item_b, n_ab FROM half
+  UNION ALL
+  SELECT item_b, item_a, n_ab FROM half),
+neighbors AS (
+  SELECT item_a, item_b, CAST(nrank AS BIGINT) AS nrank FROM (
+    SELECT item_a, item_b,
+           row_number() OVER (PARTITION BY item_a
+                              ORDER BY n_ab DESC, item_b) AS nrank
+    FROM mirrored)
+  WHERE nrank <= 10),
+anchors AS (
+  SELECT user_id, item_id AS anchor_item FROM (
+    SELECT user_id, item_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY n_purchases DESC, item_id) AS r
+    FROM inter)
+  WHERE r = 1),
+hits AS (
+  SELECT a.user_id, min(n.nrank) AS first_hit_rank
+  FROM anchors a
+  JOIN neighbors n ON a.anchor_item = n.item_a
+  JOIN test_items t
+    ON t.user_id = a.user_id AND t.item_id = n.item_b
+  GROUP BY a.user_id),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM anchors),
+cut(n) AS (VALUES (1), (3), (5), (10))
+SELECT CAST(c.n AS BIGINT) AS n, t.n_users,
+       CAST(count(CASE WHEN h.first_hit_rank <= c.n THEN 1 END)
+            AS BIGINT) AS n_hits,
+       CAST((1000000 * count(CASE WHEN h.first_hit_rank <= c.n THEN 1 END))
+            // t.n_users AS BIGINT) AS recall_ppm
+FROM cut c CROSS JOIN tot t LEFT JOIN hits h ON true
+GROUP BY c.n, t.n_users
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -3534,6 +3663,7 @@ QUERIES = {
     "rs31_behavioral_audit": rs31_behavioral_audit,
     "rs32_joint_feature_eval": rs32_joint_feature_eval,
     "rs33_ips_ctr_debias": rs33_ips_ctr_debias,
+    "rs34_candidate_recall_sweep": rs34_candidate_recall_sweep,
 }
 
 ORACLE = {
@@ -3570,4 +3700,5 @@ ORACLE = {
     "rs31_behavioral_audit": RS31_SQL,
     "rs32_joint_feature_eval": RS32_SQL,
     "rs33_ips_ctr_debias": RS33_SQL,
+    "rs34_candidate_recall_sweep": RS34_SQL,
 }

@@ -418,3 +418,25 @@ def test_khop_min_distance_chain_multisource_and_early_exit(spark):
         for r in khop_min_distance(tiny, seeds, max_hops=50).collect()
     }
     assert got3 == {1: 0, 2: 1}
+
+
+def test_candidate_recall_sweep_monotone_and_consistent_with_rs24(spark):
+    from pyspark_recs.workloads.recsys import (
+        rs24_cf_holdout_eval,
+        rs34_candidate_recall_sweep,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sweep = {r.n: r for r in rs34_candidate_recall_sweep(spark, sf).collect()}
+    assert sorted(sweep) == [1, 3, 5, 10]
+    # recall@N is monotone non-decreasing in N, denominators identical
+    rows = [sweep[n] for n in (1, 3, 5, 10)]
+    assert all(a.n_hits <= b.n_hits for a, b in zip(rows, rows[1:]))
+    assert len({r.n_users for r in rows}) == 1
+    # recall@10 must equal rs24's hit rate — same protocol, same
+    # anchors, same neighbor lists, so the sweep's last point IS the
+    # end-to-end eval's number.
+    rs24 = rs24_cf_holdout_eval(spark, sf).collect()
+    hits24 = sum(1 for r in rs24 if r.hit)
+    assert sweep[10].n_hits == hits24
+    assert sweep[10].n_users == len(rs24)
