@@ -193,6 +193,7 @@ HEADLINE = [
     "s17_holt_forecast",
     "l92_score_calibration",
     "rs34_candidate_recall_sweep",
+    "r90_cuped_ab_lift",
 ]
 
 

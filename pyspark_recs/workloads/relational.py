@@ -4539,6 +4539,149 @@ GROUP BY n.n_nationkey, n.n_name
 """
 
 
+# --------------------------------------------------------------------- r90
+def r90_cuped_ab_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM'13 — the
+    industry-standard experimentation estimator): users hash-split
+    into two arms, the post-period metric Y is adjusted by the
+    pre-period covariate X as ``Y − θ(X − X̄)`` with
+    ``θ = cov(X, Y)/var(X)`` from POOLED data, which strips the
+    between-user variance both arms share and tightens the lift CI
+    without biasing it. Completes the experimentation family beside
+    r62's chi-square and r69's Mann-Whitney: those TEST, this
+    ESTIMATES.
+
+    Determinism: per-user X/Y are fixed-point BIGINT sums (scale 10²),
+    the pooled moment sums (Σx, Σy, Σx², Σxy, n) are exact int64, and
+    θ / the adjusted means are single double expressions over those
+    exact integers written IDENTICALLY in both engines — same inputs,
+    same operation order, same IEEE result. int64 headroom: per-user
+    |x_q| ≲ 10⁶ at sf0.1 (values ≤ ~512, ≲ 100 events/user), so
+    Σx² ≲ 10¹² per user and ≲ 10¹⁷ pooled at sf10 — drop the quantize
+    scale at petabyte event volumes.
+
+    Scale: one groupBy(user) over the event scan (map-side combined),
+    one 5-number pooled aggregate broadcast back, one 2-group arm
+    aggregate — nothing after the first shuffle exceeds user
+    cardinality, and the moment fold is the l44/r49 sufficient-
+    statistics discipline (shuffle size independent of event rows).
+    """
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    bounds = ev.agg(
+        F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
+    )
+    q = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    halved = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.when(F.col("ts_us") * 2 < F.col("lo") + F.col("hi"), q)
+        .otherwise(F.lit(0))
+        .alias("x_q"),
+        F.when(F.col("ts_us") * 2 >= F.col("lo") + F.col("hi"), q)
+        .otherwise(F.lit(0))
+        .alias("y_q"),
+    )
+    per_user = halved.groupBy("user_id").agg(
+        F.sum("x_q").alias("x"), F.sum("y_q").alias("y")
+    )
+    users = per_user.select(
+        (md5_long(F.col("user_id").cast("string")) % 2).alias("arm"),
+        "x",
+        "y",
+    )
+    pooled = users.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    # theta and the pooled X mean as double expressions over exact ints
+    arms = (
+        users.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("x").alias("arm_sx"),
+            F.sum("y").alias("arm_sy"),
+        )
+        .crossJoin(F.broadcast(pooled))
+    )
+    theta = (
+        (
+            F.col("n").cast("double") * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        )
+        / (
+            F.col("n").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+    )
+    mean_x_pool = F.col("sx").cast("double") / F.col("n").cast("double")
+    mean_x_arm = F.col("arm_sx").cast("double") / F.col("n_users").cast(
+        "double"
+    )
+    mean_y_arm = F.col("arm_sy").cast("double") / F.col("n_users").cast(
+        "double"
+    )
+    return arms.select(
+        "arm",
+        "n_users",
+        F.col("arm_sx").alias("sum_x_q"),
+        F.col("arm_sy").alias("sum_y_q"),
+        mean_y_arm.alias("mean_y"),
+        (mean_y_arm - theta * (mean_x_arm - mean_x_pool)).alias(
+            "cuped_mean_y"
+        ),
+    )
+
+
+R90_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+bounds AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM ev),
+halved AS (
+  SELECT user_id,
+         CASE WHEN ts_us * 2 < lo + hi
+              THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+              ELSE 0 END AS x_q,
+         CASE WHEN ts_us * 2 >= lo + hi
+              THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+              ELSE 0 END AS y_q
+  FROM ev CROSS JOIN bounds),
+per_user AS (
+  SELECT user_id, CAST(sum(x_q) AS BIGINT) AS x,
+         CAST(sum(y_q) AS BIGINT) AS y
+  FROM halved GROUP BY user_id),
+users AS (
+  SELECT {sql_md5_long("CAST(user_id AS VARCHAR)")} % 2 AS arm, x, y
+  FROM per_user),
+pooled AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM users),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(x) AS BIGINT) AS arm_sx,
+         CAST(sum(y) AS BIGINT) AS arm_sy
+  FROM users GROUP BY arm)
+SELECT a.arm, a.n_users,
+       a.arm_sx AS sum_x_q, a.arm_sy AS sum_y_q,
+       CAST(a.arm_sy AS DOUBLE) / CAST(a.n_users AS DOUBLE) AS mean_y,
+       CAST(a.arm_sy AS DOUBLE) / CAST(a.n_users AS DOUBLE)
+       - ((CAST(p.n AS DOUBLE) * CAST(p.sxy AS DOUBLE)
+           - CAST(p.sx AS DOUBLE) * CAST(p.sy AS DOUBLE))
+          / (CAST(p.n AS DOUBLE) * CAST(p.sxx AS DOUBLE)
+             - CAST(p.sx AS DOUBLE) * CAST(p.sx AS DOUBLE)))
+         * (CAST(a.arm_sx AS DOUBLE) / CAST(a.n_users AS DOUBLE)
+            - CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE))
+         AS cuped_mean_y
+FROM arms a CROSS JOIN pooled p
+"""
+
+
 QUERIES = {
     "r01_pricing_summary": r01_pricing_summary,
     "r02_frequent_customers": r02_frequent_customers,
@@ -4629,6 +4772,7 @@ QUERIES = {
     "r87_top_supplier": r87_top_supplier,
     "r88_important_stock": r88_important_stock,
     "r89_trade_reach": r89_trade_reach,
+    "r90_cuped_ab_lift": r90_cuped_ab_lift,
 }
 
 ORACLE = {
@@ -4720,6 +4864,7 @@ ORACLE = {
     "r87_top_supplier": R87_SQL,
     "r88_important_stock": R88_SQL,
     "r89_trade_reach": R89_SQL,
+    "r90_cuped_ab_lift": R90_SQL,
     # r27: bounded check — exact count reproduced, HLL asserted within 4·rsd
     "r27_approx_distinct": R27_SQL,
 }

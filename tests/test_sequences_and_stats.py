@@ -440,3 +440,28 @@ def test_candidate_recall_sweep_monotone_and_consistent_with_rs24(spark):
     hits24 = sum(1 for r in rs24 if r.hit)
     assert sweep[10].n_hits == hits24
     assert sweep[10].n_users == len(rs24)
+
+
+def test_cuped_preserves_pooled_mean_and_partitions_users(spark):
+    from pyspark_recs.workloads.relational import r90_cuped_ab_lift
+
+    sf = "/root/testdata/sf0.001"
+    rows = r90_cuped_ab_lift(spark, sf).collect()
+    assert sorted(r.arm for r in rows) == [0, 1]
+    from pyspark_recs.io import load_table
+
+    n_users = (
+        load_table(spark, sf, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in rows) == n_users
+    # CUPED is mean-preserving in the pool: the arm adjustments are
+    # theta-weighted deviations of arm X-means from the POOLED X-mean,
+    # which cancel when re-weighted by arm size — an algebraic
+    # identity, so the weighted adjusted mean equals the weighted raw
+    # mean up to float associativity.
+    raw = sum(r.n_users * r.mean_y for r in rows)
+    adj = sum(r.n_users * r.cuped_mean_y for r in rows)
+    assert abs(raw - adj) < 1e-6 * max(1.0, abs(raw))
+    # and the adjustment must actually DO something per arm (the arms'
+    # pre-period means differ on real data)
+    assert any(abs(r.cuped_mean_y - r.mean_y) > 1e-9 for r in rows)
