@@ -194,6 +194,7 @@ HEADLINE = [
     "l92_score_calibration",
     "rs34_candidate_recall_sweep",
     "r90_cuped_ab_lift",
+    "rs35_kcore_trace",
 ]
 
 

@@ -3629,6 +3629,95 @@ GROUP BY c.n, t.n_users
 """
 
 
+# --------------------------------------------------------------------- rs35
+def rs35_kcore_trace(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterative k-core filtering of the user-item interaction graph —
+    the preprocessing step every recsys benchmark applies ("10-core
+    MovieLens") and every CF paper's dataset table reports: repeatedly
+    drop users AND items with fewer than k=20 distinct interactions,
+    SIMULTANEOUSLY per round (the parallel-peeling formulation), until
+    the surviving subgraph is the k-core where every user and item has
+    ≥ k degree. One-shot degree filtering (rs05's history caps, J4's
+    frequency semi-join) misses the cascade: removing thin users
+    thins items, which thins more users — here round 1 alone is not
+    converged and rounds 2-3 keep peeling (measured at both contract
+    SFs). Output is the CONVERGENCE TRACE — (round, n_edges, n_users,
+    n_items) for rounds 0..5 — the dataset-shrinkage table a curation
+    report shows; fixed 5 peel rounds keep the output deterministic
+    whether or not the graph has converged.
+
+    Scale: per round, two map-side-combined degree aggregations and
+    two left-semi joins (shuffles keyed on user and item — the
+    natural partitionings); state is the edge list, cached and
+    materialized per round with the previous round released (the
+    pagerank/khop lineage discipline). Rounds are few by construction
+    (each non-final round removes ≥ 1 node).
+    """
+    k = 20
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .distinct()
+        .cache()
+    )
+    rows = []
+    cur = edges
+    pinned = [edges]
+    for r in range(6):
+        stats = cur.agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("u").alias("n_users"),
+            F.countDistinct("i").alias("n_items"),
+        ).first()
+        rows.append((r, stats.n_edges, stats.n_users, stats.n_items))
+        if r == 5:
+            break
+        ukeep = cur.groupBy("u").count().filter(F.col("count") >= k).select("u")
+        ikeep = cur.groupBy("i").count().filter(F.col("count") >= k).select("i")
+        nxt = (
+            cur.join(ukeep, "u", "left_semi")
+            .join(ikeep, "i", "left_semi")
+            .cache()
+        )
+        pinned.append(nxt)
+        cur = nxt
+    for df in pinned:
+        df.unpersist()
+    return spark.createDataFrame(
+        rows, "round long, n_edges long, n_users long, n_items long"
+    )
+
+
+def _kcore_round_sql(prev: str, cur: str, k: int = 20) -> str:
+    return f"""{cur} AS (
+  SELECT u, i FROM {prev}
+  WHERE u IN (SELECT u FROM {prev} GROUP BY u HAVING count(*) >= {k})
+    AND i IN (SELECT i FROM {prev} GROUP BY i HAVING count(*) >= {k}))"""
+
+
+RS35_SQL = (
+    """WITH e0 AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+"""
+    + ",\n".join(
+        _kcore_round_sql(f"e{r}", f"e{r + 1}") for r in range(5)
+    )
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT i) AS BIGINT) AS n_items FROM e{r}"""
+        for r in range(6)
+    )
+)
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -3664,6 +3753,7 @@ QUERIES = {
     "rs32_joint_feature_eval": rs32_joint_feature_eval,
     "rs33_ips_ctr_debias": rs33_ips_ctr_debias,
     "rs34_candidate_recall_sweep": rs34_candidate_recall_sweep,
+    "rs35_kcore_trace": rs35_kcore_trace,
 }
 
 ORACLE = {
@@ -3701,4 +3791,5 @@ ORACLE = {
     "rs32_joint_feature_eval": RS32_SQL,
     "rs33_ips_ctr_debias": RS33_SQL,
     "rs34_candidate_recall_sweep": RS34_SQL,
+    "rs35_kcore_trace": RS35_SQL,
 }

@@ -465,3 +465,21 @@ def test_cuped_preserves_pooled_mean_and_partitions_users(spark):
     # and the adjustment must actually DO something per arm (the arms'
     # pre-period means differ on real data)
     assert any(abs(r.cuped_mean_y - r.mean_y) > 1e-9 for r in rows)
+
+
+def test_kcore_trace_cascades_and_converges(spark):
+    from pyspark_recs.workloads.recsys import rs35_kcore_trace
+
+    sf = "/root/testdata/sf0.001"
+    trace = {r.round: r for r in rs35_kcore_trace(spark, sf).collect()}
+    assert sorted(trace) == [0, 1, 2, 3, 4, 5]
+    # peeling shrinks monotonically ...
+    for a, b in zip(range(0, 5), range(1, 6)):
+        assert trace[b].n_edges <= trace[a].n_edges
+        assert trace[b].n_users <= trace[a].n_users
+        assert trace[b].n_items <= trace[a].n_items
+    # ... the CASCADE is real (round 2 removes edges round 1 kept —
+    # a one-shot degree filter would be converged after round 1) ...
+    assert trace[2].n_edges < trace[1].n_edges < trace[0].n_edges
+    # ... and the trace approaches a fixed point by the tail
+    assert trace[5].n_edges >= trace[4].n_edges - trace[0].n_edges // 100
