@@ -195,6 +195,7 @@ HEADLINE = [
     "rs34_candidate_recall_sweep",
     "r90_cuped_ab_lift",
     "rs35_kcore_trace",
+    "l93_curriculum_shards",
 ]
 
 

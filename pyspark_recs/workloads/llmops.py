@@ -4784,6 +4784,98 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------- l93
+def l93_curriculum_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-ordered curriculum sharding — the pretraining-prep step
+    after filtering and mixing: order the corpus by the l56 quality
+    score (best first) and cut it into 8 shards of ~equal TOKEN mass
+    (not doc count), so a curriculum schedule can feed shard 0 → 7 and
+    every shard costs the same compute. The global ordered cumulative
+    token count comes from ``scalable_prefix_sum`` — the two-phase
+    range-partitioned running total — NOT a single-task ``ORDER BY``
+    window, so the cut scales (the s11/s13 discipline); the order key
+    packs (score desc, doc_id) into one unique BIGINT so ties are
+    total. Shard of a doc = ``((cum − 1) · 8) DIV total`` — exact
+    integer arithmetic, and the per-shard report (docs, tokens, score
+    range) is the curriculum manifest. Shard token masses are equal
+    within one max-document granularity by construction.
+
+    Scale: one projection pass for features, one scalable prefix pass
+    (range exchange + parallel windows + a 32-row offset broadcast),
+    one 8-group aggregation. No single-partition window anywhere
+    (plan-asserted for the underlying utility in test_plans).
+    """
+    from pyspark_recs.sql.transforms import scalable_prefix_sum
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    scored = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tokens"),
+        (
+            F.size(words).cast("long") * 1500
+            + F.col("n_chars").cast("long") * 30
+            + F.size(F.array_distinct(words)).cast("long") * 2500
+        ).alias("score"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "score",
+        (
+            (F.lit(1_000_000) - F.col("score")) * F.lit(4294967296)
+            + F.col("doc_id")
+        ).alias("okey"),
+    )
+    cum = scalable_prefix_sum(scored, "okey", "n_tokens", out_col="cum")
+    tot = cum.agg(F.sum("n_tokens").alias("total"))
+    sharded = cum.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        "score",
+        F.expr("((cum - 1) * 8) DIV total").alias("shard"),
+    )
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.max("score").alias("best_score"),
+            F.min("score").alias("worst_score"),
+        )
+    )
+
+
+L93_SQL = """
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS BIGINT) * 1500
+         + CAST(n_chars AS BIGINT) * 30
+         + CAST(len(list_distinct(
+               list_filter(string_split(text, ' '), w -> w <> '')))
+               AS BIGINT) * 2500 AS score
+  FROM documents),
+cum AS (
+  SELECT doc_id, n_tokens, score,
+         sum(n_tokens) OVER (
+           ORDER BY (1000000 - score) * 4294967296 + doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n_tokens) OVER () AS total
+  FROM feats)
+SELECT CAST(((cum - 1) * 8) // total AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       CAST(max(score) AS BIGINT) AS best_score,
+       CAST(min(score) AS BIGINT) AS worst_score
+FROM cum
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -4877,6 +4969,7 @@ QUERIES = {
     "l90_audio_autocorr": l90_audio_autocorr,
     "l91_maxsim_retrieval": l91_maxsim_retrieval,
     "l92_score_calibration": l92_score_calibration,
+    "l93_curriculum_shards": l93_curriculum_shards,
 }
 
 ORACLE = {
@@ -4972,4 +5065,5 @@ ORACLE = {
     "l90_audio_autocorr": L90_SQL,
     "l91_maxsim_retrieval": L91_SQL,
     "l92_score_calibration": L92_SQL,
+    "l93_curriculum_shards": L93_SQL,
 }

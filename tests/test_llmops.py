@@ -1400,3 +1400,31 @@ def test_score_calibration_bins_partition_corpus(spark):
             assert r.bin * 30000 <= r.mean_score < (r.bin + 1) * 30000
     # the diagram must be non-degenerate: multiple populated bins
     assert len(rows) >= 3
+
+
+def test_curriculum_shards_balanced_and_score_ordered(spark):
+    from pyspark_recs.workloads.llmops import l93_curriculum_shards
+
+    sf = "/root/testdata/sf0.001"
+    shards = {r.shard: r for r in l93_curriculum_shards(spark, sf).collect()}
+    assert sorted(shards) == list(range(8))
+    total = sum(r.shard_tokens for r in shards.values())
+    # token-balanced within one max-document granularity
+    from pyspark_recs.io import load_table
+    from pyspark.sql import functions as FF
+
+    max_doc = (
+        load_table(spark, sf, "documents")
+        .select(
+            FF.size(
+                FF.filter(FF.split("text", " "), lambda w: w != "")
+            ).alias("n")
+        )
+        .agg(FF.max("n"))
+        .first()[0]
+    )
+    for r in shards.values():
+        assert abs(r.shard_tokens - total / 8) <= max_doc
+    # curriculum order: shard s's tail score >= shard s+1's head score
+    for s in range(7):
+        assert shards[s].worst_score >= shards[s + 1].best_score
