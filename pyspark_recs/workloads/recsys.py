@@ -3653,40 +3653,70 @@ def rs35_kcore_trace(spark: SparkSession, sf: str) -> DataFrame:
     pagerank/khop lineage discipline). Rounds are few by construction
     (each non-final round removes ≥ 1 node).
     """
+    def build() -> DataFrame:
+        return _kcore_trace_build(spark, sf)
+
+    return shared_plan(spark, sf, "kcore_trace", build)
+
+
+def _kcore_trace_build(spark: SparkSession, sf: str) -> DataFrame:
     k = 20
-    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
-        )
-        .distinct()
-        .cache()
+    # The distinct (user, item) edge list IS the shared interaction
+    # matrix's key set — ride the session-cached table the whole CF
+    # family uses instead of re-scanning the facts.
+    edges = _shared_interactions(spark, sf).select(
+        F.col("user_id").alias("u"), F.col("item_id").alias("i")
     )
     rows = []
-    cur = edges
-    pinned = [edges]
+    # Each round's survivors reference the previous round THREE times
+    # (edge list + both degree tables), so a lazy lineage grows 3^r —
+    # by round 6 the optimizer itself is the bottleneck (and the plan
+    # string OOMs). localCheckpoint truncates the logical plan to the
+    # materialized RDD every round: plans stay round-local and
+    # constant-size, the iterative-graph discipline one step past
+    # pagerank's cache cadence.
+    cur = edges.localCheckpoint()
+    prev_edges = None
     for r in range(6):
-        stats = cur.agg(
-            F.count(F.lit(1)).alias("n_edges"),
-            F.countDistinct("u").alias("n_users"),
-            F.countDistinct("i").alias("n_items"),
+        # ONE degree table per side serves both the round's stats
+        # (n_edges = Σ deg, n_users = |table|) and the peel filter —
+        # no COUNT(DISTINCT) expand over the edge list, and the
+        # node-sized aggregates are the only driver actions per round.
+        ud = cur.groupBy("u").count().cache()
+        idf = cur.groupBy("i").count().cache()
+        us = ud.agg(
+            F.sum("count").alias("n_edges"), F.count(F.lit(1)).alias("n")
         ).first()
-        rows.append((r, stats.n_edges, stats.n_users, stats.n_items))
-        if r == 5:
+        n_items = idf.count()
+        rows.append((r, us.n_edges, us.n, n_items))
+        if us.n_edges == prev_edges:
+            # fixed point: peeling a k-core returns itself, so the
+            # remaining trace rows are copies — stop issuing jobs.
+            rows.extend(
+                (rr, us.n_edges, us.n, n_items) for rr in range(r + 1, 6)
+            )
+            ud.unpersist()
+            idf.unpersist()
             break
-        ukeep = cur.groupBy("u").count().filter(F.col("count") >= k).select("u")
-        ikeep = cur.groupBy("i").count().filter(F.col("count") >= k).select("i")
-        nxt = (
-            cur.join(ukeep, "u", "left_semi")
-            .join(ikeep, "i", "left_semi")
-            .cache()
-        )
-        pinned.append(nxt)
-        cur = nxt
-    for df in pinned:
-        df.unpersist()
+        prev_edges = us.n_edges
+        if r < 5:
+            cur = (
+                cur.join(
+                    F.broadcast(ud.filter(F.col("count") >= k).select("u")),
+                    "u",
+                    "left_semi",
+                )
+                .join(
+                    F.broadcast(
+                        idf.filter(F.col("count") >= k).select("i")
+                    ),
+                    "i",
+                    "left_semi",
+                )
+                .localCheckpoint()  # eager: materializes before ud/idf drop
+            )
+        ud.unpersist()
+        idf.unpersist()
     return spark.createDataFrame(
         rows, "round long, n_edges long, n_users long, n_items long"
     )
