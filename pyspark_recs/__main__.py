@@ -70,8 +70,7 @@ def cmd_run(args) -> int:
 def cmd_oracle(args) -> int:
     from tools.oracle_check import main as oracle_main  # repo-root tools/
 
-    sys.argv = ["oracle_check", args.sf_dir, args.query]
-    return oracle_main()
+    return oracle_main([args.sf_dir, args.query])
 
 
 def main() -> int:

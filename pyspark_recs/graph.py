@@ -461,4 +461,5 @@ def khop_min_distance(
     for df in pinned:
         if df is not result:
             df.unpersist()
+    e.unpersist()
     return result

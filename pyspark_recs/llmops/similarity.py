@@ -172,6 +172,7 @@ def _maxsim_pairs_arrow(
     from pyspark.sql.functions import pandas_udf
 
     nt = n_tokens
+    scale = _DOT_SCALE  # captured: the arrow and expr paths must share it
 
     @pandas_udf("long")
     def maxsim_long(qv: pd.Series, cv: pd.Series) -> pd.Series:
@@ -185,7 +186,7 @@ def _maxsim_pairs_arrow(
         ct = c.reshape(b, nt, sub)
         # P[b, t, s, d] = q_t[d] * c_s[d], quantized per element
         prod = qt[:, :, None, :] * ct[:, None, :, :]
-        fp = np.floor(prod * 1e12 + 0.5).astype(np.int64)
+        fp = np.floor(prod * scale + 0.5).astype(np.int64)
         score = fp.sum(axis=3).max(axis=2).sum(axis=1)
         return pd.Series(score)
 

@@ -4834,7 +4834,7 @@ def l93_curriculum_shards(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "score",
-        F.expr("((cum - 1) * 8) DIV total").alias("shard"),
+        F.expr("(greatest(0L, cum - 1) * 8) DIV total").alias("shard"),
     )
     return (
         sharded.groupBy("shard")
@@ -4866,7 +4866,7 @@ cum AS (
            ROWS UNBOUNDED PRECEDING) AS cum,
          sum(n_tokens) OVER () AS total
   FROM feats)
-SELECT CAST(((cum - 1) * 8) // total AS BIGINT) AS shard,
+SELECT CAST((greatest(0, cum - 1) * 8) // total AS BIGINT) AS shard,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
        CAST(max(score) AS BIGINT) AS best_score,

@@ -274,7 +274,11 @@ def _holdout_top10(spark: SparkSession, sf: str) -> DataFrame:
             _holdout_co(spark, sf)
             .withColumn("nrank", F.row_number().over(wn))
             .filter(F.col("nrank") <= 10)
-            .select("item_a", "item_b")
+            .select(
+                "item_a",
+                "item_b",
+                F.col("nrank").cast("long").alias("nrank"),
+            )
         )
 
     return artifact_plan(spark, sf, "holdout_top10", ARTIFACT_V, build)
@@ -3522,13 +3526,9 @@ def rs34_candidate_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
     """
     test_items = _holdout_test_items(spark, sf)
     lists = _holdout_lists(spark, sf)
-    wn = Window.partitionBy("item_a").orderBy(F.desc("n_ab"), F.asc("item_b"))
-    ranked = (
-        _holdout_co(spark, sf)
-        .withColumn("nrank", F.row_number().over(wn))
-        .filter(F.col("nrank") <= 10)
-        .select("item_a", "item_b", F.col("nrank").cast("long").alias("nrank"))
-    )
+    # The SAME ranked serving artifact rs24 recommends from (it now
+    # carries nrank), so the sweep can never drift from the eval.
+    ranked = _holdout_top10(spark, sf)
     anchors = lists.select("user_id", "anchor_item")
     hits = (
         anchors.join(ranked, anchors.anchor_item == ranked.item_a)
@@ -3688,17 +3688,21 @@ def _kcore_trace_build(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("count").alias("n_edges"), F.count(F.lit(1)).alias("n")
         ).first()
         n_items = idf.count()
-        rows.append((r, us.n_edges, us.n, n_items))
-        if us.n_edges == prev_edges:
+        # sum() over an empty edge set is NULL — the oracle's count(*)
+        # is 0, so coalesce (a 20-core CAN be empty: k=30 empties this
+        # very graph).
+        n_edges = us.n_edges or 0
+        rows.append((r, n_edges, us.n, n_items))
+        if n_edges == prev_edges:
             # fixed point: peeling a k-core returns itself, so the
             # remaining trace rows are copies — stop issuing jobs.
             rows.extend(
-                (rr, us.n_edges, us.n, n_items) for rr in range(r + 1, 6)
+                (rr, n_edges, us.n, n_items) for rr in range(r + 1, 6)
             )
             ud.unpersist()
             idf.unpersist()
             break
-        prev_edges = us.n_edges
+        prev_edges = n_edges
         if r < 5:
             cur = (
                 cur.join(

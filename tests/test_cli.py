@@ -40,7 +40,8 @@ def test_cli_run_explain_and_rows(spark, capsys):
     assert "Physical Plan" in capsys.readouterr().out
     ns.explain = False
     assert cmd_run(ns) == 0
-    assert "rows" in capsys.readouterr().out or True
+    shown = capsys.readouterr().out
+    assert "+--" in shown  # df.show() table border actually rendered
     assert cmd_run(
         argparse.Namespace(
             query="no_such_query", sf_dir="x", out=None, explain=False, n=5

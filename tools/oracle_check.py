@@ -70,9 +70,11 @@ def value_hash(lines: list[str]) -> str:
     return h.hexdigest()
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+def main(argv=None) -> int:
+    import sys as _sys
+    argv = list(_sys.argv) if argv is None else ["oracle_check", *argv]
+    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
+    only = set(argv[2:])
 
     import duckdb
 
