@@ -4698,6 +4698,40 @@ WHERE rank <= 3
 """
 
 
+def _l56_feature_cols():
+    """The l56 classifier's feature/score expressions, derived from the
+    SAME ``L56_WEIGHTS`` table the serving query broadcasts — l92's
+    calibration audit and l93's curriculum cut must score with the
+    model they claim to audit, so the constants live in exactly one
+    place."""
+    w = dict(L56_WEIGHTS)
+    words = F.filter(F.split("text", " "), lambda t: t != "")
+    n_tokens = F.size(words).cast("long")
+    score = (
+        n_tokens * w["n_tokens"]
+        + F.col("n_chars").cast("long") * w["n_chars"]
+        + F.size(F.array_distinct(words)).cast("long") * w["n_distinct"]
+    )
+    return n_tokens, score
+
+
+_L56_W = dict(L56_WEIGHTS)
+_SQL_L56_FEATS = f"""
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS BIGINT) * {_L56_W['n_tokens']}
+         + CAST(n_chars AS BIGINT) * {_L56_W['n_chars']}
+         + CAST(len(list_distinct(
+               list_filter(string_split(text, ' '), w -> w <> '')))
+               AS BIGINT) * {_L56_W['n_distinct']} AS score,
+         CAST(len(list_distinct(
+             list_filter(string_split(text, ' '), w -> w <> '')))
+             AS BIGINT) AS n_distinct
+  FROM documents"""
+
+
 # --------------------------------------------------------------------- l92
 def l92_score_calibration(spark: SparkSession, sf: str) -> DataFrame:
     """Reliability-diagram calibration audit for the l56 linear quality
@@ -4721,18 +4755,10 @@ def l92_score_calibration(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "text", "n_chars"
     )
     words = F.filter(F.split("text", " "), lambda w: w != "")
-    feats = docs.select(
-        F.size(words).cast("long").alias("n_tokens"),
-        F.col("n_chars").cast("long").alias("n_chars"),
-        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
-    )
-    scored = feats.select(
-        (
-            F.col("n_tokens") * 1500
-            + F.col("n_chars") * 30
-            + F.col("n_distinct") * 2500
-        ).alias("score"),
-        (2 * F.col("n_distinct") >= F.col("n_tokens"))
+    n_tokens, score = _l56_feature_cols()
+    scored = docs.select(
+        score.alias("score"),
+        (2 * F.size(F.array_distinct(words)).cast("long") >= n_tokens)
         .cast("long")
         .alias("label"),
     )
@@ -4760,17 +4786,10 @@ def l92_score_calibration(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-L92_SQL = """
-WITH feats AS (
-  SELECT CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
-              AS BIGINT) AS n_tokens,
-         CAST(n_chars AS BIGINT) AS n_chars,
-         CAST(len(list_distinct(
-             list_filter(string_split(text, ' '), w -> w <> '')))
-              AS BIGINT) AS n_distinct
-  FROM documents),
+L92_SQL = f"""
+WITH feats AS ({_SQL_L56_FEATS}),
 scored AS (
-  SELECT n_tokens * 1500 + n_chars * 30 + n_distinct * 2500 AS score,
+  SELECT score,
          CASE WHEN 2 * n_distinct >= n_tokens THEN 1 ELSE 0 END AS label
   FROM feats)
 SELECT least(7, greatest(0, score // 30000)) AS bin,
@@ -4810,15 +4829,11 @@ def l93_curriculum_shards(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select(
         "doc_id", "text", "n_chars"
     )
-    words = F.filter(F.split("text", " "), lambda w: w != "")
+    n_tokens, score = _l56_feature_cols()
     scored = docs.select(
         "doc_id",
-        F.size(words).cast("long").alias("n_tokens"),
-        (
-            F.size(words).cast("long") * 1500
-            + F.col("n_chars").cast("long") * 30
-            + F.size(F.array_distinct(words)).cast("long") * 2500
-        ).alias("score"),
+        n_tokens.alias("n_tokens"),
+        score.alias("score"),
     ).select(
         "doc_id",
         "n_tokens",
@@ -4847,18 +4862,8 @@ def l93_curriculum_shards(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-L93_SQL = """
-WITH feats AS (
-  SELECT doc_id,
-         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
-              AS BIGINT) AS n_tokens,
-         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
-              AS BIGINT) * 1500
-         + CAST(n_chars AS BIGINT) * 30
-         + CAST(len(list_distinct(
-               list_filter(string_split(text, ' '), w -> w <> '')))
-               AS BIGINT) * 2500 AS score
-  FROM documents),
+L93_SQL = f"""
+WITH feats AS ({_SQL_L56_FEATS}),
 cum AS (
   SELECT doc_id, n_tokens, score,
          sum(n_tokens) OVER (
