@@ -196,6 +196,7 @@ HEADLINE = [
     "r90_cuped_ab_lift",
     "rs35_kcore_trace",
     "l93_curriculum_shards",
+    "l94_cdc_chunks",
 ]
 
 

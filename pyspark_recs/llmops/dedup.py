@@ -808,3 +808,105 @@ def duplicate_text_spans(
         dup_ppm.alias("dup_ppm"),
         (dup_ppm > F.lit(trim_ppm_threshold)).alias("flag_trim"),
     )
+
+
+def content_defined_chunks(
+    docs: DataFrame,
+    gram: int = 8,
+    mask: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync idea applied to a
+    text corpus): a chunk boundary falls wherever the ``gram``-char
+    rolling fingerprint is ≡ 0 (mod ``mask``), so boundaries depend
+    only on LOCAL content — an insertion shifts at most one chunk,
+    where :func:`segment_dedup`'s fixed-width segments all shift and
+    stop matching. Each chunk is identified by its md5, deduped
+    corpus-wide keep-first (order = (doc, position)), and each doc
+    reports chunk count, duplicated-chunk count/ppm and mean chunk
+    length — the storage-dedup accounting for a corpus.
+
+    Exactness: the fingerprint is Σ ascii(c)·31^k over the gram — an
+    exact BIGINT polynomial (≤ 127·31⁷·8 < 2⁴⁵, no modular fold, so no
+    engine disagreement); ratios are integer ppm divisions.
+
+    Plan shape (l84's discipline): chars explode to rows ONCE and the
+    rolling hash is ``gram`` ``lead`` columns over the doc-partitioned
+    char window — array-expression forms were measured O(n²) because
+    Catalyst collapses projections and re-inlines the shared char-code
+    array into every higher-order-lambda call (98-188 s vs ~2 s on 500
+    docs). Boundary rows shrink to ~n/mask per doc before the span
+    windows, chunk bytes are cut with one substring per CHUNK, and the
+    dedup is one hash-keyed keep-first window.
+    """
+    from pyspark.sql import Window
+
+    pows = [31 ** (gram - 1 - k) for k in range(gram)]
+    base = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.length(F.col(text_col)).cast("int").alias("_n"),
+    )
+    chars = base.select(
+        id_col,
+        "_n",
+        F.posexplode(F.split(F.col(text_col), "")).alias("_p0", "_c"),
+    ).select(
+        id_col,
+        "_n",
+        (F.col("_p0") + 1).alias("_j"),
+        F.ascii("_c").cast("long").alias("_code"),
+    )
+    wd = Window.partitionBy(id_col).orderBy("_j")
+    h = sum(
+        F.lead("_code", k).over(wd) * F.lit(pows[k]) for k in range(gram)
+    )
+    # boundary = END position of a gram whose fingerprint hits the mask
+    bounds = (
+        chars.withColumn("_h", h)
+        .filter(
+            (F.col("_j") + gram - 1 <= F.col("_n"))
+            & (F.col("_h") % mask == 0)
+        )
+        .select(id_col, "_n", (F.col("_j") + gram - 1).alias("_end"))
+    )
+    # every doc also ends a chunk at _n (dropped later if empty)
+    ends = bounds.unionByName(
+        base.select(id_col, "_n", F.col("_n").alias("_end"))
+    ).distinct()
+    we = Window.partitionBy(id_col).orderBy("_end")
+    spans = (
+        ends.withColumn(
+            "_start", F.coalesce(F.lag("_end").over(we) + 1, F.lit(1))
+        )
+        .withColumn("chunk_idx", F.row_number().over(we))
+        .filter(F.col("_end") >= F.col("_start"))
+    )
+    chunked = spans.join(base.select(id_col, text_col), id_col).select(
+        id_col,
+        "chunk_idx",
+        (F.col("_end") - F.col("_start") + 1).alias("clen"),
+        F.md5(
+            F.expr(f"substring({text_col}, _start, _end - _start + 1)")
+        ).alias("chash"),
+    )
+    wk = Window.partitionBy("chash").orderBy(id_col, "chunk_idx")
+    ranked = chunked.withColumn("rk", F.row_number().over(wk))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("rk") > 1).cast("long")).alias("n_dup_chunks"),
+            F.sum("clen").alias("total_len"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_dup_chunks",
+            F.expr(
+                "CAST((n_dup_chunks * 1000000) div n_chunks AS BIGINT)"
+            ).alias("dup_ppm"),
+            F.expr("total_len div n_chunks").alias("mean_chunk_len"),
+        )
+    )

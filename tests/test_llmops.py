@@ -1428,3 +1428,27 @@ def test_curriculum_shards_balanced_and_score_ordered(spark):
     # curriculum order: shard s's tail score >= shard s+1's head score
     for s in range(7):
         assert shards[s].worst_score >= shards[s + 1].best_score
+
+
+def test_cdc_chunks_insertion_robust_dedup(spark):
+    from pyspark_recs.llmops.dedup import content_defined_chunks
+
+    base = " ".join(f"tok{i % 23} word{i % 17}" for i in range(120))
+    shifted = "Z " + base  # 2-char insertion at the front
+    other = " ".join(f"other{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, base), (2, shifted), (3, other)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in content_defined_chunks(docs).collect()}
+    # content-defined boundaries re-synchronize after an insertion:
+    # most of doc 2's chunks are byte-identical to doc 1's, so the
+    # keep-first dedup flags them — the property fixed-width segments
+    # lack (every segment shifts by 2 chars and nothing matches).
+    assert got[2].n_dup_chunks >= got[2].n_chunks // 2
+    assert got[2].dup_ppm >= 500_000
+    # disjoint content shares nothing
+    assert got[3].n_dup_chunks == 0
+    # chunk lengths account for every character
+    assert (
+        got[1].mean_chunk_len * got[1].n_chunks <= len(base)
+    )
