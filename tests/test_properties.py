@@ -223,3 +223,104 @@ def test_heavy_hitters_match_bruteforce(spark, docs, k):
     total = sum(counts.values())
     brute = {t: c for t, c in counts.items() if c * k > total}
     assert got == brute
+
+
+# value streams for the Holt fold: dyadic-friendly integers so the
+# Python reference and the JVM fold hit identical doubles by
+# construction (the s17 exactness claim), plus tie pressure on ts.
+holt_streams = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # user
+        st.integers(min_value=0, max_value=9),    # ts tie pressure
+        st.integers(min_value=-100, max_value=100),  # value
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(rows=holt_streams)
+@settings(**SETTINGS)
+def test_holt_fold_matches_python_reference(spark, rows):
+    """The s17 struct-accumulator fold must equal a plain Python Holt
+    recurrence bit for bit for ANY ordered stream (α=β=½ keeps every
+    step IEEE-identical) — including single-event users and heavy ts
+    ties (broken by event_id)."""
+    df = spark.createDataFrame(
+        [
+            (i, u, float(ts * 1_000_000), float(v))
+            for i, (u, ts, v) in enumerate(rows)
+        ],
+        "event_id long, user_id long, ts_us double, value double",
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts_us", "event_id", "value"))
+    )
+    folded = (
+        df.groupBy("user_id")
+        .agg(F.transform(arr, lambda s: s["value"]).alias("vals"))
+        .selectExpr(
+            "user_id",
+            "aggregate(slice(vals, 2, size(vals) - 1),"
+            " named_struct('l', vals[0], 'b', CAST(0.0 AS DOUBLE)),"
+            " (acc, x) -> named_struct("
+            "   'l', 0.5D * x + 0.5D * (acc.l + acc.b),"
+            "   'b', 0.5D * ((0.5D * x + 0.5D * (acc.l + acc.b))"
+            "        - acc.l) + 0.5D * acc.b)) AS st",
+        )
+        .selectExpr("user_id", "st.l AS level", "st.b AS trend")
+    )
+    got = {r.user_id: (r.level, r.trend) for r in folded.collect()}
+
+    expect = {}
+    ordered = sorted(
+        ((u, ts, i, v) for i, (u, ts, v) in enumerate(rows)),
+        key=lambda t: (t[0], t[1], t[2]),
+    )
+    for u, _, _, v in ordered:
+        x = float(v)
+        if u not in expect:
+            expect[u] = (x, 0.0)
+        else:
+            lv, b = expect[u]
+            nl = 0.5 * x + 0.5 * (lv + b)
+            expect[u] = (nl, 0.5 * (nl - lv) + 0.5 * b)
+    assert got == expect  # bit-exact, every key
+
+
+@given(
+    docs=st.lists(
+        st.text(
+            alphabet="ab cd",
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_cdc_chunks_partition_invariant_and_accounts_all_chars(spark, docs):
+    """Content-defined chunk accounting must be identical under any
+    input partitioning (the dedup keep-first order is (doc, position),
+    never physical order), and chunk lengths must partition each doc's
+    characters exactly."""
+    from pyspark_recs.llmops.dedup import content_defined_chunks
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    a = spark.createDataFrame(rows, "doc_id long, text string").repartition(1)
+    b = spark.createDataFrame(rows, "doc_id long, text string").repartition(5)
+    ra = sorted(map(tuple, content_defined_chunks(a).collect()))
+    rb = sorted(map(tuple, content_defined_chunks(b).collect()))
+    assert ra == rb
+    by_doc = {r[0]: r for r in ra}
+    for i, t in rows:
+        if len(t) == 0:
+            assert i not in by_doc  # empty docs chunk to nothing
+        else:
+            # total_len is folded into mean via integer division; check
+            # the partition property through n_chunks * mean <= len and
+            # the remainder bound
+            _, n_chunks, _, _, mean_len = by_doc[i]
+            assert n_chunks >= 1
+            assert n_chunks * mean_len <= len(t) < (mean_len + 1) * n_chunks + n_chunks
