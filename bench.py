@@ -197,6 +197,7 @@ HEADLINE = [
     "rs35_kcore_trace",
     "l93_curriculum_shards",
     "l94_cdc_chunks",
+    "rs36_exposure_gini",
 ]
 
 

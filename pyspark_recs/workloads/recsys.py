@@ -3752,6 +3752,104 @@ RS35_SQL = (
 )
 
 
+# --------------------------------------------------------------------- rs36
+def rs36_exposure_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Gini coefficient of recommendation EXPOSURE — the
+    inequality metric that completes rs20's coverage/concentration
+    audit (coverage says how many items are ever recommended;
+    top-share says how big the head is; Gini measures the WHOLE
+    inequality curve, the number provider-fairness work reports):
+    exposure of a catalog item = how many rs05 serving lists it
+    appears in (zero-exposure items INCLUDED via the part dim — the
+    items fairness audits care most about), and
+    ``G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)`` over the
+    exposure-sorted catalog, emitted as exact integer ppm.
+
+    Determinism/scale: the global exposure sort uses
+    ``ranked_by_range`` (the partition-offset rank — no
+    single-partition WindowExec even though the catalog is
+    dim-bounded) with (exposure, item) as the total order; the rest is
+    one broadcast-joined count and one 1-row aggregate. int64
+    headroom: Σ i·x ≤ n·Σx ≈ 2·10⁹ at sf0.1, ×2·10⁶ for the ppm
+    numerator « 2⁶³.
+    """
+    from pyspark_recs.sql import ranked_by_range
+
+    exposure_counts = (
+        _cf_top5(spark, sf)
+        .groupBy(F.col("item_b").alias("item"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    catalog = load_table(spark, sf, "part").select(
+        F.col("p_partkey").alias("item")
+    )
+    exposure = catalog.join(F.broadcast(exposure_counts), "item", "left").select(
+        "item", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    )
+    ranked = ranked_by_range(exposure, ["x", "item"], rank_alias="i")
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("x").alias("total_exposure"),
+            F.sum(F.col("i") * F.col("x")).alias("_six"),
+        )
+        .select(
+            "n_items",
+            "total_exposure",
+            F.expr(
+                "CAST((1000000 * (2 * _six - (n_items + 1) * total_exposure))"
+                " DIV (n_items * total_exposure) AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+    )
+
+
+RS36_SQL = """
+WITH inter AS (
+  SELECT o_custkey AS user_id, l_partkey AS item_id,
+         CAST(count(*) AS BIGINT) AS n_purchases
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_partkey),
+hist AS (
+  SELECT user_id, item_id FROM (
+    SELECT user_id, item_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY n_purchases DESC, item_id) AS hr
+    FROM inter)
+  WHERE hr <= 20),
+co AS (
+  SELECT a.item_id AS item_a, b.item_id AS item_b,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM hist a JOIN hist b
+    ON a.user_id = b.user_id AND a.item_id < b.item_id
+  GROUP BY a.item_id, b.item_id),
+sym AS (
+  SELECT item_a, item_b, n_users FROM co
+  UNION ALL
+  SELECT item_b AS item_a, item_a AS item_b, n_users FROM co),
+top5 AS (
+  SELECT item_a, item_b FROM (
+    SELECT item_a, item_b,
+           row_number() OVER (PARTITION BY item_a
+                              ORDER BY n_users DESC, item_b) AS rank
+    FROM sym)
+  WHERE rank <= 5),
+exposure AS (
+  SELECT p.p_partkey AS item,
+         CAST(coalesce(c.x, 0) AS BIGINT) AS x
+  FROM part p LEFT JOIN (
+    SELECT item_b AS item, CAST(count(*) AS BIGINT) AS x
+    FROM top5 GROUP BY item_b) c ON p.p_partkey = c.item),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, item) AS i FROM exposure)
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(x) AS BIGINT) AS total_exposure,
+       CAST((1000000 * (2 * sum(i * x) - (count(*) + 1) * sum(x)))
+            // (count(*) * sum(x)) AS BIGINT) AS gini_ppm
+FROM ranked
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -3788,6 +3886,7 @@ QUERIES = {
     "rs33_ips_ctr_debias": rs33_ips_ctr_debias,
     "rs34_candidate_recall_sweep": rs34_candidate_recall_sweep,
     "rs35_kcore_trace": rs35_kcore_trace,
+    "rs36_exposure_gini": rs36_exposure_gini,
 }
 
 ORACLE = {
@@ -3826,4 +3925,5 @@ ORACLE = {
     "rs33_ips_ctr_debias": RS33_SQL,
     "rs34_candidate_recall_sweep": RS34_SQL,
     "rs35_kcore_trace": RS35_SQL,
+    "rs36_exposure_gini": RS36_SQL,
 }

@@ -483,3 +483,42 @@ def test_kcore_trace_cascades_and_converges(spark):
     assert trace[2].n_edges < trace[1].n_edges < trace[0].n_edges
     # ... and the trace approaches a fixed point by the tail
     assert trace[5].n_edges >= trace[4].n_edges - trace[0].n_edges // 100
+
+
+def test_exposure_gini_hand_computed_bounds(spark):
+    from pyspark_recs.workloads.recsys import rs36_exposure_gini
+
+    sf = "/root/testdata/sf0.001"
+    (row,) = rs36_exposure_gini(spark, sf).collect()
+    # Gini lives in [0, 1); a top-5 serving table over a catalog with
+    # zero-exposure items must show REAL inequality (> 0), and the
+    # total exposure equals the number of serving rows (5 per item
+    # with enough neighbors).
+    assert 0 < row.gini_ppm < 1_000_000
+    from pyspark_recs.io import load_table
+
+    n_parts = load_table(spark, sf, "part").count()
+    assert row.n_items == n_parts
+    # hand check on the formula: recompute from the exposure vector
+    from pyspark_recs.workloads.recsys import _cf_top5
+    from pyspark.sql import functions as FF
+
+    counts = {
+        r.item: r.x
+        for r in _cf_top5(spark, sf)
+        .groupBy(FF.col("item_b").alias("item"))
+        .agg(FF.count(FF.lit(1)).alias("x"))
+        .collect()
+    }
+    parts = [
+        r.p_partkey
+        for r in load_table(spark, sf, "part").select("p_partkey").collect()
+    ]
+    xs = sorted(
+        (counts.get(p, 0), p) for p in parts
+    )
+    n = len(xs)
+    sx = sum(x for x, _ in xs)
+    six = sum((i + 1) * x for i, (x, _) in enumerate(xs))
+    expect = (1_000_000 * (2 * six - (n + 1) * sx)) // (n * sx)
+    assert row.gini_ppm == expect
