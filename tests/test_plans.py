@@ -650,3 +650,14 @@ def test_rs33_ips_debias_single_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "partial_sum" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_rs36_gini_rank_avoids_single_partition_window(spark):
+    # The global exposure sort must ride the partition-offset rank
+    # (parallel windows keyed by _pid) — a plain row_number() OVER
+    # (ORDER BY ...) would serialize the catalog through one task.
+    plan = plan_of(QUERIES["rs36_exposure_gini"](spark, SF_DIR))
+    assert _no_single_partition_window(plan), plan
+    from pyspark_recs.workloads.common import unpersist_shared
+
+    unpersist_shared(spark)
