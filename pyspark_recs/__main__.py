@@ -68,6 +68,15 @@ def cmd_run(args) -> int:
 
 
 def cmd_oracle(args) -> int:
+    # tools/ is a repo-root namespace package, not installed — resolve
+    # it from this file's location so `python -m pyspark_recs oracle`
+    # works from any CWD (ADVICE r9).
+    import os
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
     from tools.oracle_check import main as oracle_main  # repo-root tools/
 
     return oracle_main([args.sf_dir, args.query])

@@ -104,6 +104,18 @@ def maxsim_topk(
     Output: query_id, neighbor_id, maxsim (double), rank (1-based);
     self-matches excluded, ties broken by neighbor_id ascending.
     """
+    # Up-front dim guard (ADVICE r9): on dim % n_tokens != 0 the arrow
+    # impl raised a numpy reshape error while the expr impl silently
+    # truncated trailing dims — one clear contract for both. The probe
+    # is a bounded limit(1) collect (one int), the repo's allowed
+    # driver-scalar shape.
+    probe = queries.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if probe and probe[0]["d"] is not None and probe[0]["d"] % n_tokens:
+        raise ValueError(
+            f"maxsim_topk: vector dim {probe[0]['d']} is not divisible "
+            f"by n_tokens={n_tokens} — token sub-vectors must tile the "
+            "embedding exactly"
+        )
     if impl == "arrow":
         scored = _maxsim_pairs_arrow(
             candidates, queries, n_tokens, id_col, vec_col

@@ -330,6 +330,47 @@ def ranked_by_range(
     )
 
 
+def ntile_by_range(
+    df: DataFrame,
+    order_cols: list[str],
+    n_buckets: int,
+    alias: str = "bucket",
+    total: int | None = None,
+) -> DataFrame:
+    """EXACT ``ntile(n_buckets) OVER (ORDER BY order_cols)`` with no
+    single-partition WindowExec: the global rank comes from
+    :func:`ranked_by_range` (partition-offset pattern) and the
+    rank→bucket mapping is ntile's closed form — with ``n`` rows the
+    first ``n mod k`` buckets hold ``n div k + 1`` rows, the rest
+    ``n div k``. ``total`` is the row count (a bounded driver scalar);
+    pass it when the caller already knows it, else the frame is
+    persisted (and registered for teardown) and counted here.
+
+    Same contract as ranked_by_range: ``order_cols`` must be a total
+    order (add a unique tiebreak) and ``df`` must be aggregate-sized
+    (per-entity rollups), never a raw fact table.
+    """
+    if total is None:
+        from pyspark_recs.workloads.common import register_persisted
+
+        df = df.persist()
+        register_persisted(df)
+        total = df.count()
+    base, rem = divmod(total, n_buckets)
+    cut = rem * (base + 1)
+    ranked = ranked_by_range(df, order_cols, rank_alias="_ntile_rk")
+    if base == 0:  # fewer rows than buckets: bucket = rank
+        bucket = F.col("_ntile_rk").cast("int")
+    else:
+        bucket = F.expr(
+            f"CAST(CASE WHEN _ntile_rk <= {cut} "
+            f"THEN (_ntile_rk - 1) DIV {base + 1} + 1 "
+            f"ELSE {rem} + (_ntile_rk - {cut} - 1) DIV {base} + 1 "
+            f"END AS INT)"
+        )
+    return ranked.withColumn(alias, bucket).drop("_ntile_rk")
+
+
 def categorify_dictionary(df: DataFrame, col: str) -> DataFrame:
     """Build the Categorify dictionary: sorted distinct non-null values ->
     contiguous codes starting at 1; 0 is reserved for null/OOV

@@ -1108,17 +1108,17 @@ FROM active a JOIN base b USING (cohort_week)
 # --------------------------------------------------------------------- rs15
 def _brand_bits(spark: SparkSession, sf: str) -> DataFrame:
     """(brand, bid) dictionary mapping the ≤ 64 brands to bit
-    positions — deterministic (row_number over the total brand order;
-    the window is over the ~25-row distinct, not facts), rebuilt per
-    call (a broadcast-sized scan of ``part``)."""
-    from pyspark.sql import Window
+    positions — deterministic (codes follow the total brand order),
+    rebuilt per call (a broadcast-sized scan of ``part``). Rides
+    ``categorify_dictionary`` (ranked_by_range inside), so even a
+    high-cardinality dictionary never serializes through a
+    single-partition window."""
+    from pyspark_recs.sql import categorify_dictionary
 
-    return (
-        load_table(spark, sf, "part")
-        .select(F.col("p_brand").alias("brand"))
-        .distinct()
-        .withColumn("bid", F.row_number().over(Window.orderBy("brand")) - 1)
-    )
+    return categorify_dictionary(
+        load_table(spark, sf, "part").select(F.col("p_brand").alias("brand")),
+        "brand",
+    ).select("brand", (F.col("code") - 1).cast("int").alias("bid"))
 
 
 def _brand_basket_counts(spark: SparkSession, sf: str) -> DataFrame:
@@ -1327,37 +1327,62 @@ def rs17_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
     """RFM customer segmentation — the marketing-analytics staple:
     tercile scores for Recency (last order date), Frequency (order
     count) and Monetary (fixed-point spend sum), combined into a
-    3-digit segment code (333 = best). ntile ties broken by custkey so
-    the terciles are a total order both engines reproduce.
+    3-digit segment code (333 = best). Ties broken by custkey so the
+    terciles are a total order both engines reproduce.
 
-    Scale: one aggregate per customer, then three global ntile windows
-    — exact terciles are the verification harness; at 100 TB swap the
-    global windows for approx_percentile cutoffs broadcast as a
-    boundary table (the r50 sketch-vs-exact discipline).
+    Scale (the rs36 Gini pattern, VERDICT r9 #1): each tercile rank
+    rides ``ranked_by_range`` — the partition-offset global rank with
+    NO single-partition WindowExec — and the rank→bucket mapping is
+    the exact ntile formula computed from the customer count (first
+    ``n mod 3`` buckets get ``n div 3 + 1`` rows), a driver-side long.
+    At 10⁹ customers every stage stays parallel: three range
+    repartitions of the per-customer aggregate + custkey hash joins;
+    the oracle twin keeps the literal ntile form, so the hash check
+    proves the formula IS ntile.
     """
-    orders = load_table(spark, sf, "orders")
-    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice").alias("monetary"),
-    )
-    from pyspark.sql import Window
+    from pyspark_recs.sql import ntile_by_range
+    from pyspark_recs.workloads.common import register_persisted
 
-    wr = Window.orderBy("last_order", "custkey")
-    wf = Window.orderBy("n_orders", "custkey")
-    wm = Window.orderBy("monetary", "custkey")
-    return per_cust.select(
+    orders = load_table(spark, sf, "orders")
+    per_cust = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("monetary"),
+        )
+        .persist()
+    )
+    register_persisted(per_cust)
+    # Bounded driver scalar (one long) — also materializes the persist
+    # so the three rank passes below reuse it instead of re-aggregating.
+    n = per_cust.count()
+    out = per_cust
+    for alias, order_col in (
+        ("r_score", "last_order"),
+        ("f_score", "n_orders"),
+        ("m_score", "monetary"),
+    ):
+        rk = ntile_by_range(
+            per_cust.select("custkey", order_col),
+            [order_col, "custkey"],
+            3,
+            alias=alias,
+            total=n,
+        ).select("custkey", alias)
+        out = out.join(rk, "custkey")
+    return out.select(
         "custkey",
         "n_orders",
         "monetary",
-        F.ntile(3).over(wr).alias("r_score"),
-        F.ntile(3).over(wf).alias("f_score"),
-        F.ntile(3).over(wm).alias("m_score"),
-    ).withColumn(
-        "segment",
+        "r_score",
+        "f_score",
+        "m_score",
         (
             F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
-        ).cast("int"),
+        )
+        .cast("int")
+        .alias("segment"),
     )
 
 
@@ -3167,11 +3192,12 @@ def rs31_behavioral_audit(spark: SparkSession, sf: str) -> DataFrame:
     histories, neighbor lists as rs24/rs27 — no extra passes over the
     facts). Output: one (metric, slice, value_ppm) row each.
 
-    Scale: every window runs over USER- or ITEM-sized aggregates
-    (never facts); the two global ntile/rank windows are single-
-    partition by construction — rs17 documents the approx-percentile
-    broadcast variant to swap in past ~10^9 users/items. Joins are
-    rec-list-sized against the broadcast popularity/brand dims.
+    Scale: every rank runs over USER- or ITEM-sized aggregates (never
+    facts), and both global orders ride the partition-offset pattern
+    (``ntile_by_range`` for the activity terciles, ``ranked_by_range``
+    for the popularity rank) — no single-partition WindowExec anywhere
+    even at 10^9 users/items. Joins are rec-list-sized against the
+    broadcast popularity/brand dims.
     """
     inter = _holdout_train_inter(spark, sf)
     anchors = _holdout_lists(spark, sf).select("user_id", "anchor_item")
@@ -3193,15 +3219,16 @@ def rs31_behavioral_audit(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.max(F.coalesce("in_test", F.lit(0)) == 1).alias("hit"))
     )
+    from pyspark_recs.sql import ntile_by_range, ranked_by_range
+
     activity = inter.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_items")
     )
-    terc = activity.select(
-        "user_id",
-        F.ntile(3)
-        .over(Window.orderBy(F.asc("n_items"), F.asc("user_id")))
-        .alias("t"),
-    )
+    # Activity terciles ride the partition-offset ntile (rs17's exact
+    # formula — no single-partition window even at 10⁹ users).
+    terc = ntile_by_range(
+        activity, ["n_items", "user_id"], 3, alias="t"
+    ).select("user_id", "t")
     hit_slices = (
         hits.join(terc, "user_id")
         .groupBy("t")
@@ -3220,12 +3247,13 @@ def rs31_behavioral_audit(spark: SparkSession, sf: str) -> DataFrame:
 
     # popularity-rank position of recs vs the catalog baseline
     pop = inter.groupBy("item_id").agg(F.sum("n_purchases").alias("pop"))
-    ranked = pop.select(
-        "item_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("pop"), F.asc("item_id")))
-        .alias("prank"),
-    )
+    # Catalog popularity rank via ranked_by_range; DESC pop becomes an
+    # ASC rank on the negated key (exact — pop is a BIGINT).
+    ranked = ranked_by_range(
+        pop.select("item_id", (-F.col("pop")).alias("_negpop")),
+        ["_negpop", "item_id"],
+        rank_alias="prank",
+    ).select("item_id", "prank")
     n_cat = ranked.agg(F.count(F.lit(1)).alias("n_cat"))
     rec_items = recs.filter(F.col("rec_item").isNotNull())
     pop_recs = (
@@ -3798,7 +3826,7 @@ def rs36_exposure_gini(spark: SparkSession, sf: str) -> DataFrame:
             "total_exposure",
             F.expr(
                 "CAST((1000000 * (2 * _six - (n_items + 1) * total_exposure))"
-                " DIV (n_items * total_exposure) AS BIGINT)"
+                " DIV nullif(n_items * total_exposure, 0) AS BIGINT)"
             ).alias("gini_ppm"),
         )
     )
@@ -3845,7 +3873,7 @@ ranked AS (
 SELECT CAST(count(*) AS BIGINT) AS n_items,
        CAST(sum(x) AS BIGINT) AS total_exposure,
        CAST((1000000 * (2 * sum(i * x) - (count(*) + 1) * sum(x)))
-            // (count(*) * sum(x)) AS BIGINT) AS gini_ppm
+            // nullif(count(*) * sum(x), 0) AS BIGINT) AS gini_ppm
 FROM ranked
 """
 

@@ -4081,22 +4081,30 @@ def r83_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
     hot key).
 
     Scale: per column this is one map-side-combined count aggregate
-    (key-cardinality-bounded) + a TakeOrdered top-5; the totals ride
-    the same aggregate via a window over key counts, never a second
-    fact scan.
+    whose output (key-cardinality-sized — 10⁹ rows at 10⁹ customers,
+    so NEVER eligible for a global window) is persisted and consumed
+    twice: a fully-parallel totals aggregate broadcast back, and a
+    TakeOrdered top-5 that the hot-rank window runs above (5 rows).
+    One fact scan, no single-partition WindowExec (this exact query
+    was the registry window-lint's first real catch — the previous
+    form computed total/n_keys/rank via three global windows over the
+    counts table).
     """
+    from pyspark_recs.workloads.common import register_persisted
+
     def profile(df: DataFrame, table: str, col: str) -> DataFrame:
         counts = df.groupBy(F.col(col).alias("key")).agg(
             F.count(F.lit(1)).alias("cnt")
+        ).persist()
+        register_persisted(counts)
+        tot = counts.agg(
+            F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
         )
-        wt = Window.partitionBy()
-        enriched = counts.withColumn("total", F.sum("cnt").over(wt)).withColumn(
-            "n_keys", F.count(F.lit(1)).over(wt)
-        )
-        w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+        top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(5)
+        w = Window.orderBy(F.desc("cnt"), F.asc("key"))  # over ≤5 rows
         return (
-            enriched.withColumn("hot_rank", F.row_number().over(w))
-            .filter(F.col("hot_rank") <= 5)
+            top.crossJoin(F.broadcast(tot))
+            .withColumn("hot_rank", F.row_number().over(w))
             .select(
                 F.lit(table).alias("table_name"),
                 F.lit(col).alias("column_name"),
@@ -4475,7 +4483,12 @@ def r89_trade_reach(spark: SparkSession, sf: str) -> DataFrame:
     # backbone filter, and the BFS's distinct'd edge list) and Spark
     # has no DataFrame CSE — cache it so the 3-join fact aggregation
     # runs ONCE. It is bounded at ≤ N² nation pairs, so the cache is
-    # KBs at any fact scale.
+    # KBs at any fact scale. Registered (as is khop's returned visited
+    # frame below) so unpersist_shared releases both at teardown —
+    # repeated r89 calls in a long-lived session must not grow cached
+    # storage monotonically (ADVICE r9).
+    from pyspark_recs.workloads.common import register_persisted
+
     pair = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cus, F.col("o_custkey") == F.col("c_custkey"))
@@ -4494,6 +4507,7 @@ def r89_trade_reach(spark: SparkSession, sf: str) -> DataFrame:
         )
         .cache()
     )
+    register_persisted(pair)
     tot = pair.agg(
         F.sum("q").alias("total"), F.count(F.lit(1)).alias("n")
     )
@@ -4505,7 +4519,7 @@ def r89_trade_reach(spark: SparkSession, sf: str) -> DataFrame:
     seeds = nation.filter(F.col("n_nationkey") < 5).select(
         F.col("n_nationkey")
     )
-    dist = khop_min_distance(edges, seeds, max_hops=4)
+    dist = register_persisted(khop_min_distance(edges, seeds, max_hops=4))
     return (
         dist.join(
             F.broadcast(nation.select("n_nationkey", "n_name")),
