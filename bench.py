@@ -198,6 +198,9 @@ HEADLINE = [
     "l93_curriculum_shards",
     "l94_cdc_chunks",
     "rs36_exposure_gini",
+    # round-10 additions: the sink family promoted to driver rows
+    "rs37_kv_export_table",
+    "rs38_predictions_log",
 ]
 
 

@@ -3878,6 +3878,132 @@ FROM ranked
 """
 
 
+# --------------------------------------------------------------------- rs37
+def rs37_kv_export_table(spark: SparkSession, sf: str) -> DataFrame:
+    """The EXACT keyed table S8's ``kv_export`` batch-writes to the KV
+    store (reference: DynamoDB batch_writer, my_merlin_flow.py:605-633;
+    item shape ``{userId, recs: json.dumps([...])}``): each holdout
+    user's serving list — their anchor item's top-10 co-occurrence
+    neighbors in neighbor-rank order — rendered through
+    ``predictions_table`` (the same function the sink path uses), plus
+    the reference's ``no_user`` sentinel row serving defaults for
+    unknown users. Promoting this from a fixture test to a driver row
+    closes the last S8 evidence gap (VERDICT r9 #3): the oracle hashes
+    the very strings the KV putter would PUT.
+
+    Scale: the serving lists are the artifact-served holdout tables
+    (no fact re-scan); the JSON fold is one map-side-combinable
+    per-user aggregate; the sentinel is a 1-row literal union.
+    """
+    from pyspark_recs.io.sinks import predictions_table
+
+    anchors = _holdout_lists(spark, sf).select("user_id", "anchor_item")
+    neighbors = _holdout_top10(spark, sf)
+    recs = anchors.join(
+        neighbors, anchors.anchor_item == neighbors.item_a
+    ).select(
+        "user_id",
+        F.col("item_b").alias("item_id"),
+        F.col("nrank").alias("rank"),
+    )
+    sent = spark.createDataFrame(
+        [("no_user", "[]")], "userId string, recs string"
+    )
+    return predictions_table(recs, k=10).unionByName(sent)
+
+
+_RS37_SERVING_CTES = """
+tagged_orders AS (
+  SELECT o_orderkey, o_custkey AS user_id,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+           AS is_test
+  FROM orders),
+tagged AS (
+  SELECT t.user_id, l.l_partkey AS item_id, t.is_test
+  FROM lineitem l JOIN tagged_orders t ON l.l_orderkey = t.o_orderkey),
+inter AS (
+  SELECT user_id, item_id, CAST(count(*) AS BIGINT) AS n_purchases
+  FROM tagged WHERE NOT is_test GROUP BY user_id, item_id),
+hist AS (
+  SELECT user_id, item_id FROM (
+    SELECT user_id, item_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY n_purchases DESC, item_id) AS hr
+    FROM inter)
+  WHERE hr <= 20),
+half AS (
+  SELECT a.item_id AS item_a, b.item_id AS item_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM hist a JOIN hist b
+    ON a.user_id = b.user_id AND a.item_id < b.item_id
+  GROUP BY a.item_id, b.item_id
+  HAVING count(*) >= 2),
+mirrored AS (
+  SELECT item_a, item_b, n_ab FROM half
+  UNION ALL
+  SELECT item_b, item_a, n_ab FROM half),
+neighbors AS (
+  SELECT item_a, item_b, nrank FROM (
+    SELECT item_a, item_b,
+           row_number() OVER (PARTITION BY item_a
+                              ORDER BY n_ab DESC, item_b) AS nrank
+    FROM mirrored)
+  WHERE nrank <= 10),
+anchors AS (
+  SELECT user_id, item_id AS anchor_item FROM (
+    SELECT user_id, item_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY n_purchases DESC, item_id) AS r
+    FROM inter)
+  WHERE r = 1),
+keyed AS (
+  SELECT CAST(a.user_id AS VARCHAR) AS userId,
+         '[' || string_agg('"' || CAST(n.item_b AS VARCHAR) || '"',
+                           ',' ORDER BY n.nrank, n.item_b) || ']' AS recs
+  FROM anchors a JOIN neighbors n ON a.anchor_item = n.item_a
+  GROUP BY a.user_id)
+"""
+
+RS37_SQL = f"""
+WITH {_RS37_SERVING_CTES}
+SELECT userId, recs FROM keyed
+UNION ALL
+SELECT 'no_user' AS userId, '[]' AS recs
+"""
+
+
+# --------------------------------------------------------------------- rs38
+def rs38_predictions_log(spark: SparkSession, sf: str) -> DataFrame:
+    """S10's experiment-tracking predictions log, as hashable rows: the
+    exact JSON line ``predictions_json_log`` serializes per user
+    (reference: the prediction asset logged per run,
+    my_merlin_flow.py:376-411). The Spark side uses the REAL
+    serializer (``to_json`` over the keyed-table struct — what
+    ``df.write.json`` emits per line); the oracle rebuilds the line
+    with explicit concatenation + quote escaping, so a drift in field
+    order, spacing or escaping fails the hash.
+    """
+    keyed = rs37_kv_export_table(spark, sf)
+    return keyed.select(
+        "userId",
+        F.to_json(F.struct("userId", "recs")).alias("log_line"),
+    )
+
+
+RS38_SQL = f"""
+WITH {_RS37_SERVING_CTES},
+full_table AS (
+  SELECT userId, recs FROM keyed
+  UNION ALL
+  SELECT 'no_user' AS userId, '[]' AS recs)
+SELECT userId,
+       '{{"userId":"' || userId || '","recs":"' ||
+       replace(recs, '"', '\\"') || '"}}' AS log_line
+FROM full_table
+"""
+
+
 QUERIES = {
     "rs01_interactions": rs01_interactions,
     "rs02_popular_items_per_segment": rs02_popular_items_per_segment,
@@ -3915,6 +4041,8 @@ QUERIES = {
     "rs34_candidate_recall_sweep": rs34_candidate_recall_sweep,
     "rs35_kcore_trace": rs35_kcore_trace,
     "rs36_exposure_gini": rs36_exposure_gini,
+    "rs37_kv_export_table": rs37_kv_export_table,
+    "rs38_predictions_log": rs38_predictions_log,
 }
 
 ORACLE = {
@@ -3954,4 +4082,6 @@ ORACLE = {
     "rs34_candidate_recall_sweep": RS34_SQL,
     "rs35_kcore_trace": RS35_SQL,
     "rs36_exposure_gini": RS36_SQL,
+    "rs37_kv_export_table": RS37_SQL,
+    "rs38_predictions_log": RS38_SQL,
 }

@@ -147,3 +147,45 @@ def test_propagate_deletes_cascades_and_rewrites(spark, tmp_path):
     assert back.count() == orders.count() - n_doomed
     assert back.filter(F.col("o_custkey").isin(1, 2)).count() == 0
     assert kept.columns == orders.columns
+
+
+def test_rs37_kv_export_table_is_valid_serving_json(spark):
+    # S8's driver row (VERDICT r9 #3): every keyed-table value must be
+    # the JSON the Lambda-side GET would json.loads — a list of ≤10
+    # item-id strings — and the no_user sentinel must serve [].
+    from pyspark_recs.workloads.recsys import rs37_kv_export_table
+
+    rows = rs37_kv_export_table(spark, "/root/testdata/sf0.001").collect()
+    by_user = {r.userId: json.loads(r.recs) for r in rows}
+    assert by_user["no_user"] == []
+    served = {u: v for u, v in by_user.items() if u != "no_user"}
+    assert served  # at least one real user
+    for recs in served.values():
+        assert 1 <= len(recs) <= 10
+        assert all(isinstance(x, str) for x in recs)
+        assert len(set(recs)) == len(recs)  # neighbor lists are distinct
+
+
+def test_rs38_log_line_roundtrips_the_keyed_row(spark):
+    # S10's log line must json.loads back to exactly the keyed row —
+    # field order, escaping and all (what df.write.json emits).
+    from pyspark_recs.workloads.recsys import rs38_predictions_log
+
+    from pyspark_recs.workloads.recsys import rs37_kv_export_table
+
+    keyed = {
+        r.userId: r.recs
+        for r in rs37_kv_export_table(spark, "/root/testdata/sf0.001").collect()
+    }
+    rows = rs38_predictions_log(spark, "/root/testdata/sf0.001").collect()
+    assert rows and len(rows) == len(keyed)
+    for r in rows:
+        assert json.loads(r.log_line) == {
+            "userId": r.userId,
+            "recs": keyed[r.userId],
+        }
+    # and one exact hand-check on the sentinel
+    sent = [r for r in rows if r.userId == "no_user"]
+    assert len(sent) == 1 and sent[0].log_line == (
+        '{"userId":"no_user","recs":"[]"}'
+    )
