@@ -189,3 +189,40 @@ def test_rs38_log_line_roundtrips_the_keyed_row(spark):
     assert len(sent) == 1 and sent[0].log_line == (
         '{"userId":"no_user","recs":"[]"}'
     )
+
+
+def test_rs39_pipeline_brackets_and_diversity_cap(spark):
+    # The flagship lineage's bracket counts must equal independently
+    # computed fact counts (ingest + latest-batch semantics), and every
+    # serving list must respect the ≤2-per-brand diversity cap and the
+    # top-5 size bound.
+    from pyspark.sql import functions as F
+
+    from pyspark_recs.io import load_table
+    from pyspark_recs.workloads.recsys import rs39_e2e_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    rows = rs39_e2e_pipeline(spark, sf).collect()
+    li = load_table(spark, sf, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    facts = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    n_all = facts.count()
+    n_v1 = facts.filter(F.year("o_orderdate") < 1996).count()
+    assert rows[0].n_raw == n_all + n_v1
+    assert rows[0].n_latest == n_all
+
+    part = {
+        r.p_partkey: r.p_brand
+        for r in load_table(spark, sf, "part")
+        .select("p_partkey", "p_brand")
+        .collect()
+    }
+    served = [r for r in rows if r.userId != "no_user"]
+    assert served and any(r.userId == "no_user" for r in rows)
+    for r in served:
+        items = [int(x) for x in json.loads(r.recs)]
+        assert 1 <= len(items) <= 5 and len(set(items)) == len(items)
+        brands = [part[i] for i in items]
+        assert all(brands.count(b) <= 2 for b in brands)  # slate cap

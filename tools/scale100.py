@@ -81,6 +81,15 @@ QUERIES_100X = [
     # s10 entries.
     "l91_maxsim_retrieval",
     "r89_trade_reach",
+    # round-10 additions (VERDICT r9 #4): the three round-9 shapes
+    # whose partition-invariance wasn't yet demonstrated under memory
+    # pressure — the iterative k-core peel (artifact BUILD path runs
+    # under both settings thanks to the per-setting artifact roots),
+    # the prefix-sum token-mass sharder, and FastCDC chunking over the
+    # 500k salted docs.
+    "rs35_kcore_trace",
+    "l93_curriculum_shards",
+    "l94_cdc_chunks",
 ]
 PARTITION_SETTINGS = (32, 13)
 
