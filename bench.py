@@ -204,6 +204,7 @@ HEADLINE = [
     "rs37_kv_export_table",
     "rs38_predictions_log",
     "rs39_e2e_pipeline",
+    "rs40_serving_config_selection",
 ]
 
 

@@ -3599,8 +3599,11 @@ def rs34_candidate_recall_sweep(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-RS34_SQL = """
-WITH tagged_orders AS (
+# Shared CTE text (rs34 + rs40): the rs24-protocol recall@N grid for
+# N ∈ {1, 3, 5, 10} — RS34 emits the grid verbatim; RS40 runs the
+# config selection over it.
+_RS34_GRID_CTES = """
+tagged_orders AS (
   SELECT o_orderkey, o_custkey AS user_id,
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
@@ -3654,14 +3657,66 @@ hits AS (
     ON t.user_id = a.user_id AND t.item_id = n.item_b
   GROUP BY a.user_id),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM anchors),
-cut(n) AS (VALUES (1), (3), (5), (10))
-SELECT CAST(c.n AS BIGINT) AS n, t.n_users,
-       CAST(count(CASE WHEN h.first_hit_rank <= c.n THEN 1 END)
-            AS BIGINT) AS n_hits,
-       CAST((1000000 * count(CASE WHEN h.first_hit_rank <= c.n THEN 1 END))
-            // t.n_users AS BIGINT) AS recall_ppm
-FROM cut c CROSS JOIN tot t LEFT JOIN hits h ON true
-GROUP BY c.n, t.n_users
+cut(n) AS (VALUES (1), (3), (5), (10)),
+grid AS (
+  SELECT CAST(c.n AS BIGINT) AS n, t.n_users,
+         CAST(count(CASE WHEN h.first_hit_rank <= c.n THEN 1 END)
+              AS BIGINT) AS n_hits,
+         CAST((1000000 * count(CASE WHEN h.first_hit_rank <= c.n THEN 1 END))
+              // t.n_users AS BIGINT) AS recall_ppm
+  FROM cut c CROSS JOIN tot t LEFT JOIN hits h ON true
+  GROUP BY c.n, t.n_users)
+"""
+
+RS34_SQL = f"""
+WITH {_RS34_GRID_CTES}
+SELECT n, n_users, n_hits, recall_ppm FROM grid
+"""
+
+# --------------------------------------------------------------------- rs40
+def rs40_serving_config_selection(spark: SparkSession, sf: str) -> DataFrame:
+    """Grid-search fan-out + winner selection as a DRIVER ROW — the M2
+    component end to end (reference: the ALS hyperparameter fan-out +
+    argmax over the grid, my_merlin_flow.py:265-332's `current.card`
+    grid loop). The grid here is the serving cutoff N ∈ {1,3,5,10}
+    evaluated by rs34's exact recall@N protocol, and the selection
+    rule is the knee point every capacity-planning review applies:
+    the SMALLEST N whose recall keeps ≥ 95 % of the ceiling
+    (recall@10) — all integer arithmetic (100·recall ≥ 95·max), so
+    the fan-out AND the argmax are oracle-exact, unlike the float-fit
+    grids (rs04/rs28) that verify through bracket rows.
+
+    Output: the full grid with an ``is_selected`` flag — the hash pins
+    every evaluated config and the winner.
+
+    Scale: the grid is 4 rows over the artifact-served eval tables;
+    the ceiling and the winner are 1-row broadcasts.
+    """
+    grid = rs34_candidate_recall_sweep(spark, sf)
+    best = (
+        grid.crossJoin(
+            F.broadcast(grid.agg(F.max("recall_ppm").alias("max_recall")))
+        )
+        .filter(F.expr("100 * recall_ppm >= 95 * max_recall"))
+        .agg(F.min("n").alias("selected_n"))
+    )
+    return grid.crossJoin(F.broadcast(best)).select(
+        "n",
+        "n_users",
+        "n_hits",
+        "recall_ppm",
+        (F.col("n") == F.col("selected_n")).alias("is_selected"),
+    )
+
+
+RS40_SQL = f"""
+WITH {_RS34_GRID_CTES},
+best AS (
+  SELECT min(n) AS selected_n FROM grid
+  WHERE 100 * recall_ppm >= 95 * (SELECT max(recall_ppm) FROM grid))
+SELECT g.n, g.n_users, g.n_hits, g.recall_ppm,
+       g.n = b.selected_n AS is_selected
+FROM grid g CROSS JOIN best b
 """
 
 
@@ -4322,6 +4377,7 @@ QUERIES = {
     "rs37_kv_export_table": rs37_kv_export_table,
     "rs38_predictions_log": rs38_predictions_log,
     "rs39_e2e_pipeline": rs39_e2e_pipeline,
+    "rs40_serving_config_selection": rs40_serving_config_selection,
 }
 
 ORACLE = {
@@ -4364,4 +4420,5 @@ ORACLE = {
     "rs37_kv_export_table": RS37_SQL,
     "rs38_predictions_log": RS38_SQL,
     "rs39_e2e_pipeline": RS39_SQL,
+    "rs40_serving_config_selection": RS40_SQL,
 }

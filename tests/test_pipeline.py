@@ -226,3 +226,25 @@ def test_rs39_pipeline_brackets_and_diversity_cap(spark):
         assert 1 <= len(items) <= 5 and len(set(items)) == len(items)
         brands = [part[i] for i in items]
         assert all(brands.count(b) <= 2 for b in brands)  # slate cap
+
+
+def test_rs40_selects_the_knee_point(spark):
+    # M2's driver row: grid fan-out + exact argmax. At sf0.001 the
+    # recall grid is {1: 33333, 3: 53333, 5: 66666, 10: 166666} ppm —
+    # only N=10 keeps >=95% of the ceiling, so it must be the winner,
+    # and exactly one config may carry the flag.
+    from pyspark_recs.workloads.recsys import rs40_serving_config_selection
+
+    rows = {
+        r.n: r
+        for r in rs40_serving_config_selection(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {1, 3, 5, 10}
+    assert [n for n, r in rows.items() if r.is_selected] == [10]
+    ceiling = max(r.recall_ppm for r in rows.values())
+    for n, r in rows.items():
+        assert r.is_selected == (100 * r.recall_ppm >= 95 * ceiling and
+                                 n == min(m for m, q in rows.items()
+                                          if 100 * q.recall_ppm >= 95 * ceiling))
