@@ -303,9 +303,19 @@ def main() -> None:
         if os.path.isdir(_artifact_root(parts)):
             shutil.rmtree(_artifact_root(parts))
 
+    # --only q1,q2 reruns a subset (e.g. after an environmental OOM
+    # killed one query mid-suite) — merge the rows into the committed
+    # table by hand; checksums/spills are per-query, so a partial run
+    # is as valid as a full one.
+    only = None
+    for i, a in enumerate(sys.argv):
+        if a == "--only" and i + 1 < len(sys.argv):
+            only = set(sys.argv[i + 1].split(","))
+    todo = [q for q in QUERIES_100X if only is None or q in only]
+
     results: dict[str, dict] = {}
     mismatches = []
-    for name in QUERIES_100X:
+    for name in todo:
         c_a, t_a = run_checksum(name, PARTITION_SETTINGS[0])
         # Clear session-shared subplans between the two settings:
         # otherwise the p=13 run would read subplans MATERIALIZED at
@@ -329,7 +339,7 @@ def main() -> None:
 
     metrics = parse_event_log(log_dir)
     gib = 1024**3
-    for name in QUERIES_100X:
+    for name in todo:
         m = metrics.get(f"{name}@p{PARTITION_SETTINGS[0]}", {})
         results[name].update(
             {
