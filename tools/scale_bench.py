@@ -108,6 +108,17 @@ HEADLINE = [
     "rs33_ips_ctr_debias",
     "l91_maxsim_retrieval",
     "s17_holt_forecast",
+    # round-10 additions: the scale-safe tercile/rank plans (rs17/rs36
+    # ride the collect-free partition-offset rank — the shape the
+    # registry window-lint enforces), the sink-family driver rows, the
+    # full-DAG flagship (10x fact-driven end to end), and the grid
+    # selection. All lineitem/orders-driven.
+    "rs17_rfm_segments",
+    "rs36_exposure_gini",
+    "rs37_kv_export_table",
+    "rs38_predictions_log",
+    "rs39_e2e_pipeline",
+    "rs40_serving_config_selection",
 ]
 KEY_SHIFT = 10_000_000  # > max o_orderkey at sf0.1 (600k)
 
