@@ -46,6 +46,7 @@ KEY_COVERAGE = {
     "cf_top5": "rs05_item_cooccurrence",
     "brand_basket_counts": "rs15_association_rules",
     "cc_labels_t05": "l21_dedup_components",
+    "e2e_neighbors": "rs39_e2e_pipeline",
 }
 WARM_QUERIES = (
     "rs24_cf_holdout_eval",
@@ -55,6 +56,7 @@ WARM_QUERIES = (
     "rs05_item_cooccurrence",
     "rs15_association_rules",
     "l21_dedup_components",
+    "rs39_e2e_pipeline",
 )
 
 SF_DIRS = tuple(
