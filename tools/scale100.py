@@ -90,6 +90,14 @@ QUERIES_100X = [
     "rs35_kcore_trace",
     "l93_curriculum_shards",
     "l94_cdc_chunks",
+    # round-10 committed-plan validation: the partition-offset tercile
+    # plan (three ranked_by_range passes over the per-customer
+    # aggregate of 60 M facts) and the full ingest→…→serve DAG (the
+    # JSON envelope stage IS the fact scan at this scale; the model
+    # build runs under both settings via the per-setting artifact
+    # roots).
+    "rs17_rfm_segments",
+    "rs39_e2e_pipeline",
 ]
 PARTITION_SETTINGS = (32, 13)
 
