@@ -205,6 +205,8 @@ HEADLINE = [
     "rs38_predictions_log",
     "rs39_e2e_pipeline",
     "rs40_serving_config_selection",
+    "l95_url_canonical_dedup",
+    "l96_domain_dup_stats",
 ]
 
 

@@ -4946,6 +4946,118 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------- l95
+def l95_url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-level dedup — the FIRST dedup pass of every crawl pipeline
+    (cheaper than any content hash: a page fetched under ``?utm_…``,
+    ``#fragment``, ``WWW.``-case and trailing-slash variants is the
+    same page). Each document gets a deterministic MESSY url
+    (``synthetic_url`` — the codec-corpus discipline), Spark
+    canonicalizes it FOR REAL (``parse_url`` + higher-order param
+    filtering, pure expression — see llmops/urls.py), and keep-first
+    groups by the canonical form. The oracle computes the canonical
+    string straight from the generator formula and never parses a
+    url, so any canonicalizer bug (param order, www-strip, fragment
+    leak, case) fails the hash.
+
+    Output: one row per canonical url with the kept doc and the
+    variant count (n_variants > 1 ⟺ the canonicalizer actually
+    merged raw forms).
+
+    Scale: canonicalization rides the scan (whole-stage codegen, no
+    Python); the dedup is one map-side-combined groupBy on the
+    canonical string — the same shape as l01's exact hash dedup.
+    """
+    from pyspark_recs.llmops.urls import canonicalize_url, synthetic_url
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "source")
+    return (
+        docs.select(
+            "doc_id",
+            canonicalize_url(
+                synthetic_url(F.col("doc_id"), F.col("source"))
+            ).alias("canonical_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )
+
+
+L95_SQL = """
+SELECT 'https://' || lower(source) || '.example.com/articles/'
+         || CAST(doc_id % 140 AS VARCHAR)
+         || CASE WHEN doc_id % 4 IN (2, 3) THEN '?page=2' ELSE '' END
+         AS canonical_url,
+       CAST(min(doc_id) AS BIGINT) AS kept_doc_id,
+       CAST(count(*) AS BIGINT) AS n_variants
+FROM documents
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------- l96
+def l96_domain_dup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-DOMAIN duplication audit — the blocklist signal crawl
+    curation teams act on (a domain whose pages collapse heavily
+    under canonicalization is mirror/SEO noise; the domain, not the
+    page, is the curation unit at 100 TB). Builds on l95's canonical
+    forms: per domain, raw page count, distinct canonical urls, the
+    exact duplication rate in ppm, and the total characters the
+    domain contributes.
+
+    Scale: one groupBy(domain) over the canonicalized scan with a
+    distinct-inside-aggregate on the canonical url — partial
+    aggregation applies to every column but the distinct, whose
+    cardinality is domain-bounded; at petabyte crawl sizes swap the
+    exact distinct for an HLL sketch (the r53 rollup discipline).
+    """
+    from pyspark_recs.llmops.urls import canonicalize_url, synthetic_url
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    canon = docs.select(
+        "doc_id",
+        "n_chars",
+        F.concat(F.lower("source"), F.lit(".example.com")).alias("domain"),
+        canonicalize_url(
+            synthetic_url(F.col("doc_id"), F.col("source"))
+        ).alias("canonical_url"),
+    )
+    return canon.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("canonical_url").alias("n_unique"),
+        F.expr(
+            "CAST((1000000 * (count(1) - count(DISTINCT canonical_url)))"
+            " DIV count(1) AS BIGINT)"
+        ).alias("dup_ppm"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+L96_SQL = """
+WITH canon AS (
+  SELECT doc_id, n_chars,
+         lower(source) || '.example.com' AS domain,
+         'https://' || lower(source) || '.example.com/articles/'
+           || CAST(doc_id % 140 AS VARCHAR)
+           || CASE WHEN doc_id % 4 IN (2, 3) THEN '?page=2' ELSE '' END
+           AS canonical_url
+  FROM documents)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_unique,
+       CAST((1000000 * (count(*) - count(DISTINCT canonical_url)))
+            // count(*) AS BIGINT) AS dup_ppm,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM canon
+GROUP BY domain
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -5041,6 +5153,8 @@ QUERIES = {
     "l92_score_calibration": l92_score_calibration,
     "l93_curriculum_shards": l93_curriculum_shards,
     "l94_cdc_chunks": l94_cdc_chunks,
+    "l95_url_canonical_dedup": l95_url_canonical_dedup,
+    "l96_domain_dup_stats": l96_domain_dup_stats,
 }
 
 ORACLE = {
@@ -5138,4 +5252,6 @@ ORACLE = {
     "l92_score_calibration": L92_SQL,
     "l93_curriculum_shards": L93_SQL,
     "l94_cdc_chunks": L94_SQL,
+    "l95_url_canonical_dedup": L95_SQL,
+    "l96_domain_dup_stats": L96_SQL,
 }

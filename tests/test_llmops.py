@@ -1452,3 +1452,39 @@ def test_cdc_chunks_insertion_robust_dedup(spark):
     assert (
         got[1].mean_chunk_len * got[1].n_chunks <= len(base)
     )
+
+
+def test_canonicalize_url_hand_cases(spark):
+    # The crawl canonicalizer, pinned case by case: scheme/host case,
+    # www-strip, fragment drop, tracking-param strip (content params
+    # kept in order), trailing-slash strip, emptied-query '?' drop.
+    from pyspark_recs.llmops.urls import canonicalize_url
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM/a/b", "https://ex.com/a/b"),
+        ("https://ex.com/a/b/", "https://ex.com/a/b"),
+        ("https://ex.com/a#frag", "https://ex.com/a"),
+        ("https://ex.com/a?utm_source=x&page=2&ref=home",
+         "https://ex.com/a?page=2"),
+        ("https://ex.com/a?utm_campaign=x", "https://ex.com/a"),
+        ("http://www.ex.com/a?fbclid=1&q=spark&gclid=2",
+         "http://ex.com/a?q=spark"),
+    ]
+    df = spark.createDataFrame(cases, "raw string, expected string")
+    rows = df.select("expected", canonicalize_url(df.raw).alias("got")).collect()
+    for r in rows:
+        assert r.got == r.expected, (r.got, r.expected)
+
+
+def test_l95_canonicalizer_actually_merges_variants(spark):
+    # The dedup must be non-vacuous: the synthetic corpus produces raw
+    # variants that only canonicalization can merge, so some canonical
+    # urls must carry n_variants > 1, and every kept_doc_id must be
+    # the minimum of its group.
+    from pyspark_recs.workloads.llmops import l95_url_canonical_dedup
+
+    rows = l95_url_canonical_dedup(spark, "/root/testdata/sf0.001").collect()
+    assert any(r.n_variants > 1 for r in rows)
+    assert sum(r.n_variants for r in rows) == 500  # every doc accounted for
+    assert all("?page=2" == r.canonical_url[-7:] or "?" not in r.canonical_url
+               for r in rows)  # only content params survive
