@@ -805,3 +805,15 @@ def test_window_lint_flags_a_genuinely_global_window(spark):
         "rk", F.row_number().over(Window.orderBy("o_orderkey"))
     )
     assert not _unbounded_global_windows(plan_of(good))
+
+
+def test_l95_url_dedup_is_single_shuffle_pure_jvm(spark):
+    # The crawl canonicalizer must ride the scan: a 2-column pruned
+    # read, map-side partial aggregation, exactly one exchange, and
+    # zero Python in the plan (parse_url + higher-order filters are
+    # JVM expressions).
+    plan = plan_of(QUERIES["l95_url_canonical_dedup"](spark, SF_DIR))
+    assert re.search(r"ReadSchema: struct<doc_id:bigint,source:string>", plan)
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "EvalPython" not in plan
