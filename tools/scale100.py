@@ -98,6 +98,11 @@ QUERIES_100X = [
     # roots).
     "rs17_rfm_segments",
     "rs39_e2e_pipeline",
+    # round-10 URL-curation family over the 500k-doc salted corpus:
+    # the canonicalize-then-group dedup and the domain audit with its
+    # distinct-inside-aggregate.
+    "l95_url_canonical_dedup",
+    "l96_domain_dup_stats",
 ]
 PARTITION_SETTINGS = (32, 13)
 
