@@ -207,6 +207,7 @@ HEADLINE = [
     "rs40_serving_config_selection",
     "l95_url_canonical_dedup",
     "l96_domain_dup_stats",
+    "l97_audio_tone_power",
 ]
 
 

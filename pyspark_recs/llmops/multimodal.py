@@ -431,6 +431,104 @@ AUDIO_AUTOCORR_SCHEMA = (
     " ac1 bigint, ac2 bigint, ac4 bigint"
 )
 
+AUDIO_TONE_SCHEMA = (
+    "doc_id bigint, status string, mag_k8 bigint,"
+    " mag_k16 bigint, mag_k32 bigint, dominant_k int"
+)
+
+#: quantized-oscillator tone probes over a 256-sample window:
+#: (k cycles/window, A = round(2^14·cos(2πk/256)),
+#:  B = round(2^14·sin(2πk/256))). The integer constants ARE the tone
+#: spec — both engines replay the same Chebyshev recurrence from them,
+#: so no libm cos/sin ever enters the data path.
+TONE_PROBES = ((8, 16069, 3196), (16, 15137, 6270), (32, 11585, 11585))
+TONE_SCALE = 16384  # 2^14
+
+
+def quantized_oscillator(n: int, a: int, b: int) -> "tuple[list, list]":
+    """Integer cos/sin tables of length ``n`` from the Chebyshev
+    recurrence ``x[i+1] = floor(2·a·x[i] / S) − x[i−1]`` with
+    c[0]=S, c[1]=a, s[0]=0, s[1]=b (S = TONE_SCALE). Pure integer —
+    deterministic on any platform; the DuckDB twin regenerates the
+    identical tables with a recursive CTE (floor of an exact double
+    quotient: |2·a·x| ≤ 2^29 ≪ 2^53). Slow amplitude drift from the
+    quantization is PART of the spec, not an error."""
+    c, sn = [TONE_SCALE, a], [0, b]
+    for i in range(1, n - 1):
+        c.append((2 * a * c[i]) // TONE_SCALE - c[i - 1])
+        sn.append((2 * a * sn[i]) // TONE_SCALE - sn[i - 1])
+    return c[:n], sn[:n]
+
+
+def audio_tone_power(df: DataFrame) -> DataFrame:
+    """Frequency-domain audio feature — the tone-detection projection
+    (the Goertzel/DTMF use case) completing the time-domain trio
+    (energy l82, ZCR l88, autocorrelation l90): for each decodable
+    payload, the exact integer correlation magnitude
+    ``|Σ x·c_k| + |Σ x·s_k|`` against three quantized oscillator
+    probes (k = 8/16/32 cycles per 256-sample window), plus the
+    dominant probe (ties → lowest k). int64 headroom:
+    |x| ≤ 2000 · |table| ≤ 2^14 · 256 terms ⇒ |dot| ≤ 2^34.
+
+    Scale: decode + three numpy dots per doc inside one vectorized
+    ``mapInPandas`` pass — payload bytes never shuffle, the oscillator
+    tables are module constants shipped in the UDF closure, output is
+    one bounded row per doc.
+    """
+    import array
+    import sys
+
+    import numpy as np
+
+    from pyspark_recs.llmops.wav import decode_wav
+
+    tables = [
+        tuple(
+            np.asarray(t, dtype=np.int64)
+            for t in quantized_oscillator(256, a, b)
+        )
+        for _, a, b in TONE_PROBES
+    ]
+    ks = [k for k, _, _ in TONE_PROBES]
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    _, channels, _, pcm = decode_wav(bytes(payload))
+                    if channels != 1:
+                        raise ValueError("mono only")
+                    a16 = array.array("h")
+                    a16.frombytes(pcm)
+                    if sys.byteorder == "big":  # pragma: no cover
+                        a16.byteswap()
+                    x = np.asarray(a16, dtype=np.int64)
+                    mags = [
+                        abs(int(np.dot(x, c[: len(x)])))
+                        + abs(int(np.dot(x, sn[: len(x)])))
+                        for c, sn in tables
+                    ]
+                    dom = ks[mags.index(max(mags))]
+                    rows.append((doc_id, "ok", *mags, dom))
+                except Exception:
+                    rows.append(
+                        (doc_id, "decode_error", None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "status", "mag_k8", "mag_k16", "mag_k32",
+                    "dominant_k",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        decode_batches, schema=AUDIO_TONE_SCHEMA
+    )
+
 
 def audio_autocorrelation(df: DataFrame) -> DataFrame:
     """Raw integer autocorrelation at fixed lags over decoded WAV

@@ -4946,6 +4946,73 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------- l97
+def l97_audio_tone_power(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequency-domain tone detection over the l78 WAV corpus — the
+    Goertzel/DTMF-style spectral probe that completes the audio
+    family's time-domain trio (energy l82, ZCR l88, autocorr l90):
+    exact integer correlation magnitudes against three QUANTIZED
+    OSCILLATOR probes (k = 8/16/32 cycles per 256-sample window) and
+    the dominant probe per doc. The oscillator tables come from a pure
+    integer Chebyshev recurrence seeded by integer constants — no
+    libm cos/sin anywhere — so the DuckDB twin regenerates the
+    identical tables with a recursive CTE and replays the synth
+    formula; it never sees a WAV byte. Same truncation dead-letter
+    branch as l78/l82/l86/l88/l90.
+    See llmops/multimodal.py:audio_tone_power."""
+    from pyspark_recs.llmops.multimodal import audio_tone_power
+
+    return audio_tone_power(_wav_corpus(spark, sf))
+
+
+L97_SQL = """
+WITH RECURSIVE osc(i, c8p, c8, s8p, s8, c16p, c16, s16p, s16,
+                   c32p, c32, s32p, s32) AS (
+  SELECT 1, 16384, 16069, 0, 3196, 16384, 15137, 0, 6270,
+         16384, 11585, 0, 11585
+  UNION ALL
+  SELECT i + 1,
+         c8,  CAST(floor((2*16069*c8)  / 16384.0) AS BIGINT) - c8p,
+         s8,  CAST(floor((2*16069*s8)  / 16384.0) AS BIGINT) - s8p,
+         c16, CAST(floor((2*15137*c16) / 16384.0) AS BIGINT) - c16p,
+         s16, CAST(floor((2*15137*s16) / 16384.0) AS BIGINT) - s16p,
+         c32, CAST(floor((2*11585*c32) / 16384.0) AS BIGINT) - c32p,
+         s32, CAST(floor((2*11585*s32) / 16384.0) AS BIGINT) - s32p
+  FROM osc WHERE i < 255),
+tab AS (
+  SELECT 0 AS i, CAST(16384 AS BIGINT) AS c8, CAST(0 AS BIGINT) AS s8,
+         CAST(16384 AS BIGINT) AS c16, CAST(0 AS BIGINT) AS s16,
+         CAST(16384 AS BIGINT) AS c32, CAST(0 AS BIGINT) AS s32
+  UNION ALL
+  SELECT i, c8, s8, c16, s16, c32, s32 FROM osc),
+y AS (
+  SELECT d.doc_id, t.i,
+         (((d.doc_id * 37 + t.i * 11) % 4001) - 2000) AS v
+  FROM documents d CROSS JOIN range(256) t(i)
+  WHERE d.doc_id % 17 <> 0),
+agg AS (
+  SELECT y.doc_id,
+         abs(sum(y.v * tab.c8))  + abs(sum(y.v * tab.s8))  AS mag_k8,
+         abs(sum(y.v * tab.c16)) + abs(sum(y.v * tab.s16)) AS mag_k16,
+         abs(sum(y.v * tab.c32)) + abs(sum(y.v * tab.s32)) AS mag_k32
+  FROM y JOIN tab ON y.i = tab.i
+  GROUP BY y.doc_id)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 17 = 0 THEN 'decode_error' ELSE 'ok' END
+         AS status,
+       CAST(a.mag_k8 AS BIGINT) AS mag_k8,
+       CAST(a.mag_k16 AS BIGINT) AS mag_k16,
+       CAST(a.mag_k32 AS BIGINT) AS mag_k32,
+       CAST(CASE
+              WHEN a.mag_k8 IS NULL THEN NULL
+              WHEN a.mag_k8 >= a.mag_k16 AND a.mag_k8 >= a.mag_k32 THEN 8
+              WHEN a.mag_k16 >= a.mag_k32 THEN 16
+              ELSE 32
+            END AS INTEGER) AS dominant_k
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------- l95
 def l95_url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """URL-level dedup — the FIRST dedup pass of every crawl pipeline
@@ -5154,6 +5221,7 @@ QUERIES = {
     "l93_curriculum_shards": l93_curriculum_shards,
     "l94_cdc_chunks": l94_cdc_chunks,
     "l95_url_canonical_dedup": l95_url_canonical_dedup,
+    "l97_audio_tone_power": l97_audio_tone_power,
     "l96_domain_dup_stats": l96_domain_dup_stats,
 }
 
@@ -5253,5 +5321,6 @@ ORACLE = {
     "l93_curriculum_shards": L93_SQL,
     "l94_cdc_chunks": L94_SQL,
     "l95_url_canonical_dedup": L95_SQL,
+    "l97_audio_tone_power": L97_SQL,
     "l96_domain_dup_stats": L96_SQL,
 }

@@ -3692,7 +3692,12 @@ def rs40_serving_config_selection(spark: SparkSession, sf: str) -> DataFrame:
     Scale: the grid is 4 rows over the artifact-served eval tables;
     the ceiling and the winner are 1-row broadcasts.
     """
-    grid = rs34_candidate_recall_sweep(spark, sf)
+    from pyspark_recs.workloads.common import register_persisted
+
+    # The grid is 4 rows but its lineage is the whole eval protocol —
+    # cache it (registered for teardown) so the ceiling, the argmax
+    # and the flagged output read one evaluation, not three.
+    grid = register_persisted(rs34_candidate_recall_sweep(spark, sf).persist())
     best = (
         grid.crossJoin(
             F.broadcast(grid.agg(F.max("recall_ppm").alias("max_recall")))

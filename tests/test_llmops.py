@@ -1488,3 +1488,42 @@ def test_l95_canonicalizer_actually_merges_variants(spark):
     assert sum(r.n_variants for r in rows) == 500  # every doc accounted for
     assert all("?page=2" == r.canonical_url[-7:] or "?" not in r.canonical_url
                for r in rows)  # only content params survive
+
+
+def test_l97_tone_power_matches_pure_python(spark):
+    # One doc replayed end to end in pure Python: generate the PCM
+    # from the synth formula, the oscillator tables from the integer
+    # recurrence, and the magnitudes by direct summation — the Spark
+    # row (real WAV decode + numpy dots) must match exactly, and the
+    # oscillator's first values must equal the hand-derived ones.
+    from pyspark_recs.llmops.multimodal import (
+        TONE_PROBES,
+        quantized_oscillator,
+    )
+    from pyspark_recs.workloads.llmops import l97_audio_tone_power
+
+    c8, s8 = quantized_oscillator(256, 16069, 3196)
+    assert (c8[0], c8[1]) == (16384, 16069)
+    assert c8[2] == (2 * 16069 * 16069) // 16384 - 16384  # hand recurrence
+    assert (s8[0], s8[1], s8[2]) == (0, 3196, (2 * 16069 * 3196) // 16384)
+
+    doc_id = 1  # not % 17 == 0 — decodable branch
+    x = [((doc_id * 37 + i * 11) % 4001) - 2000 for i in range(256)]
+    expected = {}
+    for k, a, b in TONE_PROBES:
+        c, sn = quantized_oscillator(256, a, b)
+        expected[f"mag_k{k}"] = abs(sum(v * cv for v, cv in zip(x, c))) + abs(
+            sum(v * sv for v, sv in zip(x, sn))
+        )
+    rows = {
+        r.doc_id: r
+        for r in l97_audio_tone_power(spark, "/root/testdata/sf0.001").collect()
+    }
+    got = rows[doc_id]
+    assert got.status == "ok"
+    for key, val in expected.items():
+        assert getattr(got, key) == val, (key, getattr(got, key), val)
+    assert got.dominant_k == max(
+        (expected[f"mag_k{k}"], -k) for k, _, _ in TONE_PROBES
+    )[1] * -1
+    assert rows[17].status == "decode_error" and rows[17].mag_k8 is None

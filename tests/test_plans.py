@@ -575,7 +575,8 @@ def test_codec_roundtrip_payloads_never_shuffle(spark):
 def test_round9_payload_ops_never_shuffle_payloads(spark):
     # l82/l83 extend the codec discipline: payloads die inside the
     # decode mapInPandas; only window energies / 16-byte hashes shuffle
-    for q in ("l82_audio_vad_segments", "l83_image_phash_dedup"):
+    for q in ("l82_audio_vad_segments", "l83_image_phash_dedup",
+              "l97_audio_tone_power"):
         plan = plan_of(QUERIES[q](spark, SF_DIR))
         blocks = re.split(r"^\(\d+\) ", plan, flags=re.M)
         for blk in blocks:
