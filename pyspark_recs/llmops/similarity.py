@@ -104,18 +104,31 @@ def maxsim_topk(
     Output: query_id, neighbor_id, maxsim (double), rank (1-based);
     self-matches excluded, ties broken by neighbor_id ascending.
     """
-    # Up-front dim guard (ADVICE r9): on dim % n_tokens != 0 the arrow
-    # impl raised a numpy reshape error while the expr impl silently
-    # truncated trailing dims — one clear contract for both. The probe
-    # is a bounded limit(1) collect (one int), the repo's allowed
-    # driver-scalar shape.
-    probe = queries.select(F.size(vec_col).alias("d")).limit(1).collect()
-    if probe and probe[0]["d"] is not None and probe[0]["d"] % n_tokens:
-        raise ValueError(
-            f"maxsim_topk: vector dim {probe[0]['d']} is not divisible "
-            f"by n_tokens={n_tokens} — token sub-vectors must tile the "
-            "embedding exactly"
-        )
+    # Up-front dim guard (ADVICE r9, hardened r11): on dim % n_tokens
+    # != 0 the arrow impl raised a numpy reshape error while the expr
+    # impl silently truncated trailing dims — one clear contract for
+    # both. One bounded min/max aggregate over BOTH sides (1-row
+    # collect) catches ragged vectors and a query/candidate dim
+    # mismatch, which the old first-row limit(1) probe let through.
+    dims = (
+        queries.select(F.size(vec_col).alias("d"))
+        .unionByName(candidates.select(F.size(vec_col).alias("d")))
+        .agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+        .collect()[0]
+    )
+    if dims["dmin"] is not None:
+        if dims["dmin"] != dims["dmax"]:
+            raise ValueError(
+                f"maxsim_topk: ragged or mismatched vector dims "
+                f"(min {dims['dmin']}, max {dims['dmax']}) across "
+                "queries/candidates — all embeddings must share one dim"
+            )
+        if dims["dmin"] % n_tokens:
+            raise ValueError(
+                f"maxsim_topk: vector dim {dims['dmin']} is not divisible "
+                f"by n_tokens={n_tokens} — token sub-vectors must tile the "
+                "embedding exactly"
+            )
     if impl == "arrow":
         scored = _maxsim_pairs_arrow(
             candidates, queries, n_tokens, id_col, vec_col

@@ -353,6 +353,14 @@ def ntile_by_range(
     pass it when the caller already knows it, else the frame is
     persisted (and registered for teardown) and counted here.
 
+    .. warning:: ``total`` is TRUSTED. A wrong value silently yields
+       wrong buckets — there is no detection path, because the bucket
+       formula never re-counts. Only pass ``total`` when it is the
+       exact ``df.count()`` of THIS frame (same filters, same rows);
+       when in any doubt, pass ``None`` and pay the one bounded count.
+       ``tests/test_ranked_layout.py::test_ntile_by_range_total_fast_path``
+       cross-checks the fast path against the counted path.
+
     Same contract as ranked_by_range: ``order_cols`` must be a total
     order (add a unique tiebreak) and ``df`` must be aggregate-sized
     (per-entity rollups), never a raw fact table.

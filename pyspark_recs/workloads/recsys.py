@@ -1116,14 +1116,26 @@ def _brand_bits(spark: SparkSession, sf: str) -> DataFrame:
     rank) and encodes the ≤64-universe contract of the bitmask basket
     structurally: the 64 smallest brands are the whole universe by
     construction. Universes wider than 64 take the sorted-array pair
-    path instead (see rs15's docstring)."""
+    path instead (see rs15's docstring) — and the contract is enforced
+    loudly (ADVICE r10): a 65th distinct brand raises here instead of
+    silently dropping brands from the bitmask. The probe is a bounded
+    limit(65).count() over the distinct dictionary (broadcast-sized by
+    contract)."""
     from pyspark.sql import Window
 
-    return (
+    uni = (
         load_table(spark, sf, "part")
         .select(F.col("p_brand").alias("brand"))
         .distinct()
-        .orderBy("brand")
+    )
+    if uni.orderBy("brand").limit(65).count() > 64:
+        raise ValueError(
+            "_brand_bits: more than 64 distinct brands — the 64-bit "
+            "bitmask basket path cannot represent this universe; use "
+            "the sorted-array pair path (rs15 docstring)"
+        )
+    return (
+        uni.orderBy("brand")
         .limit(64)
         .withColumn("bid", F.row_number().over(Window.orderBy("brand")) - 1)
     )
@@ -4132,18 +4144,18 @@ def rs39_e2e_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     )
-    # Bracket counts come from ONE JSON-free counts aggregate over the
-    # facts (n_raw = stale snapshot + full reload; n_latest = the
-    # reload): Spark has no DataFrame CSE, so counting over `raw`
-    # would re-run the fact join + JSON serialization once per
-    # consumer — at 100 TB the staging table is parquet at rest and
-    # these are its row-count stats, not extra scans.
-    brackets = facts.agg(
-        (
-            F.count(F.lit(1))
-            + F.sum((F.col("yr") < 1996).cast("long"))
-        ).alias("n_raw"),
-        F.count(F.lit(1)).alias("n_latest"),
+    # Bracket counts are MEASURED from the raw envelope union itself
+    # (ADVICE r10: deriving them from `facts` left the v1-batch build
+    # unobserved — a bug in the stale-snapshot branch was invisible
+    # because the latest-batch filter drops its rows). Counting `raw`
+    # is still JSON-free: the aggregate projects only etl_ts, so
+    # Catalyst prunes the payload expression and the job is two
+    # fact-join passes (the two union branches), no serialization. At
+    # 100 TB the staging table is parquet at rest and these are its
+    # row-count stats, not extra scans.
+    brackets = raw.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum((F.col("etl_ts") == 2000).cast("long")).alias("n_latest"),
     )
     latest = raw.crossJoin(
         F.broadcast(raw.agg(F.max("etl_ts").alias("_max_ts")))

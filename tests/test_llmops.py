@@ -1317,6 +1317,37 @@ def test_maxsim_late_interaction_hand_computed(spark):
     assert all(r.query_id == 0 for r in out)
 
 
+def test_maxsim_dim_guard_ragged_and_mismatch(spark):
+    """ADVICE r10: the dim guard must catch ragged vector lengths and a
+    query/candidate dim mismatch, not just the first query row."""
+    import pytest as _pytest
+
+    from pyspark_recs.llmops.similarity import maxsim_topk
+
+    ok4 = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 1.0]), (1, [1.0, 0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    # non-divisible dim (both impls, both frames valid otherwise)
+    for impl in ("expr", "arrow"):
+        with _pytest.raises(ValueError, match="not divisible"):
+            maxsim_topk(ok4, ok4, k=1, n_tokens=3, impl=impl)
+    # ragged candidates: first QUERY row is clean, so the old
+    # first-row probe passed — the union aggregate must not
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 1.0]), (1, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="ragged or mismatched"):
+        maxsim_topk(ragged, ok4, k=1, n_tokens=2)
+    # query dim != candidate dim
+    q2 = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="ragged or mismatched"):
+        maxsim_topk(ok4, q2, k=1, n_tokens=2)
+
+
 def test_maxsim_single_token_matches_plain_dot_ranking(spark):
     import random
 

@@ -64,6 +64,29 @@ def test_ranked_by_range_contiguous_from_one(spark, scrambled):
     assert ranks == list(range(1, 501))
 
 
+def test_ntile_by_range_total_fast_path(spark, scrambled):
+    """The ``total=`` fast path is trusted-or-else-wrong (ADVICE r10):
+    pin that a CORRECT caller-supplied total (the only supported use,
+    rs17's shape — a count taken from the same frame) yields buckets
+    identical to the self-counting path, across bucket counts that do
+    and don't divide the row count."""
+    from pyspark_recs.sql.transforms import ntile_by_range
+
+    n = scrambled.count()
+    for k in (3, 7, 500, 1000):
+        fast = sorted(
+            (r["v"], r["t"], r["bucket"])
+            for r in ntile_by_range(
+                scrambled, ["v", "t"], k, total=n
+            ).collect()
+        )
+        counted = sorted(
+            (r["v"], r["t"], r["bucket"])
+            for r in ntile_by_range(scrambled, ["v", "t"], k).collect()
+        )
+        assert fast == counted, f"total= fast path diverged at k={k}"
+
+
 def test_categorify_dictionary_codes_follow_sort_order(spark):
     df = spark.createDataFrame(
         [("b",), ("a",), (None,), ("c",), ("a",)], "v string"

@@ -324,6 +324,15 @@ def main() -> None:
     for i, a in enumerate(sys.argv):
         if a == "--only" and i + 1 < len(sys.argv):
             only = set(sys.argv[i + 1].split(","))
+    if only is not None:
+        unknown = sorted(only - set(QUERIES_100X))
+        if unknown:
+            # A typo must fail loudly (ADVICE r10): silently skipping
+            # the query would let the hand-merged table look complete
+            # while the rerun never happened.
+            raise SystemExit(
+                f"--only names not in QUERIES_100X: {', '.join(unknown)}"
+            )
     todo = [q for q in QUERIES_100X if only is None or q in only]
 
     results: dict[str, dict] = {}
