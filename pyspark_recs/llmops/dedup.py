@@ -423,6 +423,14 @@ def connected_components(
             "a component has diameter > max_iter and would be silently "
             "split — raise max_iter"
         )
+    # The returned labels stay cached for the caller, so they must be
+    # released at session teardown like every internally-persisted
+    # intermediate — otherwise each CC fit leaks one cached frame for
+    # the session's lifetime (the r89 leak class the registry-wide
+    # cache lint checks for).
+    from pyspark_recs.workloads.common import register_persisted
+
+    register_persisted(labels)
     return labels
 
 

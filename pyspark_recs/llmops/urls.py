@@ -95,3 +95,50 @@ def synthetic_url(doc_id: Column, source: Column) -> Column:
         query,
         frag,
     )
+
+
+def synthetic_url_blocked(doc_id: Column, block: int = 4) -> Column:
+    """:func:`synthetic_url` with a LINEARLY-scaling article space:
+    the article id is ``doc_id // block`` instead of ``doc_id % 140``,
+    and the host derives from the BLOCK (not the per-doc source
+    column, which changes every doc_id and would defeat merging), so
+    each consecutive ``block`` of doc_ids shares one host+article and
+    the canonical-url group count grows with the corpus (constant
+    merge factor at EVERY scale). Use this fixture for pipeline-scale
+    rows (l98's corpus funnel must not collapse to a fixed 140 pages
+    at 100×); ``synthetic_url``'s fixed cycle stays the right fixture
+    for the canonicalizer-focused rows (l95/l96), where heavy merging
+    is the point. Same messiness dimensions: scheme/host case, www,
+    tracking-vs-content query mix, fragment, trailing slash."""
+    scheme = F.when(doc_id % 5 == 0, F.lit("HTTPS")).otherwise(F.lit("https"))
+    www = (
+        F.when(doc_id % 7 == 0, F.lit("WWW."))
+        .when(doc_id % 7 == 1, F.lit("www."))
+        .otherwise(F.lit(""))
+    )
+    article_n = F.floor(doc_id / F.lit(block)).cast("long")
+    host_plain = F.concat(F.lit("site"), (article_n % 10).cast("string"))
+    host_src = F.when(doc_id % 2 == 0, F.upper(host_plain)).otherwise(
+        host_plain
+    )
+    article = article_n.cast("string")
+    path = F.concat(F.lit("/articles/"), article)
+    slash = F.when(doc_id % 13 == 0, F.lit("/")).otherwise(F.lit(""))
+    query = (
+        F.when(doc_id % 4 == 1, F.lit("?utm_source=feed"))
+        .when(doc_id % 4 == 2, F.lit("?page=2"))
+        .when(doc_id % 4 == 3, F.lit("?utm_campaign=x&page=2"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(doc_id % 11 == 0, F.lit("#section-3")).otherwise(F.lit(""))
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        www,
+        host_src,
+        F.lit(".example.com"),
+        path,
+        slash,
+        query,
+        frag,
+    )

@@ -55,17 +55,29 @@ def streaming_hopping_agg(
     window: str = "1 day",
     slide: str = "12 hours",
     watermark: str = "2 days",
+    exact_sum: bool = False,
 ) -> DataFrame:
     """Watermarked hopping (sliding) window count+sum — each event lands
     in window/slide overlapping windows; the incremental form of
     workloads/streaming.s07_hopping_windows. State per key ×
-    (window/slide) overlap factor, bounded by the watermark."""
+    (window/slide) overlap factor, bounded by the watermark.
+
+    ``exact_sum=True`` swaps the float sum for the repo's fixed-point
+    ``dsum`` (order-independent, engine-agreed) — required when the
+    result is hash-compared against a batch/oracle twin (s18), since a
+    float sum's value depends on state-update order."""
+    if exact_sum:
+        from pyspark_recs.workloads.common import dsum
+
+        total = dsum("value")
+    else:
+        total = F.sum("value")
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window, slide).start.alias("win_start"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            total.alias("total_value"),
         )
     )
 

@@ -5125,6 +5125,182 @@ GROUP BY domain
 """
 
 
+# --------------------------------------------------------------------- l98
+def l98_corpus_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """THE LLMOPS FLAGSHIP — rs39's twin for the training-data side:
+    the complete corpus-prep pipeline as ONE oracle-bracketed lineage,
+    every stage the engine's own verified shape:
+
+    1. **URL keep-first (l95)** — each document's messy synthetic url
+       is canonicalized FOR REAL (``parse_url`` + higher-order param
+       filtering, pure expression) and only the min-doc_id page per
+       canonical url survives — the first, cheapest dedup pass of
+       every crawl pipeline.
+    2. **quality rules (l23)** — Gopher/C4-style token-count /
+       mean-token-length / stopword-fraction gates, exact arithmetic.
+    3. **near-dup dedup (l02/l03/l21)** — MinHash signatures → LSH
+       band candidates → exact shingle-Jaccard verify → iterative
+       connected components → cluster representatives only. The fitted
+       label set is a standing corpus-index job, so it checkpoints
+       through ``artifact_plan`` (train ≠ serve: the serve lineage
+       LOADS the published ids instead of re-clustering).
+    4. **chunk (l27)** — overlapping 32/24 token windows (bracket
+       count only; the chunk TABLE is l27's own row).
+    5. **pack (l19)** — exclusive-prefix-sum token packing into
+       512-token bins per source shard: the packed-sequence table a
+       trainer actually reads.
+
+    The output is the packed table × the funnel bracket counts
+    (n_input, n_url_kept, n_quality, n_canonical, n_chunks), so the
+    oracle hash pins every stage: a bug anywhere — canonicalizer,
+    rules, banding, verification, clustering, chunker, packer —
+    changes a bracket or a bin assignment. The oracle replays the
+    url-generator formula (never parses), re-derives the MinHash/LSH
+    pipeline from the same md5 arithmetic, and computes the CC
+    fixpoint with a recursive CTE.
+
+    Scale: stages shuffle on canonical-url / band-key / doc_id /
+    source only — document text never shuffles; the URL and quality
+    gates run FIRST so every downstream shuffle sees survivors only;
+    banding keeps candidate pairs sub-quadratic; packing windows
+    partition by source shard, never globally. The bracket aggregates
+    are row-count stats of tables that would sit at rest as parquet
+    between stages at 100 TB.
+    """
+    from pyspark_recs.llmops.pipeline import prepare_corpus
+    from pyspark_recs.llmops.urls import (
+        canonicalize_url,
+        synthetic_url_blocked,
+    )
+    from pyspark_recs.workloads.common import artifact_plan
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "source"
+    )
+    # The BLOCKED url fixture (linear article space): the canonical
+    # group count scales with the corpus, so the funnel keeps its
+    # shape at 100× instead of collapsing to l95's fixed 140 pages.
+    docs_u = docs.withColumn(
+        "canonical_url",
+        canonicalize_url(synthetic_url_blocked(F.col("doc_id"))),
+    )
+
+    def _fit_canonical_ids() -> DataFrame:
+        return prepare_corpus(
+            docs_u, url_col="canonical_url"
+        ).canonical.select("doc_id")
+
+    ids = artifact_plan(
+        spark, sf, "l98_canonical_ids", "1", _fit_canonical_ids
+    )
+    res = prepare_corpus(
+        docs_u, url_col="canonical_url", canonical_ids=ids
+    )
+
+    def _n(df: DataFrame, alias: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(alias))
+
+    brackets = (
+        _n(docs_u, "n_input")
+        .crossJoin(F.broadcast(_n(res.url_kept, "n_url_kept")))
+        .crossJoin(F.broadcast(_n(res.kept, "n_quality")))
+        .crossJoin(F.broadcast(_n(res.canonical, "n_canonical")))
+        .crossJoin(F.broadcast(_n(res.chunks, "n_chunks")))
+    )
+    return res.packed.crossJoin(F.broadcast(brackets)).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "bin_idx",
+        "n_input",
+        "n_url_kept",
+        "n_quality",
+        "n_canonical",
+        "n_chunks",
+    )
+
+
+L98_SQL = f"""
+WITH RECURSIVE
+uk AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY 'https://site' || CAST((doc_id // 4) % 10 AS VARCHAR)
+           || '.example.com/articles/' || CAST(doc_id // 4 AS VARCHAR)
+           || CASE WHEN doc_id % 4 IN (2, 3) THEN '?page=2' ELSE '' END),
+d0 AS (
+  SELECT d.doc_id, d.source, d.text FROM documents d JOIN uk USING (doc_id)),
+ta AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), w -> w <> '') AS words
+  FROM d0),
+qm AS (
+  SELECT doc_id, source, words,
+         CAST(len(words) AS INTEGER) AS n_tokens,
+         CAST(list_aggregate(list_transform(words, w -> length(w)), 'sum')
+              AS DOUBLE) / len(words) AS mean_token_len,
+         CAST(len(list_filter(words,
+                  w -> list_contains([{_L23_STOPLIST}], w))) AS DOUBLE)
+           / len(words) AS stopword_frac
+  FROM ta),
+toks AS (
+  SELECT doc_id, source, words FROM qm
+  WHERE n_tokens >= 30 AND n_tokens <= 100
+    AND mean_token_len >= 3.0 AND mean_token_len <= 8.0
+    AND stopword_frac >= 0.05),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+      range(1, len(words) - 1),
+      i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS shingles
+  FROM toks WHERE len(words) >= 3),
+{_INT_SHINGLE_CTES.strip()},
+sigs AS (SELECT doc_id, {_SIG_SELECTS} FROM ihs),
+buckets AS (
+  SELECT doc_id, unnest([{_BAND_KEYS}]) AS band_key FROM sigs),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM buckets x JOIN buckets y
+    ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+edges AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.shingles, y.shingles)))
+             AS jaccard
+    FROM cand c
+    JOIN sh x ON c.doc_a = x.doc_id
+    JOIN sh y ON c.doc_b = y.doc_id)
+  WHERE jaccard >= 0.5),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION ALL SELECT doc_b, doc_a FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a),
+comp AS (SELECT a AS doc_id, min(b) AS mr FROM reach GROUP BY a),
+canon AS (
+  SELECT t.doc_id, t.source, t.words
+  FROM toks t LEFT JOIN comp c ON t.doc_id = c.doc_id
+  WHERE least(t.doc_id, coalesce(c.mr, t.doc_id)) = t.doc_id),
+br AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_input,
+         CAST((SELECT count(*) FROM uk) AS BIGINT) AS n_url_kept,
+         CAST((SELECT count(*) FROM toks) AS BIGINT) AS n_quality,
+         CAST((SELECT count(*) FROM canon) AS BIGINT) AS n_canonical,
+         CAST((SELECT coalesce(sum((len(words) + 23) // 24), 0)
+               FROM canon WHERE len(words) >= 1) AS BIGINT) AS n_chunks),
+p AS (
+  SELECT doc_id, source, CAST(len(words) AS INTEGER) AS n_tokens,
+         sum(len(words)) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+  FROM canon)
+SELECT doc_id, source, n_tokens,
+       CAST(floor((cum - n_tokens) / 512) AS INTEGER) AS bin_idx,
+       n_input, n_url_kept, n_quality, n_canonical, n_chunks
+FROM p, br
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -5223,6 +5399,7 @@ QUERIES = {
     "l95_url_canonical_dedup": l95_url_canonical_dedup,
     "l97_audio_tone_power": l97_audio_tone_power,
     "l96_domain_dup_stats": l96_domain_dup_stats,
+    "l98_corpus_e2e": l98_corpus_e2e,
 }
 
 ORACLE = {
@@ -5323,4 +5500,5 @@ ORACLE = {
     "l95_url_canonical_dedup": L95_SQL,
     "l97_audio_tone_power": L97_SQL,
     "l96_domain_dup_stats": L96_SQL,
+    "l98_corpus_e2e": L98_SQL,
 }

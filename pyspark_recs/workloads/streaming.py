@@ -1003,6 +1003,64 @@ FROM walk w JOIN counts c USING (user_id) WHERE w.rn = c.n
 """
 
 
+# --------------------------------------------------------------------- s18
+def s18_streaming_hopping_exec(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL Structured Streaming under the oracle gate — the first
+    registry row whose Spark side EXECUTES readStream/writeStream
+    instead of the batch twin: events stage to a parquet drop
+    directory (the S3-drop ingest topology, SURVEY §2.9 / T1), a
+    file-source readStream runs the watermarked hopping window (T2)
+    with an ``availableNow`` trigger into a complete-mode memory sink,
+    and the sink table — reshaped to s07's output contract — is what
+    the driver hashes. The oracle is s07's SQL verbatim: streaming
+    execution must reproduce the batch aggregate bit-for-bit, which is
+    why the aggregate uses the fixed-point ``dsum`` (a float sum's
+    value depends on state-update order).
+
+    Scale: ``availableNow`` is the production backfill trigger — the
+    same checkpointed query tails the drop directory continuously;
+    state is bounded by the watermark horizon × the window/slide
+    overlap (2 here). The memory sink stands in for T4's KV sink
+    (``stream_to_kv_sink``, replay-tested in tests/test_streaming.py);
+    a per-call unique queryName + throwaway checkpoint keep driver
+    re-runs independent.
+    """
+    import tempfile
+    import uuid
+
+    from pyspark_recs.streaming import (
+        read_event_stream,
+        streaming_hopping_agg,
+    )
+
+    ev = load_table(spark, sf, "events").select("ts", "value")
+    drop_dir = tempfile.mkdtemp(prefix="s18_drops_")
+    ev.write.mode("overwrite").parquet(drop_dir)
+    staged_schema = spark.read.parquet(drop_dir).schema
+    agg = streaming_hopping_agg(
+        read_event_stream(spark, drop_dir, staged_schema), exact_sum=True
+    )
+    name = f"s18_sink_{uuid.uuid4().hex[:10]}"
+    ckpt = tempfile.mkdtemp(prefix="s18_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(600)
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.unix_timestamp("win_start").alias("win_start_s"),
+        "n_events",
+        "total_value",
+    )
+
+
 QUERIES = {
     "s01_tumbling_daily": s01_tumbling_daily,
     "s02_sessionize": s02_sessionize,
@@ -1021,6 +1079,7 @@ QUERIES = {
     "s15_histogram_quantiles": s15_histogram_quantiles,
     "s16_value_drift": s16_value_drift,
     "s17_holt_forecast": s17_holt_forecast,
+    "s18_streaming_hopping_exec": s18_streaming_hopping_exec,
 }
 
 ORACLE = {
@@ -1041,4 +1100,7 @@ ORACLE = {
     "s15_histogram_quantiles": S15_SQL,
     "s16_value_drift": S16_SQL,
     "s17_holt_forecast": S17_SQL,
+    # s18's oracle IS s07's: streaming execution must reproduce the
+    # batch hopping aggregate exactly.
+    "s18_streaming_hopping_exec": S07_SQL,
 }

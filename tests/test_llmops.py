@@ -507,6 +507,73 @@ def test_prepare_corpus_end_to_end(spark):
     assert res.chunks.filter(F.col("doc_id") == 4).count() == 0
 
 
+def test_prepare_corpus_url_stage_and_injected_ids(spark):
+    """The r11 extensions: url_col runs a keep-first pass BEFORE the
+    quality rules (min doc_id per canonical url), and canonical_ids
+    skips the CC fit and trusts the injected representatives."""
+    from pyspark_recs.llmops.pipeline import prepare_corpus
+
+    good = "the quick brown fox is happy to see a dog in the park " * 3
+    other = "the fox and the dog and the owl and the elk are here " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, good.strip(), "s1", "https://a.com/x"),
+            (2, other.strip(), "s1", "https://a.com/x"),  # same url as 1
+            (3, other.strip(), "s2", "https://a.com/y"),
+            (4, "too short", "s2", "https://a.com/z"),
+        ],
+        "doc_id long, text string, source string, canonical_url string",
+    )
+    res = prepare_corpus(docs, url_col="canonical_url")
+    # doc 2 dies at the URL stage (doc 1 is first), even though its
+    # TEXT is distinct — url dedup precedes content dedup
+    assert {r.doc_id for r in res.url_kept.select("doc_id").collect()} == {
+        1, 3, 4,
+    }
+    funnel = {r.stage: r.n_docs for r in res.funnel.collect()}
+    assert funnel["input"] == 4
+    assert funnel["url_kept"] == 3
+    assert funnel["quality_kept"] == 2  # doc 4 fails the rules
+    assert funnel["canonical"] == 2     # 1 and 3 are not near-dups
+
+    # injected canonical ids are trusted verbatim (serve path):
+    # restrict to {3} and the packed table follows
+    ids = spark.createDataFrame([(3,)], "doc_id long")
+    served = prepare_corpus(
+        docs, url_col="canonical_url", canonical_ids=ids
+    )
+    assert [r.doc_id for r in served.packed.collect()] == [3]
+    assert {r.stage: r.n_docs for r in served.funnel.collect()}[
+        "canonical"
+    ] == 1
+
+
+def test_synthetic_url_blocked_merges_within_block(spark):
+    """Block members share host+article, so the canonicalizer merges
+    them into exactly 2 canonical urls per 4-block ({0,1} plain,
+    {2,3} ?page=2) — the linear-scaling property l98 relies on."""
+    from pyspark_recs.llmops.urls import (
+        canonicalize_url,
+        synthetic_url_blocked,
+    )
+
+    df = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        canonicalize_url(
+            synthetic_url_blocked(F.col("id"))
+        ).alias("canon"),
+    )
+    rows = {r.doc_id: r.canon for r in df.collect()}
+    # block 0 (ids 0-3): ids 0,1 merge; ids 2,3 merge; plain != page2
+    assert rows[0] == rows[1] == "https://site0.example.com/articles/0"
+    assert rows[2] == rows[3] == "https://site0.example.com/articles/0?page=2"
+    # 40 ids -> 10 blocks -> exactly 20 canonical urls
+    assert df.select("canon").distinct().count() == 20
+    # host cycles with the block, article is the block index
+    assert rows[37] == "https://site9.example.com/articles/9"
+    assert rows[38] == "https://site9.example.com/articles/9?page=2"
+
+
 def test_fetch_payloads_retry_and_dead_letter(spark):
     from pyspark_recs.llmops.multimodal import (
         fetch_payloads,
