@@ -5301,6 +5301,52 @@ FROM p, br
 """
 
 
+# --------------------------------------------------------------------- l99
+def l99_policy_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Robots/noindex + license-tag gating over synthesized page heads
+    — the policy filter that runs beside l95's URL canonicalizer in
+    every crawl pipeline (a ``noindex`` page or a non-permissive
+    license must be dropped before any text reaches the corpus). Each
+    document gets a deterministic MESSY html head (attribute order,
+    quote style, tag/attr/value case and whitespace all vary by
+    doc_id); Spark parses it FOR REAL with order/case/quote-robust
+    regexp expressions (llmops/policy.py — pure projection, rides the
+    scan); the oracle computes the verdicts straight from the
+    generator formula and never parses, so any extractor bug fails
+    the hash. Absent license metadata fails CLOSED; absent robots
+    meta fails OPEN — the standard conservative crawl policy.
+    """
+    from pyspark_recs.llmops.policy import policy_gate, synthetic_page_head
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    pages = docs.withColumn(
+        "head", synthetic_page_head(F.col("doc_id"))
+    )
+    return policy_gate(pages, "head")
+
+
+L99_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN 'index, follow'
+              WHEN doc_id % 4 = 1 THEN 'noindex'
+              WHEN doc_id % 4 = 2 THEN 'noindex, nofollow' END AS robots,
+         CASE WHEN doc_id % 6 = 0 THEN 'licenses/by/4.0'
+              WHEN doc_id % 6 = 1 THEN 'licenses/by-sa/4.0'
+              WHEN doc_id % 6 = 2 THEN 'licenses/by-nc/4.0'
+              WHEN doc_id % 6 = 4 THEN 'publicdomain/zero/1.0'
+              WHEN doc_id % 6 = 5 THEN 'licenses/by-nd/4.0' END AS license
+  FROM documents)
+SELECT doc_id, robots,
+       coalesce(robots LIKE '%noindex%', false) AS noindex,
+       license,
+       (NOT coalesce(robots LIKE '%noindex%', false)
+        AND coalesce(license IN ('licenses/by/4.0', 'licenses/by-sa/4.0',
+                                 'publicdomain/zero/1.0'), false)) AS allowed
+FROM g
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -5400,6 +5446,7 @@ QUERIES = {
     "l97_audio_tone_power": l97_audio_tone_power,
     "l96_domain_dup_stats": l96_domain_dup_stats,
     "l98_corpus_e2e": l98_corpus_e2e,
+    "l99_policy_gate": l99_policy_gate,
 }
 
 ORACLE = {
@@ -5501,4 +5548,5 @@ ORACLE = {
     "l97_audio_tone_power": L97_SQL,
     "l96_domain_dup_stats": L96_SQL,
     "l98_corpus_e2e": L98_SQL,
+    "l99_policy_gate": L99_SQL,
 }

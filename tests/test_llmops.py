@@ -574,6 +574,45 @@ def test_synthetic_url_blocked_merges_within_block(spark):
     assert rows[38] == "https://site9.example.com/articles/9?page=2"
 
 
+def test_policy_gate_planted_cases(spark):
+    """Hand-planted messy heads: attribute order, quote style, case,
+    http-vs-https, extra whitespace, missing tags — the extractor must
+    handle all of them and the gate must fail closed on license /
+    open on robots."""
+    from pyspark_recs.llmops.policy import policy_gate
+
+    cases = [
+        # (id, head, want_noindex, want_license, want_allowed)
+        (1, '<head><META NAME="ROBOTS" CONTENT="NOINDEX, NOFOLLOW">'
+            '<link rel="license" '
+            'href="https://creativecommons.org/licenses/by/4.0/"></head>',
+         True, "licenses/by/4.0", False),
+        (2, "<head><meta content='index, follow' name='robots'>"
+            "<link href='http://creativecommons.org/publicdomain/zero/1.0'"
+            " rel='license'></head>",
+         False, "publicdomain/zero/1.0", True),
+        (3, "<head><title>bare page</title></head>",
+         False, None, False),
+        (4, '<head><meta  name = "robots"  content = "noindex"></head>',
+         True, None, False),
+        (5, '<head><link rel="license" '
+            'href="https://creativecommons.org/licenses/by-nc/4.0"></head>',
+         False, "licenses/by-nc/4.0", False),
+        (6, '<head><LINK HREF="https://creativecommons.org/licenses/'
+            'by-sa/4.0/" REL="LICENSE"></head>',
+         False, "licenses/by-sa/4.0", True),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, *_ in cases], "doc_id long, head string"
+    )
+    got = {r.doc_id: r for r in policy_gate(df, "head").collect()}
+    for i, _, want_noindex, want_license, want_allowed in cases:
+        r = got[i]
+        assert r.noindex is want_noindex, f"noindex wrong for case {i}"
+        assert r.license == want_license, f"license wrong for case {i}"
+        assert r.allowed is want_allowed, f"allowed wrong for case {i}"
+
+
 def test_fetch_payloads_retry_and_dead_letter(spark):
     from pyspark_recs.llmops.multimodal import (
         fetch_payloads,
