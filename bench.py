@@ -208,6 +208,11 @@ HEADLINE = [
     "l95_url_canonical_dedup",
     "l96_domain_dup_stats",
     "l97_audio_tone_power",
+    # round-11 additions: the llmops flagship corpus DAG, the crawl
+    # policy gate, and the first streaming-EXECUTED registry row
+    "l98_corpus_e2e",
+    "l99_policy_gate",
+    "s18_streaming_hopping_exec",
 ]
 
 
@@ -215,6 +220,20 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from pyspark_recs.session import get_spark
     from pyspark_recs.workloads import QUERIES
+
+    # The previous round's committed result (bench_result.json is
+    # overwritten below, so read it FIRST): the mechanical
+    # round-over-round comparison the spread column exists for.
+    prev_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_result.json"
+    )
+    prev = None
+    if os.path.exists(prev_path):
+        try:
+            with open(prev_path) as f:
+                prev = json.loads(f.read())
+        except (OSError, json.JSONDecodeError):
+            prev = None
 
     spark = get_spark("bench")
     # Warm up the JVM, file listings and parquet footers so the first
@@ -280,6 +299,37 @@ def main() -> None:
         timings[name] = round(runs[1], 3)
         spread[name] = round(runs[2] - runs[0], 3)
 
+    # Round-over-round delta table, gated on the committed spread
+    # columns (VERDICT r10 #6): a per-query delta counts as a
+    # REGRESSION only when it clears BOTH rounds' spreads plus the
+    # 0.2 s noise floor AND is >1.5x — the decision rule SCALING.md
+    # documents, now applied mechanically instead of by judge/builder
+    # hand-comparison of different sessions.
+    vs_prev = None
+    if prev and isinstance(prev.get("queries"), dict):
+        pq = prev["queries"]
+        ps = prev.get("spread", {})
+        common = [n for n in timings if n in pq]
+        regressions = {}
+        for n in common:
+            delta = timings[n] - pq[n]
+            gate = ps.get(n, 0.0) + spread.get(n, 0.0) + 0.2
+            if delta > gate and timings[n] > 1.5 * pq[n]:
+                regressions[n] = {
+                    "prev": pq[n],
+                    "now": timings[n],
+                    "delta": round(delta, 3),
+                    "noise_gate": round(gate, 3),
+                }
+        vs_prev = {
+            "n_common": len(common),
+            "prev_total_common": round(sum(pq[n] for n in common), 3),
+            "now_total_common": round(
+                sum(timings[n] for n in common), 3
+            ),
+            "regressions": regressions,
+        }
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -293,6 +343,7 @@ def main() -> None:
             "queries": timings,
             "spread": spread,
             "cold": cold,
+            "vs_prev": vs_prev,
             "sf": sf_val,
         }
     )
@@ -320,6 +371,15 @@ def main() -> None:
             "unit": "sec",
             "sf": sf_val,
             "n_queries": len(timings),
+            "n_regressions_vs_prev": (
+                len(vs_prev["regressions"]) if vs_prev else None
+            ),
+            "prev_total_common": (
+                vs_prev["prev_total_common"] if vs_prev else None
+            ),
+            "now_total_common": (
+                vs_prev["now_total_common"] if vs_prev else None
+            ),
             "queries_file": "bench_result.json",
         }
     )

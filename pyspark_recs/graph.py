@@ -152,6 +152,15 @@ def pagerank(
             if prev is not None:
                 prev.unpersist()
             prev = ranks
+    # e/nodes/the last materialized round stay cached for the caller's
+    # action on the returned (lazy) ranks — register them so session
+    # teardown releases them (the r89 lint class).
+    from pyspark_recs.workloads.common import register_persisted
+
+    register_persisted(e)
+    register_persisted(nodes)
+    if prev is not None:
+        register_persisted(prev)
     return ranks
 
 
@@ -197,8 +206,14 @@ def personalized_pagerank(
     # user-item pairs). For frontiers past the broadcast budget (huge seed sets,
     # many hops on a connected graph), drop the hint and pre-bucket the
     # edge table on src instead.
-    e_deg = e.join(deg, "src").cache()
-    s = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().cache()
+    from pyspark_recs.workloads.common import register_persisted
+
+    # Both caches feed every hop of the returned lazy plan — registered
+    # so session teardown releases them (the r89 lint class).
+    e_deg = register_persisted(e.join(deg, "src").cache())
+    s = register_persisted(
+        seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().cache()
+    )
     n_seeds = s.count()
     inv_s = 1.0 / float(n_seeds)
     teleport_val = (1.0 - damping) * inv_s
@@ -351,8 +366,11 @@ def triangle_counts(
     """
     # d is consumed twice (adjacency build + edge probe): cache the
     # 2-long-column edge list rather than re-deriving the basket
-    # explode + distinct + degree joins per consumer.
-    d = orient_edges_by_degree(edges, src, dst).cache()
+    # explode + distinct + degree joins per consumer — registered so
+    # session teardown releases it (the r89 lint class).
+    from pyspark_recs.workloads.common import register_persisted
+
+    d = register_persisted(orient_edges_by_degree(edges, src, dst).cache())
     adj = d.groupBy(F.col("u").alias("node")).agg(
         F.sort_array(F.collect_list("v")).alias("nbrs")
     )

@@ -745,7 +745,12 @@ def duplicate_text_spans(
     toks = docs.select(
         F.col(id_col), words.alias("words"), F.size(words).alias("n_tokens")
     )
-    toks = toks.cache()  # one tokenization feeds grams AND the base counts
+    # One tokenization feeds grams AND the base counts; gram table
+    # feeds the dup-gram fit AND the position probe. Both registered
+    # so session teardown releases them (the r89 lint class).
+    from pyspark_recs.workloads.common import register_persisted
+
+    toks = register_persisted(toks.cache())
     grams = (
         toks.filter(F.col("n_tokens") >= k)
         .select(
@@ -762,7 +767,7 @@ def duplicate_text_spans(
             id_col, "n_tokens", "pos", md5_long(F.col("gram")).alias("gh")
         )
     )
-    grams = grams.cache()  # gram-count fit + position probe each read once
+    grams = register_persisted(grams.cache())
     dup_grams = (
         grams.groupBy("gh")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))

@@ -1616,7 +1616,19 @@ def lloyd_kmeans_fixed(
             ).cast("long"),
         ).alias("q"),
     )
-    q = q.cache()  # one quantization, iters+1 assignment passes
+    from pyspark_recs.workloads.common import (
+        PersistedRddHandle,
+        persisted_ids,
+        persistent_rdd_snapshot,
+        register_persisted,
+        release_persisted_ids,
+    )
+
+    spark = vectors.sparkSession
+    # q feeds iters+1 assignment passes and the returned plan —
+    # registered so session teardown releases it (the r89 lint class).
+    q = register_persisted(q.cache())
+    base_ids = persisted_ids(spark)
     cents = (
         q.orderBy(F.asc("vec_id"))
         .limit(n_cells)
@@ -1676,8 +1688,23 @@ def lloyd_kmeans_fixed(
         )
         # C rows by construction (the l71 merge-table precedent):
         # truncate the lineage so iteration r+1's plan doesn't
-        # re-execute every earlier assign/update round
+        # re-execute every earlier assign/update round. Superseded
+        # rounds' checkpoint blocks are released as soon as the new
+        # one materializes (eager=True); the FINAL round's block backs
+        # the returned plan, so it registers for session teardown via
+        # an RDD-level handle instead.
+        # (description-filtered: q's cache also materializes mid-loop
+        # and must NOT be dropped between rounds)
+        superseded = {
+            i
+            for i, d in persistent_rdd_snapshot(spark)
+            if i not in base_ids and "localCheckpoint" in d
+        }
         cents = cents.localCheckpoint(eager=True)
+        release_persisted_ids(spark, superseded)
+    register_persisted(
+        PersistedRddHandle(spark, persisted_ids(spark) - base_ids)
+    )
 
     final = assign(cents)
     stats = final.groupBy("cell_id").agg(

@@ -411,7 +411,13 @@ def heavy_hitters(
         F.explode(tokens(F.col(text_col))).alias("token"),
         F.spark_partition_id().alias("pid"),
     )
-    toks = toks.cache()
+    # The returned plan reads toks three times (local counts, partition
+    # sizes, exact recount) — cached, and REGISTERED so session
+    # teardown releases it (the cache must outlive this call; the r89
+    # lint class).
+    from pyspark_recs.workloads.common import register_persisted
+
+    toks = register_persisted(toks.cache())
     total = toks.count()  # N: one job, also materializes the cache
     # Phase 1: per-partition counts and local threshold. A token with
     # global count > N/k must exceed N_p/k in ≥1 partition p (else
@@ -464,7 +470,11 @@ def rare_token_score(
     broadcast. Two shuffles total (unigram agg, per-doc re-agg).
     """
     toks = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("token"))
-    toks = toks.cache()
+    # Consumed twice (unigram agg + scoring join) — cached and
+    # registered for session teardown, as in heavy_hitters above.
+    from pyspark_recs.workloads.common import register_persisted
+
+    toks = register_persisted(toks.cache())
     unigrams = toks.groupBy("token").agg(F.count("*").alias("tok_cnt"))
     total = toks.count()
     scored = (
@@ -868,7 +878,10 @@ def bigram_lm_score(
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    dbc = dbc.cache()  # fit + score read it once each
+    # fit + score read it once each — registered for session teardown
+    from pyspark_recs.workloads.common import register_persisted
+
+    dbc = register_persisted(dbc.cache())
     big = (
         dbc.groupBy("bigram")
         .agg(F.sum("cnt").alias("c12"))
@@ -941,7 +954,11 @@ def dsir_importance(
         "_t",
         (md5_long(F.col("token")) % n_buckets).alias("bucket"),
     )
-    tb = tb.cache()  # raw counts, target counts, doc multisets
+    # raw counts, target counts, doc multisets — registered for
+    # session teardown
+    from pyspark_recs.workloads.common import register_persisted
+
+    tb = register_persisted(tb.cache())
     raw = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
     tgt = (
         tb.filter(F.col("_t") == target_value)

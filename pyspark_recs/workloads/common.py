@@ -343,6 +343,114 @@ def register_persisted(df, sf: str = "", key: str | None = None):
     return df
 
 
+def persistent_rdd_snapshot(spark) -> list:
+    """(id, description) of every RDD the JVM currently holds
+    persisted — the mechanical ground truth behind the registry-wide
+    cache-teardown lint (tools/cache_lint.py): after a query runs and
+    ``unpersist_shared`` fires, this list must be EMPTY, or the query
+    persisted something it never registered (the r89 leak class, which
+    round 9 caught only by review)."""
+    out = []
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        t = it.next()
+        rdd = t._2()
+        name = rdd.name()
+        out.append((int(t._1()), (name or rdd.toString())[:120]))
+    return out
+
+
+def release_persisted_ids(spark, ids) -> int:
+    """Unpersist the persisted RDDs with exactly these ids. Used by
+    iterative operators to drop SUPERSEDED localCheckpoint rounds while
+    the live one keeps serving, and by :class:`PersistedRddHandle` for
+    RDD-level storage (MLlib factor RDDs, final checkpoints) that
+    ``DataFrame.unpersist`` cannot reach."""
+    ids = set(ids)
+    if not ids:
+        return 0
+    rdds = []
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        t = it.next()
+        if int(t._1()) in ids:
+            rdds.append(t._2())
+    for r in rdds:
+        try:
+            r.unpersist(False)
+        except Exception:
+            pass
+    return len(rdds)
+
+
+class PersistedRddHandle:
+    """Duck-typed registree for :func:`register_persisted` when the
+    persisted storage is an RDD rather than a CacheManager entry —
+    MLlib keeps ALS factor RDDs and BinaryClassificationMetrics
+    intermediates persisted with no DataFrame to unpersist, and a
+    plan-serving ``localCheckpoint`` can only be dropped at the RDD
+    level. ``unpersist()`` (what ``unpersist_shared`` calls at
+    teardown) force-releases the captured ids."""
+
+    def __init__(self, spark, ids):
+        self.sparkSession = spark
+        self._ids = set(ids)
+
+    def unpersist(self):
+        release_persisted_ids(self.sparkSession, self._ids)
+
+
+def persisted_ids(spark) -> set:
+    """Just the id set of :func:`persistent_rdd_snapshot` — the
+    snapshot-diff primitive operators use to scope RDD-level releases
+    to storage THEY created."""
+    return {i for i, _ in persistent_rdd_snapshot(spark)}
+
+
+def release_local_checkpoints(spark, before_ids=None) -> int:
+    """Unpersist every ``localCheckpoint``-created RDD not present in
+    ``before_ids`` (a set of RDD ids from :func:`persistent_rdd_snapshot`
+    taken before the checkpointing work began). localCheckpoint blocks
+    are NOT recomputable — only call this when nothing live references
+    them anymore (e.g. the result was collected into a literal frame,
+    rs35's shape). The id-diff guard keeps a concurrent operator's live
+    checkpoints untouched."""
+    skip = {i for i, _ in (before_ids or [])} if before_ids else set()
+    rdds = []
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        t = it.next()
+        if int(t._1()) in skip:
+            continue
+        r = t._2()
+        if "localCheckpoint" in (r.toString() or ""):
+            rdds.append(r)
+    for r in rdds:
+        try:
+            r.unpersist(False)
+        except Exception:
+            pass
+    return len(rdds)
+
+
+def release_all_persistent(spark) -> int:
+    """Force-release every persisted RDD + clear the SQL cache manager
+    — the lint's between-queries isolation step (a leak from query A
+    must not be attributed to query B). Returns how many RDDs were
+    force-unpersisted."""
+    rdds = []
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        rdds.append(it.next()._2())
+    for r in rdds:
+        try:
+            r.unpersist(False)
+        except Exception:
+            pass
+    spark.catalog.clearCache()
+    return len(rdds)
+
+
 def unpersist_shared(spark=None) -> int:
     """Release every cached shared subplan (all sessions, or just
     ``spark``'s). Wired into bench/oracle teardown so a long-lived

@@ -2529,7 +2529,19 @@ def rs28_content_model_eval(spark: SparkSession, sf: str) -> DataFrame:
 
     data = build_content_training_data(spark, sf)
     assembler, model = train_content_model(data.train, max_iter=10)
+    # The summary's AUC computation persists an MLlib-internal RDD
+    # (BinaryClassificationMetrics) with no DataFrame to unpersist —
+    # register an RDD-level handle scoped to the ids it creates so
+    # teardown releases them (the r89 cache-lint class).
+    from pyspark_recs.workloads.common import (
+        PersistedRddHandle,
+        persisted_ids,
+        register_persisted,
+    )
+
+    _pre = persisted_ids(spark)
     auc = model.summary.areaUnderROC
+    register_persisted(PersistedRddHandle(spark, persisted_ids(spark) - _pre))
     preds = score_candidates(assembler, model, data.eval_candidates, k=10)
     met = ranking_metrics(preds, data.truth, k=10)
     counts = data.train.groupBy("label").agg(
@@ -3768,6 +3780,12 @@ def rs35_kcore_trace(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _kcore_trace_build(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark_recs.workloads.common import (
+        persistent_rdd_snapshot,
+        release_local_checkpoints,
+    )
+
+    ckpt_before = persistent_rdd_snapshot(spark)
     k = 20
     # The distinct (user, item) edge list IS the shared interaction
     # matrix's key set — ride the session-cached table the whole CF
@@ -3829,6 +3847,12 @@ def _kcore_trace_build(spark: SparkSession, sf: str) -> DataFrame:
             )
         ud.unpersist()
         idf.unpersist()
+    # Every round's stats are already collected into `rows` (the result
+    # is a LITERAL frame), so the per-round localCheckpoint blocks are
+    # dead weight — release the ones THIS build created (id-diff keeps
+    # any concurrent operator's live checkpoints untouched; the r89
+    # cache-lint class, localCheckpoint flavor).
+    release_local_checkpoints(spark, ckpt_before)
     return spark.createDataFrame(
         rows, "round long, n_edges long, n_users long, n_items long"
     )

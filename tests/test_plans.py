@@ -791,6 +791,64 @@ def test_registry_wide_bounded_window_lint(spark):
     assert not offenders, offenders
 
 
+def test_cache_lint_flags_an_unregistered_persist(spark):
+    # Negative control for the cache-teardown lint (VERDICT r10 #4):
+    # a query-shaped fn that persists + materializes WITHOUT
+    # register_persisted must leave a persisted RDD behind after
+    # unpersist_shared — exactly the r89 leak class tools/cache_lint.py
+    # sweeps the whole registry for.
+    from pyspark_recs.workloads.common import (
+        persistent_rdd_snapshot,
+        release_all_persistent,
+        unpersist_shared,
+    )
+
+    release_all_persistent(spark)
+    unpersist_shared(spark)
+    assert persistent_rdd_snapshot(spark) == []
+
+    leaky = spark.range(100).select((F.col("id") % 7).alias("k")).persist()
+    leaky.count()
+    unpersist_shared(spark)
+    assert persistent_rdd_snapshot(spark), (
+        "detector missed a deliberately-leaked persist"
+    )
+    release_all_persistent(spark)
+    assert persistent_rdd_snapshot(spark) == []
+
+
+def test_cache_teardown_previous_leakers_now_clean(spark):
+    # The queries the round-11 lint caught leaking (pagerank's e/nodes
+    # caches, heavy-hitters' and rare-token's exploded-token caches,
+    # k-core's per-round localCheckpoints) must run, tear down via
+    # unpersist_shared, and leave ZERO persisted RDDs. The full-width
+    # sweep lives in tools/cache_lint.py (run per round, log
+    # committed); this pins the fixed sites under pytest.
+    from pyspark_recs.workloads.common import (
+        persistent_rdd_snapshot,
+        release_all_persistent,
+        unpersist_shared,
+    )
+
+    release_all_persistent(spark)
+    unpersist_shared(spark)
+    leaks = {}
+    for q in (
+        "l37_heavy_hitters",
+        "l38_rare_token_score",
+        "r57_pagerank_trade",
+        "rs16_personalized_pagerank",
+        "rs35_kcore_trace",
+    ):
+        QUERIES[q](spark, SF_DIR).count()
+        unpersist_shared(spark)
+        left = persistent_rdd_snapshot(spark)
+        if left:
+            leaks[q] = left
+            release_all_persistent(spark)
+    assert not leaks, leaks
+
+
 def test_window_lint_flags_a_genuinely_global_window(spark):
     # Negative control: the lint must FLAG a row_number over an
     # unbounded parquet scan (the exact shape it exists to forbid) and

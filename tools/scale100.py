@@ -103,6 +103,15 @@ QUERIES_100X = [
     # distinct-inside-aggregate.
     "l95_url_canonical_dedup",
     "l96_domain_dup_stats",
+    # round-11 additions (VERDICT r10 #3): the heaviest per-doc audio
+    # projection (256-sample × 3-probe quantized-oscillator fold), the
+    # rs34-protocol-lineage config selection, and the llmops flagship
+    # corpus DAG (url keep-first → rules → LSH/CC dedup → pack over
+    # the 500k salted docs; the canonical-id FIT runs under both
+    # partition settings via the per-setting artifact roots).
+    "l97_audio_tone_power",
+    "rs40_serving_config_selection",
+    "l98_corpus_e2e",
 ]
 PARTITION_SETTINGS = (32, 13)
 
