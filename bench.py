@@ -209,10 +209,13 @@ HEADLINE = [
     "l96_domain_dup_stats",
     "l97_audio_tone_power",
     # round-11 additions: the llmops flagship corpus DAG, the crawl
-    # policy gate, and the first streaming-EXECUTED registry row
+    # policy gate, and the streaming-EXECUTED rows (T2 hopping agg,
+    # T3 replay dedup, T4 foreachBatch KV sink)
     "l98_corpus_e2e",
     "l99_policy_gate",
     "s18_streaming_hopping_exec",
+    "s19_streaming_dedup_exec",
+    "s20_streaming_kv_sink_exec",
 ]
 
 

@@ -1061,6 +1061,136 @@ def s18_streaming_hopping_exec(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------- s19
+def s19_streaming_dedup_exec(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming dropDuplicates-in-watermark (T3) EXECUTED under the
+    oracle gate: the drop directory is staged with every event row
+    TWICE (the at-least-once-delivery replay every ingest pipeline
+    dedups against — exactly why T3 exists), a real readStream runs
+    ``streaming_dedup`` on the full row key into an append-mode memory
+    sink, and the sink must hash-match plain ``SELECT … FROM events``.
+    Full-row keys make the surviving row's VALUES deterministic no
+    matter which physical duplicate wins.
+
+    The watermark horizon is set beyond the dataset's time span: this
+    is a backfill replay (availableNow), where event-time disorder can
+    reach the full range, so a short horizon could late-drop rows if
+    the file source split the replay into multiple batches. In the
+    continuous form the horizon shrinks to the real delivery-delay
+    bound and state stays bounded.
+    """
+    import tempfile
+    import uuid
+
+    from pyspark_recs.streaming import read_event_stream, streaming_dedup
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    doubled = ev.unionByName(ev)
+    drop_dir = tempfile.mkdtemp(prefix="s19_drops_")
+    doubled.write.mode("overwrite").parquet(drop_dir)
+    schema = spark.read.parquet(drop_dir).schema
+    dd = streaming_dedup(
+        read_event_stream(spark, drop_dir, schema),
+        keys=["event_id", "user_id", "event_type"],
+        ts_col="ts",
+        watermark="3650 days",
+    )
+    name = f"s19_sink_{uuid.uuid4().hex[:10]}"
+    ckpt = tempfile.mkdtemp(prefix="s19_ckpt_")
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(600)
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+
+
+S19_SQL = """
+SELECT user_id, event_type, event_id, ts FROM events
+"""
+
+
+# --------------------------------------------------------------------- s20
+def s20_streaming_kv_sink_exec(spark: SparkSession, sf: str) -> DataFrame:
+    """foreachBatch KV sink (T4) EXECUTED under the oracle gate — the
+    reference's streaming analog of the DynamoDB batch-put
+    (serverless deployment, SURVEY §2.1 S8): a real readStream runs
+    the watermarked tumbling daily aggregate in UPDATE mode through
+    ``stream_to_kv_sink``, whose pluggable putter lands each
+    partition's rows as jsonl files (the KV-client stand-in the T4
+    test established — puts happen executor-side, never through the
+    driver), and the driver row is the READ-BACK of that store,
+    hashed against the batch aggregate's SQL. Exact fixed-point sum
+    and epoch-seconds day keys make the KV payload engine- and
+    order-agnostic.
+    """
+    import tempfile
+    import uuid
+
+    from pyspark_recs.streaming import read_event_stream, stream_to_kv_sink
+
+    ev = load_table(spark, sf, "events").select("ts", "value")
+    drop_dir = tempfile.mkdtemp(prefix="s20_drops_")
+    ev.write.mode("overwrite").parquet(drop_dir)
+    schema = spark.read.parquet(drop_dir).schema
+    stream = read_event_stream(spark, drop_dir, schema)
+    agg = (
+        stream.withWatermark("ts", "3650 days")
+        .groupBy(F.window("ts", "1 day").start.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp("day").cast("long").alias("day_s"),
+            "n_events",
+            "total_value",
+        )
+    )
+    kv_dir = tempfile.mkdtemp(prefix="s20_kv_")
+    ckpt = tempfile.mkdtemp(prefix="s20_ckpt_")
+
+    def put_batch(items):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        p = _os.path.join(
+            kv_dir, f"{_os.getpid()}-{_uuid.uuid4().hex}.jsonl"
+        )
+        with open(p, "w") as f:
+            for item in items:
+                f.write(_json.dumps(item) + "\n")
+
+    q = stream_to_kv_sink(agg, put_batch, ckpt)
+    try:
+        q.awaitTermination(600)
+    finally:
+        q.stop()
+    return spark.read.schema(
+        "day_s long, n_events long, total_value double"
+    ).json(kv_dir)
+
+
+S20_SQL = f"""
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "s01_tumbling_daily": s01_tumbling_daily,
     "s02_sessionize": s02_sessionize,
@@ -1080,6 +1210,8 @@ QUERIES = {
     "s16_value_drift": s16_value_drift,
     "s17_holt_forecast": s17_holt_forecast,
     "s18_streaming_hopping_exec": s18_streaming_hopping_exec,
+    "s19_streaming_dedup_exec": s19_streaming_dedup_exec,
+    "s20_streaming_kv_sink_exec": s20_streaming_kv_sink_exec,
 }
 
 ORACLE = {
@@ -1103,4 +1235,6 @@ ORACLE = {
     # s18's oracle IS s07's: streaming execution must reproduce the
     # batch hopping aggregate exactly.
     "s18_streaming_hopping_exec": S07_SQL,
+    "s19_streaming_dedup_exec": S19_SQL,
+    "s20_streaming_kv_sink_exec": S20_SQL,
 }
