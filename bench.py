@@ -213,6 +213,7 @@ HEADLINE = [
     # T3 replay dedup, T4 foreachBatch KV sink)
     "l98_corpus_e2e",
     "l99_policy_gate",
+    "l100_robots_gate",
     "s18_streaming_hopping_exec",
     "s19_streaming_dedup_exec",
     "s20_streaming_kv_sink_exec",

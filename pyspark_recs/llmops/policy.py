@@ -104,6 +104,149 @@ def policy_gate(
     )
 
 
+def synthetic_robots_txt(host_idx: Column) -> Column:
+    """Deterministic robots.txt fixture per host (``host_idx`` 0-9,
+    the blocked-url fixture's host space). Three grammars by ``%3``:
+
+    - **0**: a commented ``User-Agent: *`` group with a Disallow
+      prefix AND a longer Allow exception — exercises longest-match
+      + Allow-wins;
+    - **1**: a ``googlebot`` group that disallows everything followed
+      by a ``*`` group with an EMPTY Disallow — exercises group
+      selection (the wrong group bans everything) and the spec rule
+      that an empty Disallow matches nothing; directive case varies;
+    - **2**: a ``*`` group with two Disallow prefixes, one of which
+      never matches articles — exercises multiple rules per group.
+    """
+    h = host_idx % 3
+    g0 = (
+        "# fixture: disallow articles except the 2xx block\n"
+        "User-Agent: *\n"
+        "Disallow: /articles/\n"
+        "Allow: /articles/2\n"
+    )
+    g1 = (
+        "User-agent: googlebot\n"
+        "Disallow: /\n"
+        "\n"
+        "user-agent: *\n"
+        "disallow:\n"
+    )
+    g2 = (
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Disallow: /articles/7\n"
+    )
+    return (
+        F.when(h == 0, F.lit(g0))
+        .when(h == 1, F.lit(g1))
+        .otherwise(F.lit(g2))
+    )
+
+
+def parse_robots_rules(
+    robots: DataFrame,
+    txt_col: str = "robots_txt",
+    host_col: str = "host",
+    agent: str = "*",
+) -> DataFrame:
+    """Parse robots.txt documents into (host, rule_type, prefix) rows
+    for the group applying to ``agent`` — REAL grammar work, all JVM
+    expressions: lines split and trimmed, comment/blank lines ignored,
+    directive names case-insensitive, each line attributed to the
+    CURRENT user-agent group by a forward-fill window (the classic
+    last-non-null-value fill, partitioned per host — never global),
+    and empty-value Disallow dropped (per spec it matches nothing).
+
+    Scale: robots documents are per-HOST (a bounded dimension next to
+    the billions of URLs they govern), so this parses a tiny frame the
+    caller then broadcasts into the URL-decision join."""
+    from pyspark.sql import Window
+
+    ln = robots.select(
+        host_col,
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("pos", "raw"),
+    ).select(host_col, "pos", F.trim("raw").alias("line"))
+    ua_val = F.when(
+        F.col("line").rlike(r"(?i)^user-agent\s*:"),
+        F.trim(F.regexp_extract("line", r"(?i)^user-agent\s*:\s*(.*)$", 1)),
+    )
+    w = (
+        Window.partitionBy(host_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    attributed = ln.withColumn(
+        "cur_agent", F.last(ua_val, ignorenulls=True).over(w)
+    )
+    return (
+        attributed.filter(F.col("cur_agent") == agent)
+        .select(
+            host_col,
+            F.lower(
+                F.regexp_extract("line", r"(?i)^(allow|disallow)\s*:", 1)
+            ).alias("rule_type"),
+            F.trim(
+                F.regexp_extract(
+                    "line", r"(?i)^(allow|disallow)\s*:\s*(.*)$", 2
+                )
+            ).alias("prefix"),
+        )
+        .filter((F.col("rule_type") != "") & (F.col("prefix") != ""))
+    )
+
+
+def robots_decisions(
+    urls: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-URL robots verdict by the Google longest-match rule: among
+    the agent's rules whose prefix starts the url path, the LONGEST
+    prefix wins; Allow beats Disallow on equal length; no matching
+    rule means allowed.
+
+    Scale: ``rules`` is host-dimension-sized — broadcast — so the
+    decision is one broadcast join + per-URL max-struct aggregate;
+    URLs never shuffle on anything but their own id."""
+    cand = (
+        urls.join(F.broadcast(rules), host_col, "left")
+        .filter(
+            F.col("prefix").isNull()
+            | F.col(path_col).startswith(F.col("prefix"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.when(
+                    F.col("prefix").isNotNull(),
+                    F.struct(
+                        F.length("prefix").alias("plen"),
+                        (F.col("rule_type") == "allow")
+                        .cast("int")
+                        .alias("pri"),
+                        F.col("rule_type").alias("rule_type"),
+                        F.col("prefix").alias("prefix"),
+                    ),
+                )
+            ).alias("best")
+        )
+    )
+    return urls.join(cand, id_col, "left").select(
+        id_col,
+        host_col,
+        path_col,
+        F.col("best.rule_type").alias("rule_type"),
+        F.col("best.prefix").alias("matched_rule"),
+        (
+            F.col("best").isNull()
+            | (F.col("best.rule_type") == "allow")
+        ).alias("crawl_allowed"),
+    )
+
+
 def synthetic_page_head(doc_id: Column) -> Column:
     """Deterministic MESSY html head for a document — the fixture both
     engines replay. Variation dimensions (all doc_id-driven):

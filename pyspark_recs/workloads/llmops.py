@@ -5347,6 +5347,88 @@ FROM g
 """
 
 
+# -------------------------------------------------------------------- l100
+def l100_robots_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL robots.txt evaluation — the third leg of the crawl-policy
+    family (l95 canonicalizes the url, l99 reads the page's own meta
+    policy, l100 asks the HOST's robots.txt whether the fetch was
+    allowed at all). Each host gets a deterministic robots.txt
+    fixture (three grammars: Disallow-with-longer-Allow-exception,
+    wrong-agent group + empty Disallow, multi-Disallow); Spark parses
+    it FOR REAL (line splitting, comment/blank handling,
+    case-insensitive directives, forward-fill group attribution —
+    llmops/policy.py) and applies the Google longest-match /
+    Allow-wins-ties rule per URL. The url's host and path come from
+    REAL ``parse_url`` over the canonicalized blocked-url fixture, so
+    the whole chain — canonicalizer, url parser, robots parser,
+    matcher — must be right for the hash to pass; the oracle replays
+    generator formulas and never parses anything.
+
+    Scale: robots documents are host-dimension-sized, parsed once and
+    broadcast; the per-URL decision is one broadcast join + a
+    max-struct aggregate keyed by doc — URLs never shuffle on
+    anything but their own id.
+    """
+    from pyspark_recs.llmops.policy import (
+        parse_robots_rules,
+        robots_decisions,
+        synthetic_robots_txt,
+    )
+    from pyspark_recs.llmops.urls import (
+        canonicalize_url,
+        synthetic_url_blocked,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    canon = canonicalize_url(synthetic_url_blocked(F.col("doc_id")))
+    query = F.parse_url(canon, F.lit("QUERY"))
+    urls = docs.select(
+        "doc_id",
+        F.parse_url(canon, F.lit("HOST")).alias("host"),
+        F.concat(
+            F.parse_url(canon, F.lit("PATH")),
+            F.when(
+                query.isNotNull(), F.concat(F.lit("?"), query)
+            ).otherwise(F.lit("")),
+        ).alias("path"),
+    )
+    hosts = urls.select("host").distinct().withColumn(
+        "host_idx",
+        F.regexp_extract("host", r"^site(\d+)\.", 1).cast("int"),
+    )
+    robots = hosts.select(
+        "host", synthetic_robots_txt(F.col("host_idx")).alias("robots_txt")
+    )
+    rules = parse_robots_rules(robots)
+    return robots_decisions(urls, rules)
+
+
+L100_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         ((doc_id // 4) % 10) AS h,
+         CAST(doc_id // 4 AS VARCHAR) AS astr,
+         CASE WHEN doc_id % 4 IN (2, 3) THEN '?page=2' ELSE '' END AS q
+  FROM documents),
+d AS (
+  SELECT doc_id,
+         'site' || CAST(h AS VARCHAR) || '.example.com' AS host,
+         '/articles/' || astr || q AS path,
+         CASE WHEN h % 3 = 0 AND astr LIKE '2%' THEN 'allow'
+              WHEN h % 3 = 0 THEN 'disallow'
+              WHEN h % 3 = 2 AND astr LIKE '7%' THEN 'disallow'
+              ELSE NULL END AS rule_type,
+         CASE WHEN h % 3 = 0 AND astr LIKE '2%' THEN '/articles/2'
+              WHEN h % 3 = 0 THEN '/articles/'
+              WHEN h % 3 = 2 AND astr LIKE '7%' THEN '/articles/7'
+              ELSE NULL END AS matched_rule
+  FROM g)
+SELECT doc_id, host, path, rule_type, matched_rule,
+       (rule_type IS NULL OR rule_type = 'allow') AS crawl_allowed
+FROM d
+"""
+
+
 QUERIES = {
     "l01_exact_dedup": l01_exact_dedup,
     "l02_minhash_signatures": l02_minhash_signatures,
@@ -5447,6 +5529,7 @@ QUERIES = {
     "l96_domain_dup_stats": l96_domain_dup_stats,
     "l98_corpus_e2e": l98_corpus_e2e,
     "l99_policy_gate": l99_policy_gate,
+    "l100_robots_gate": l100_robots_gate,
 }
 
 ORACLE = {
@@ -5549,4 +5632,5 @@ ORACLE = {
     "l96_domain_dup_stats": L96_SQL,
     "l98_corpus_e2e": L98_SQL,
     "l99_policy_gate": L99_SQL,
+    "l100_robots_gate": L100_SQL,
 }

@@ -613,6 +613,67 @@ def test_policy_gate_planted_cases(spark):
         assert r.allowed is want_allowed, f"allowed wrong for case {i}"
 
 
+def test_robots_parser_and_longest_match_planted(spark):
+    """Hand-planted robots.txt: group attribution must skip the wrong
+    agent's group, empty Disallow must match nothing, comments/blank
+    lines are ignored, directives are case-insensitive, the LONGEST
+    matching prefix wins, and Allow beats Disallow on equal length."""
+    from pyspark_recs.llmops.policy import (
+        parse_robots_rules,
+        robots_decisions,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "# banner comment\n"
+                "User-agent: googlebot\n"
+                "Disallow: /\n"
+                "\n"
+                "USER-AGENT: *\n"
+                "DISALLOW: /docs/\n"
+                "allow: /docs/pub\n"
+                "Disallow:\n",  # empty: matches nothing
+            ),
+            (
+                "b.com",
+                "User-agent: *\n"
+                "Disallow: /x\n"
+                "Allow: /x\n",  # tie on length: Allow wins
+            ),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots_rules(robots)
+    got_rules = {
+        (r.host, r.rule_type, r.prefix) for r in rules.collect()
+    }
+    # googlebot's "Disallow: /" must NOT be attributed to *
+    assert ("a.com", "disallow", "/") not in got_rules
+    assert ("a.com", "disallow", "/docs/") in got_rules
+    assert ("a.com", "allow", "/docs/pub") in got_rules
+
+    urls = spark.createDataFrame(
+        [
+            (1, "a.com", "/docs/private"),   # disallow /docs/
+            (2, "a.com", "/docs/public"),    # allow /docs/pub (longer)
+            (3, "a.com", "/other"),          # no rule -> allowed
+            (4, "b.com", "/x/y"),            # tie -> allow wins
+            (5, "c.com", "/anything"),       # host with no robots
+        ],
+        "doc_id long, host string, path string",
+    )
+    got = {r.doc_id: r for r in robots_decisions(urls, rules).collect()}
+    assert got[1].crawl_allowed is False
+    assert got[1].matched_rule == "/docs/"
+    assert got[2].crawl_allowed is True
+    assert got[2].matched_rule == "/docs/pub"
+    assert got[3].crawl_allowed is True and got[3].matched_rule is None
+    assert got[4].crawl_allowed is True and got[4].rule_type == "allow"
+    assert got[5].crawl_allowed is True
+
+
 def test_fetch_payloads_retry_and_dead_letter(spark):
     from pyspark_recs.llmops.multimodal import (
         fetch_payloads,
