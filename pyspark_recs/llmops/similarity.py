@@ -104,31 +104,16 @@ def maxsim_topk(
     Output: query_id, neighbor_id, maxsim (double), rank (1-based);
     self-matches excluded, ties broken by neighbor_id ascending.
     """
-    # Up-front dim guard (ADVICE r9, hardened r11): on dim % n_tokens
-    # != 0 the arrow impl raised a numpy reshape error while the expr
-    # impl silently truncated trailing dims — one clear contract for
-    # both. One bounded min/max aggregate over BOTH sides (1-row
-    # collect) catches ragged vectors and a query/candidate dim
-    # mismatch, which the old first-row limit(1) probe let through.
-    dims = (
-        queries.select(F.size(vec_col).alias("d"))
-        .unionByName(candidates.select(F.size(vec_col).alias("d")))
-        .agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
-        .collect()[0]
-    )
-    if dims["dmin"] is not None:
-        if dims["dmin"] != dims["dmax"]:
-            raise ValueError(
-                f"maxsim_topk: ragged or mismatched vector dims "
-                f"(min {dims['dmin']}, max {dims['dmax']}) across "
-                "queries/candidates — all embeddings must share one dim"
-            )
-        if dims["dmin"] % n_tokens:
-            raise ValueError(
-                f"maxsim_topk: vector dim {dims['dmin']} is not divisible "
-                f"by n_tokens={n_tokens} — token sub-vectors must tile the "
-                "embedding exactly"
-            )
+    # Dim guard (ADVICE r9/r10, final form r11): on dim % n_tokens != 0
+    # the arrow impl raised a numpy reshape error while the expr impl
+    # silently truncated trailing dims — one clear contract for both.
+    # The guard lives INSIDE each kernel (a per-batch length check in
+    # the arrow UDF; an assert_true folded into the expr score), so it
+    # validates EVERY row — ragged vectors, query/candidate dim
+    # mismatch, non-divisible dims — with zero extra Spark jobs (the
+    # round-10 eager min/max aggregate cost a full scan of both vector
+    # columns per call, +0.5 s at sf0.1). The error surfaces at action
+    # time, like every other lazy-plan failure.
     if impl == "arrow":
         scored = _maxsim_pairs_arrow(
             candidates, queries, n_tokens, id_col, vec_col
@@ -163,10 +148,12 @@ def _maxsim_pairs_expr(
     cand = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         toks(F.col(vec_col)).alias("ctoks"),
+        F.size(F.col(vec_col)).alias("_cd"),
     )
     qry = queries.select(
         F.col(id_col).alias("query_id"),
         toks(F.col(vec_col)).alias("qtoks"),
+        F.size(F.col(vec_col)).alias("_qd"),
     )
     pairs = cand.crossJoin(F.broadcast(qry)).filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -178,10 +165,38 @@ def _maxsim_pairs_expr(
         lambda acc, qt: acc
         + F.array_max(F.transform(ctoks, lambda ct: _fixed_dot_long(qt, ct))),
     )
+    # Per-row dim guard folded into the score (0.0 when the asserts
+    # pass): assert_true raises with the clear contract message
+    # instead of letting the slice views silently truncate. The guard
+    # is the LEFT operand of the + below — binary-arithmetic codegen
+    # short-circuits the right side when the left is NULL, and a
+    # mismatched pair's raw score IS null (zip_with over unequal
+    # lengths), so score-first would skip the assert exactly on the
+    # rows it exists for.
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("_cd") == F.col("_qd"),
+            F.lit(
+                "maxsim_topk: ragged or mismatched vector dims across "
+                "queries/candidates — all embeddings must share one dim"
+            ),
+        ).cast("double"),
+        F.assert_true(
+            F.col("_qd") % n_tokens == 0,
+            F.lit(
+                f"maxsim_topk: vector dim is not divisible by "
+                f"n_tokens={n_tokens} — token sub-vectors must tile "
+                "the embedding exactly"
+            ),
+        ).cast("double"),
+        F.lit(0.0),
+    )
     return pairs.select(
         "query_id",
         "neighbor_id",
-        (score_long.cast("double") / F.lit(_DOT_SCALE)).alias("maxsim"),
+        (guard + score_long.cast("double") / F.lit(_DOT_SCALE)).alias(
+            "maxsim"
+        ),
     )
 
 
@@ -203,6 +218,24 @@ def _maxsim_pairs_arrow(
     def maxsim_long(qv: pd.Series, cv: pd.Series) -> pd.Series:
         if len(qv) == 0:
             return pd.Series([], dtype="int64")
+        # Per-batch dim guard (the kernel-side half of maxsim_topk's
+        # contract): every pair's query and candidate must share one
+        # dim divisible by n_tokens. Any ragged/mismatched pair lands
+        # in SOME batch (the cross join pairs all queries with all
+        # candidates), so the per-batch union of lengths catches it.
+        lens = {len(v) for v in qv} | {len(v) for v in cv}
+        if len(lens) > 1:
+            raise ValueError(
+                "maxsim_topk: ragged or mismatched vector dims across "
+                "queries/candidates — all embeddings must share one dim"
+            )
+        d = lens.pop()
+        if d % nt:
+            raise ValueError(
+                f"maxsim_topk: vector dim {d} is not divisible by "
+                f"n_tokens={nt} — token sub-vectors must tile the "
+                "embedding exactly"
+            )
         q = np.vstack(qv.to_numpy()).astype(np.float64)
         c = np.vstack(cv.to_numpy()).astype(np.float64)
         b, dim = q.shape

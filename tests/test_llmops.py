@@ -1485,8 +1485,13 @@ def test_maxsim_late_interaction_hand_computed(spark):
 
 
 def test_maxsim_dim_guard_ragged_and_mismatch(spark):
-    """ADVICE r10: the dim guard must catch ragged vector lengths and a
-    query/candidate dim mismatch, not just the first query row."""
+    """ADVICE r10 (final form r11): the dim guard lives INSIDE the
+    kernels — zero extra jobs, every row validated — so it must catch
+    ragged vector lengths, a query/candidate dim mismatch, and
+    non-divisible dims AT ACTION TIME in both impls. The raise comes
+    from inside Spark execution (SparkRuntimeException for the expr
+    assert, PythonException wrapping ValueError for arrow), so match
+    on the contract message."""
     import pytest as _pytest
 
     from pyspark_recs.llmops.similarity import maxsim_topk
@@ -1495,24 +1500,24 @@ def test_maxsim_dim_guard_ragged_and_mismatch(spark):
         [(0, [1.0, 0.0, 0.0, 1.0]), (1, [1.0, 0.0, 1.0, 0.0])],
         "vec_id long, embedding array<float>",
     )
-    # non-divisible dim (both impls, both frames valid otherwise)
-    for impl in ("expr", "arrow"):
-        with _pytest.raises(ValueError, match="not divisible"):
-            maxsim_topk(ok4, ok4, k=1, n_tokens=3, impl=impl)
-    # ragged candidates: first QUERY row is clean, so the old
-    # first-row probe passed — the union aggregate must not
     ragged = spark.createDataFrame(
         [(0, [1.0, 0.0, 0.0, 1.0]), (1, [1.0, 0.0])],
         "vec_id long, embedding array<float>",
     )
-    with _pytest.raises(ValueError, match="ragged or mismatched"):
-        maxsim_topk(ragged, ok4, k=1, n_tokens=2)
-    # query dim != candidate dim
     q2 = spark.createDataFrame(
         [(9, [1.0, 0.0])], "vec_id long, embedding array<float>"
     )
-    with _pytest.raises(ValueError, match="ragged or mismatched"):
-        maxsim_topk(ok4, q2, k=1, n_tokens=2)
+    for impl in ("expr", "arrow"):
+        # non-divisible dim (both frames valid otherwise)
+        with _pytest.raises(Exception, match="not divisible"):
+            maxsim_topk(ok4, ok4, k=1, n_tokens=3, impl=impl).collect()
+        # ragged candidates: the first QUERY row is clean, so the old
+        # first-row probe passed — the kernel guard must not
+        with _pytest.raises(Exception, match="ragged or mismatched"):
+            maxsim_topk(ragged, ok4, k=1, n_tokens=2, impl=impl).collect()
+        # query dim != candidate dim
+        with _pytest.raises(Exception, match="ragged or mismatched"):
+            maxsim_topk(ok4, q2, k=1, n_tokens=2, impl=impl).collect()
 
 
 def test_maxsim_single_token_matches_plain_dot_ranking(spark):
