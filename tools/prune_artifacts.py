@@ -47,6 +47,7 @@ KEY_COVERAGE = {
     "brand_basket_counts": "rs15_association_rules",
     "cc_labels_t05": "l21_dedup_components",
     "e2e_neighbors": "rs39_e2e_pipeline",
+    "l98_canonical_ids": "l98_corpus_e2e",
 }
 WARM_QUERIES = (
     "rs24_cf_holdout_eval",
@@ -57,6 +58,7 @@ WARM_QUERIES = (
     "rs15_association_rules",
     "l21_dedup_components",
     "rs39_e2e_pipeline",
+    "l98_corpus_e2e",
 )
 
 SF_DIRS = tuple(
