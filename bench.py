@@ -217,6 +217,7 @@ HEADLINE = [
     "s18_streaming_hopping_exec",
     "s19_streaming_dedup_exec",
     "s20_streaming_kv_sink_exec",
+    "s21_streaming_sessionize_exec",
 ]
 
 

@@ -1191,6 +1191,63 @@ FROM events GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------- s21
+def s21_streaming_sessionize_exec(spark: SparkSession, sf: str) -> DataFrame:
+    """The CUSTOM STATEFUL operator executed under the oracle gate —
+    ``applyInPandasWithState`` sessionization (T-family's hardest
+    shape: per-user state carried in the real state store across a
+    real micro-batch execution, not a batch twin): events stage to a
+    drop directory, the stateful sessionizer runs under availableNow
+    into an update-mode memory sink, and the per-user running totals
+    must hash-match s02's batch lag+cumsum SQL.
+
+    Exactness: within a micro-batch the operator sorts each user's
+    rows by (ts, event_id) — the batch twin's exact order — and an
+    availableNow file-source replay with no maxFilesPerTrigger is ONE
+    micro-batch, so every user's full history folds in order and the
+    single emitted row per user IS the batch answer. (A continuous
+    deployment appends drops in event-time order — the operator's
+    documented in-order-arrival contract; out-of-order tails take the
+    session_window/native form instead.)
+
+    Scale: state is one fixed-width row per user across the state
+    stores; Arrow batches keep the Python boundary vectorized.
+    """
+    import tempfile
+    import uuid
+
+    from pyspark_recs.streaming import (
+        read_event_stream,
+        streaming_sessionize,
+    )
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    drop_dir = tempfile.mkdtemp(prefix="s21_drops_")
+    ev.write.mode("overwrite").parquet(drop_dir)
+    schema = spark.read.parquet(drop_dir).schema
+    sessions = streaming_sessionize(
+        read_event_stream(spark, drop_dir, schema),
+        gap_us=SESSION_GAP_US,
+    )
+    name = f"s21_sink_{uuid.uuid4().hex[:10]}"
+    ckpt = tempfile.mkdtemp(prefix="s21_ckpt_")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(600)
+    finally:
+        q.stop()
+    return spark.table(name).select("user_id", "n_sessions", "n_events")
+
+
 QUERIES = {
     "s01_tumbling_daily": s01_tumbling_daily,
     "s02_sessionize": s02_sessionize,
@@ -1212,6 +1269,7 @@ QUERIES = {
     "s18_streaming_hopping_exec": s18_streaming_hopping_exec,
     "s19_streaming_dedup_exec": s19_streaming_dedup_exec,
     "s20_streaming_kv_sink_exec": s20_streaming_kv_sink_exec,
+    "s21_streaming_sessionize_exec": s21_streaming_sessionize_exec,
 }
 
 ORACLE = {
@@ -1237,4 +1295,7 @@ ORACLE = {
     "s18_streaming_hopping_exec": S07_SQL,
     "s19_streaming_dedup_exec": S19_SQL,
     "s20_streaming_kv_sink_exec": S20_SQL,
+    # s21's oracle IS s02's: the stateful sessionizer must reproduce
+    # the batch lag+cumsum aggregate exactly.
+    "s21_streaming_sessionize_exec": S02_SQL,
 }
