@@ -112,6 +112,12 @@ QUERIES_100X = [
     "l97_audio_tone_power",
     "rs40_serving_config_selection",
     "l98_corpus_e2e",
+    # round-11 crawl-policy pair: the page-head policy gate (pure
+    # regexp projection over synthesized heads) and the robots.txt
+    # evaluator (host-dim parse broadcast into the URL-decision join +
+    # per-doc max-struct aggregate) over the 500k salted docs.
+    "l99_policy_gate",
+    "l100_robots_gate",
 ]
 PARTITION_SETTINGS = (32, 13)
 

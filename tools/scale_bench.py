@@ -119,6 +119,14 @@ HEADLINE = [
     "rs38_predictions_log",
     "rs39_e2e_pipeline",
     "rs40_serving_config_selection",
+    # round-11 additions: the corpus-prep flagship DAG (DuckDB runs
+    # the full recursive-CTE replay) and the crawl-policy pair. The
+    # streaming-EXECUTED rows (s18–s21) are deliberately excluded:
+    # their Spark side pays real streaming-query startup per run,
+    # which benchmarks trigger machinery, not a comparable plan.
+    "l98_corpus_e2e",
+    "l99_policy_gate",
+    "l100_robots_gate",
 ]
 KEY_SHIFT = 10_000_000  # > max o_orderkey at sf0.1 (600k)
 
