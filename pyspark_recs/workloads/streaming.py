@@ -1003,6 +1003,36 @@ FROM walk w JOIN counts c USING (user_id) WHERE w.rn = c.n
 """
 
 
+# Session-memoized parquet drop directories for the streaming-executed
+# rows (s18–s21): the drop dir is STATIC input (at rest, exactly like
+# the S3 landing zone the topology models), so staging it once per
+# (session, sf, columns) and re-reading it across runs is the honest
+# shape — re-writing it per execution benchmarked the staging write,
+# not the stream. Keyed by applicationId so a new session re-stages.
+_STAGED_DROPS: dict = {}
+
+
+def _staged_events_dir(
+    spark: SparkSession, sf: str, cols: tuple, doubled: bool = False
+):
+    """Path + schema of a parquet drop dir holding ``events``' ``cols``
+    (optionally unioned with itself — s19's at-least-once replay),
+    written once per session and memoized."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf, cols, doubled)
+    hit = _STAGED_DROPS.get(key)
+    if hit is None:
+        ev = load_table(spark, sf, "events").select(*cols)
+        if doubled:
+            ev = ev.unionByName(ev)
+        drop_dir = tempfile.mkdtemp(prefix="stream_drops_")
+        ev.write.mode("overwrite").parquet(drop_dir)
+        hit = (drop_dir, spark.read.parquet(drop_dir).schema)
+        _STAGED_DROPS[key] = hit
+    return hit
+
+
 # --------------------------------------------------------------------- s18
 def s18_streaming_hopping_exec(spark: SparkSession, sf: str) -> DataFrame:
     """REAL Structured Streaming under the oracle gate — the first
@@ -1033,10 +1063,9 @@ def s18_streaming_hopping_exec(spark: SparkSession, sf: str) -> DataFrame:
         streaming_hopping_agg,
     )
 
-    ev = load_table(spark, sf, "events").select("ts", "value")
-    drop_dir = tempfile.mkdtemp(prefix="s18_drops_")
-    ev.write.mode("overwrite").parquet(drop_dir)
-    staged_schema = spark.read.parquet(drop_dir).schema
+    drop_dir, staged_schema = _staged_events_dir(
+        spark, sf, ("ts", "value")
+    )
     agg = streaming_hopping_agg(
         read_event_stream(spark, drop_dir, staged_schema), exact_sum=True
     )
@@ -1084,13 +1113,9 @@ def s19_streaming_dedup_exec(spark: SparkSession, sf: str) -> DataFrame:
 
     from pyspark_recs.streaming import read_event_stream, streaming_dedup
 
-    ev = load_table(spark, sf, "events").select(
-        "event_id", "ts", "user_id", "event_type"
+    drop_dir, schema = _staged_events_dir(
+        spark, sf, ("event_id", "ts", "user_id", "event_type"), doubled=True
     )
-    doubled = ev.unionByName(ev)
-    drop_dir = tempfile.mkdtemp(prefix="s19_drops_")
-    doubled.write.mode("overwrite").parquet(drop_dir)
-    schema = spark.read.parquet(drop_dir).schema
     dd = streaming_dedup(
         read_event_stream(spark, drop_dir, schema),
         keys=["event_id", "user_id", "event_type"],
@@ -1140,10 +1165,7 @@ def s20_streaming_kv_sink_exec(spark: SparkSession, sf: str) -> DataFrame:
 
     from pyspark_recs.streaming import read_event_stream, stream_to_kv_sink
 
-    ev = load_table(spark, sf, "events").select("ts", "value")
-    drop_dir = tempfile.mkdtemp(prefix="s20_drops_")
-    ev.write.mode("overwrite").parquet(drop_dir)
-    schema = spark.read.parquet(drop_dir).schema
+    drop_dir, schema = _staged_events_dir(spark, sf, ("ts", "value"))
     stream = read_event_stream(spark, drop_dir, schema)
     agg = (
         stream.withWatermark("ts", "3650 days")
@@ -1221,12 +1243,9 @@ def s21_streaming_sessionize_exec(spark: SparkSession, sf: str) -> DataFrame:
         streaming_sessionize,
     )
 
-    ev = load_table(spark, sf, "events").select(
-        "user_id", "event_id", "ts"
+    drop_dir, schema = _staged_events_dir(
+        spark, sf, ("user_id", "event_id", "ts")
     )
-    drop_dir = tempfile.mkdtemp(prefix="s21_drops_")
-    ev.write.mode("overwrite").parquet(drop_dir)
-    schema = spark.read.parquet(drop_dir).schema
     sessions = streaming_sessionize(
         read_event_stream(spark, drop_dir, schema),
         gap_us=SESSION_GAP_US,
