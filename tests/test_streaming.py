@@ -1378,3 +1378,22 @@ def test_streaming_holt_parity_on_real_events_table(spark, tmp_path):
         for r in s17_holt_forecast(spark, sf).collect()
     }
     assert streamed == batch  # bit-exact, every user
+
+
+def test_staged_events_dir_memoizes_per_session(spark):
+    """The streaming-executed rows' drop-dir staging is once per
+    (session, sf, columns, doubled): repeated calls return the SAME
+    path+schema; a different column set or the doubled replay variant
+    stages its own dir with the right row count."""
+    import pyspark_recs.workloads.streaming as ws
+
+    sf = "/root/testdata/sf0.001"
+    d1, s1 = ws._staged_events_dir(spark, sf, ("ts", "value"))
+    d2, s2 = ws._staged_events_dir(spark, sf, ("ts", "value"))
+    assert d1 == d2 and s1 == s2  # memo hit, no re-stage
+    d3, _ = ws._staged_events_dir(spark, sf, ("user_id", "event_id", "ts"))
+    assert d3 != d1
+    n = spark.read.parquet(d1).count()
+    d4, _ = ws._staged_events_dir(spark, sf, ("ts", "value"), doubled=True)
+    assert d4 not in (d1, d3)
+    assert spark.read.parquet(d4).count() == 2 * n
