@@ -1652,7 +1652,6 @@ def lloyd_kmeans_fixed(
     from pyspark_recs.workloads.common import (
         PersistedRddHandle,
         persisted_ids,
-        persistent_rdd_snapshot,
         register_persisted,
         release_persisted_ids,
     )
@@ -1661,7 +1660,7 @@ def lloyd_kmeans_fixed(
     # q feeds iters+1 assignment passes and the returned plan —
     # registered so session teardown releases it (the r89 lint class).
     q = register_persisted(q.cache())
-    base_ids = persisted_ids(spark)
+    prev_ckpt_ids: set = set()
     cents = (
         q.orderBy(F.asc("vec_id"))
         .limit(n_cells)
@@ -1721,23 +1720,22 @@ def lloyd_kmeans_fixed(
         )
         # C rows by construction (the l71 merge-table precedent):
         # truncate the lineage so iteration r+1's plan doesn't
-        # re-execute every earlier assign/update round. Superseded
-        # rounds' checkpoint blocks are released as soon as the new
-        # one materializes (eager=True); the FINAL round's block backs
+        # re-execute every earlier assign/update round. The superseded
+        # set is the PREVIOUS round's checkpoint ids, tracked by a
+        # snapshot diff taken immediately around each localCheckpoint
+        # call (ADVICE r11: a session-wide description filter would
+        # force-unpersist a concurrent operator's non-recomputable
+        # checkpoint blocks); released only after the new round's
+        # block materializes (eager=True), since the new checkpoint
+        # computes FROM the old plan. The FINAL round's block backs
         # the returned plan, so it registers for session teardown via
         # an RDD-level handle instead.
-        # (description-filtered: q's cache also materializes mid-loop
-        # and must NOT be dropped between rounds)
-        superseded = {
-            i
-            for i, d in persistent_rdd_snapshot(spark)
-            if i not in base_ids and "localCheckpoint" in d
-        }
+        pre_ckpt = persisted_ids(spark)
         cents = cents.localCheckpoint(eager=True)
-        release_persisted_ids(spark, superseded)
-    register_persisted(
-        PersistedRddHandle(spark, persisted_ids(spark) - base_ids)
-    )
+        new_ckpt_ids = persisted_ids(spark) - pre_ckpt
+        release_persisted_ids(spark, prev_ckpt_ids)
+        prev_ckpt_ids = new_ckpt_ids
+    register_persisted(PersistedRddHandle(spark, prev_ckpt_ids))
 
     final = assign(cents)
     stats = final.groupBy("cell_id").agg(

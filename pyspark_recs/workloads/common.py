@@ -409,13 +409,16 @@ def persisted_ids(spark) -> set:
 
 def release_local_checkpoints(spark, before_ids=None) -> int:
     """Unpersist every ``localCheckpoint``-created RDD not present in
-    ``before_ids`` (a set of RDD ids from :func:`persistent_rdd_snapshot`
-    taken before the checkpointing work began). localCheckpoint blocks
-    are NOT recomputable — only call this when nothing live references
-    them anymore (e.g. the result was collected into a literal frame,
-    rs35's shape). The id-diff guard keeps a concurrent operator's live
-    checkpoints untouched."""
-    skip = {i for i, _ in (before_ids or [])} if before_ids else set()
+    ``before_ids`` — either a :func:`persistent_rdd_snapshot` list of
+    ``(id, description)`` tuples or a plain set of RDD ids (both
+    shapes accepted; ADVICE r11 fixed the tuple-only unpack).
+    localCheckpoint blocks are NOT recomputable — only call this when
+    nothing live references them anymore (e.g. the result was
+    collected into a literal frame, rs35's shape). The id-diff guard
+    keeps a concurrent operator's live checkpoints untouched."""
+    skip = set()
+    for entry in before_ids or ():
+        skip.add(entry if isinstance(entry, int) else entry[0])
     rdds = []
     it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
     while it.hasNext():

@@ -4108,6 +4108,18 @@ FROM full_table
 """
 
 
+# rs39's two ETL batch timestamps, named once so the envelope builder
+# and the n_latest bracket can NEVER disagree (ADVICE r11: the bracket
+# hardcoded 2000 while the staging filter derived max(etl_ts) — a
+# fixture change would silently have the bracket count a different set
+# than the filter keeps). The staging filter itself stays max(etl_ts)
+# — that's the operator under test (P2); V2 > V1 is the invariant that
+# keeps bracket and filter aligned.
+_RS39_ETL_V1 = 1000
+_RS39_ETL_V2 = 2000
+assert _RS39_ETL_V2 > _RS39_ETL_V1
+
+
 # --------------------------------------------------------------------- rs39
 def rs39_e2e_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """THE FLAGSHIP: the reference's complete 10-step DAG
@@ -4161,10 +4173,14 @@ def rs39_e2e_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     payload = F.to_json(F.struct("user_id", "item_id", "qty"))
     raw = (
         facts.filter(F.col("yr") < 1996)
-        .select(F.lit(1000).cast("long").alias("etl_ts"), payload.alias("raw"))
+        .select(
+            F.lit(_RS39_ETL_V1).cast("long").alias("etl_ts"),
+            payload.alias("raw"),
+        )
         .unionByName(
             facts.select(
-                F.lit(2000).cast("long").alias("etl_ts"), payload.alias("raw")
+                F.lit(_RS39_ETL_V2).cast("long").alias("etl_ts"),
+                payload.alias("raw"),
             )
         )
     )
@@ -4179,7 +4195,9 @@ def rs39_e2e_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     # row-count stats, not extra scans.
     brackets = raw.agg(
         F.count(F.lit(1)).alias("n_raw"),
-        F.sum((F.col("etl_ts") == 2000).cast("long")).alias("n_latest"),
+        F.sum((F.col("etl_ts") == _RS39_ETL_V2).cast("long")).alias(
+            "n_latest"
+        ),
     )
     latest = raw.crossJoin(
         F.broadcast(raw.agg(F.max("etl_ts").alias("_max_ts")))
