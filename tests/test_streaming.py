@@ -7,6 +7,8 @@ availableNow triggers.
 from __future__ import annotations
 
 import json
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -1397,3 +1399,39 @@ def test_staged_events_dir_memoizes_per_session(spark):
     d4, _ = ws._staged_events_dir(spark, sf, ("ts", "value"), doubled=True)
     assert d4 not in (d1, d3)
     assert spark.read.parquet(d4).count() == 2 * n
+    # files=N (s22's forced multi-batch replay) is its own memo key
+    # and writes exactly N data files for maxFilesPerTrigger to split.
+    d5, _ = ws._staged_events_dir(spark, sf, ("ts", "value"), files=6)
+    assert d5 not in (d1, d3, d4)
+    import glob
+
+    assert len(glob.glob(os.path.join(d5, "part-*.parquet"))) == 6
+
+
+def test_stream_tmpdirs_are_tracked_and_cleaned(spark):
+    """ADVICE r11 #4: every dir the streaming rows mint (staged drops,
+    checkpoints, sink outputs) registers for cleanup — the atexit hook
+    removes them all, and staging under a new applicationId evicts the
+    dead session's staged dirs immediately."""
+    import pyspark_recs.workloads.streaming as ws
+
+    sf = "/root/testdata/sf0.001"
+    d, _ = ws._staged_events_dir(spark, sf, ("ts", "value"))
+    c = ws._stream_tmpdir("test_ckpt_")
+    assert d in ws._STREAM_TMPDIRS and c in ws._STREAM_TMPDIRS
+    # A stale entry from a dead session (different applicationId) is
+    # rmtree'd and dropped from both registries on the next staging.
+    stale_dir = ws._stream_tmpdir("stream_drops_stale_")
+    ws._STAGED_DROPS[("dead-app-id", sf, ("ts",), False, None)] = (
+        stale_dir,
+        None,
+    )
+    ws._staged_events_dir(spark, sf, ("ts", "value"))
+    assert not os.path.exists(stale_dir)
+    assert stale_dir not in ws._STREAM_TMPDIRS
+    assert all(k[0] != "dead-app-id" for k in ws._STAGED_DROPS)
+    # The atexit hook clears everything (current session's dirs too —
+    # run it last; the memo re-stages on next use).
+    ws._cleanup_stream_tmpdirs()
+    assert not os.path.exists(d) and not os.path.exists(c)
+    assert ws._STREAM_TMPDIRS == [] and ws._STAGED_DROPS == {}
