@@ -218,6 +218,10 @@ HEADLINE = [
     "s19_streaming_dedup_exec",
     "s20_streaming_kv_sink_exec",
     "s21_streaming_sessionize_exec",
+    # round-12 additions: forced multi-micro-batch state carry and
+    # the corpus→tokenizer training handoff
+    "s22_streaming_multibatch_exec",
+    "l101_corpus_to_tokenizer",
 ]
 
 

@@ -23,11 +23,18 @@ from pyspark.sql.types import StructType
 
 
 def read_event_stream(
-    spark: SparkSession, path: str, schema: StructType
+    spark: SparkSession, path: str, schema: StructType, **options
 ) -> DataFrame:
     """Streaming ingest twin of the batch envelope reader (S2 as
-    readStream): file-source stream over a directory of parquet drops."""
-    return spark.readStream.schema(schema).parquet(path)
+    readStream): file-source stream over a directory of parquet drops.
+
+    ``options`` pass through to the file source — e.g.
+    ``maxFilesPerTrigger=1`` to rate-limit a backfill into multiple
+    micro-batches (s22's forced cross-batch state-carry replay)."""
+    reader = spark.readStream.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.parquet(path)
 
 
 def streaming_tumbling_agg(
