@@ -548,6 +548,39 @@ def test_prepare_corpus_url_stage_and_injected_ids(spark):
     ] == 1
 
 
+def test_corpus_to_tokenizer_trains_on_canonical_only(spark):
+    """l101's contract: the BPE trainer consumes the funnel's OUTPUT —
+    merges learned from prepare_corpus(...).canonical equal merges
+    learned from the hand-known survivor set, and differ from raw-doc
+    training when a dominant pair lives only in collapsed near-dups
+    (so any funnel bug that changes the survivors changes the merge
+    table, which is what lets l101's hash pin the whole chain)."""
+    from pyspark_recs.llmops.pipeline import prepare_corpus
+    from pyspark_recs.llmops.textstats import bpe_train_merges
+
+    good = "the quick brown fox is happy to see a dog in the park " * 3
+    near = good.replace("happy", "glad")
+    docs = spark.createDataFrame(
+        [
+            (1, good.strip(), "s1"),
+            (2, good.strip(), "s1"),   # exact dup of 1
+            (3, near.strip(), "s2"),   # near dup of 1
+            (5, ("the fox and the dog and the owl and the elk are here "
+                 * 3).strip(), "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    res = prepare_corpus(docs, neardup_threshold=0.5)
+    chained = bpe_train_merges(res.canonical, n_merges=2).collect()
+    survivors = docs.filter(F.col("doc_id").isin(1, 5))
+    expected = bpe_train_merges(survivors, n_merges=2).collect()
+    assert [tuple(r) for r in chained] == [tuple(r) for r in expected]
+    raw = bpe_train_merges(docs, n_merges=2).collect()
+    # the duplicated docs triple 'th'-dominance weights: pair COUNTS
+    # must differ even where the winning pair coincides
+    assert [tuple(r) for r in raw] != [tuple(r) for r in chained]
+
+
 def test_synthetic_url_blocked_merges_within_block(spark):
     """Block members share host+article, so the canonicalizer merges
     them into exactly 2 canonical urls per 4-block ({0,1} plain,
