@@ -314,24 +314,55 @@ def main() -> None:
     # 0.2 s noise floor AND is >1.5x — the decision rule SCALING.md
     # documents, now applied mechanically instead of by judge/builder
     # hand-comparison of different sessions.
+    sf_name = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_now = float(sf_name)
+    except ValueError:
+        sf_now = sf_name
     vs_prev = None
-    if prev and isinstance(prev.get("queries"), dict):
+    if (
+        prev
+        and isinstance(prev.get("queries"), dict)
+        and prev.get("sf") == sf_now  # cross-SF deltas are meaningless
+    ):
         pq = prev["queries"]
         ps = prev.get("spread", {})
         common = [n for n in timings if n in pq]
+        # Session-drift normalizer (VERDICT r11 #4): per-query spread
+        # gates can't see WHOLE-SESSION drift — this VM's co-tenant
+        # CPU steal moved two identical-code r11 sessions by
+        # +18%/+33%, which made the raw vs_prev flag 8 phantom
+        # regressions (7 with zero code change; the distribution
+        # check showed a uniform 1.25x median across all 165 common
+        # queries). The median common-query ratio IS that session
+        # factor — robust to a few genuinely regressed queries as
+        # long as they're a minority — so gates compare against
+        # drift-scaled expectations and only a query that moved
+        # RELATIVE to its own session flags. Needs >=10 common
+        # queries for the median to mean anything; below that the
+        # normalizer stays off (drift = 1.0).
+        ratios = sorted(
+            timings[n] / pq[n] for n in common if pq[n] > 0
+        )
+        drift = (
+            ratios[len(ratios) // 2] if len(ratios) >= 10 else 1.0
+        )
         regressions = {}
         for n in common:
-            delta = timings[n] - pq[n]
-            gate = ps.get(n, 0.0) + spread.get(n, 0.0) + 0.2
-            if delta > gate and timings[n] > 1.5 * pq[n]:
+            expected = pq[n] * drift
+            delta = timings[n] - expected
+            gate = (ps.get(n, 0.0) + spread.get(n, 0.0)) * drift + 0.2
+            if delta > gate and timings[n] > 1.5 * expected:
                 regressions[n] = {
                     "prev": pq[n],
+                    "drift_expected": round(expected, 3),
                     "now": timings[n],
-                    "delta": round(delta, 3),
+                    "delta_vs_expected": round(delta, 3),
                     "noise_gate": round(gate, 3),
                 }
         vs_prev = {
             "n_common": len(common),
+            "session_drift": round(drift, 3),
             "prev_total_common": round(sum(pq[n] for n in common), 3),
             "now_total_common": round(
                 sum(timings[n] for n in common), 3
@@ -339,11 +370,7 @@ def main() -> None:
             "regressions": regressions,
         }
 
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    try:
-        sf_val = float(sf)
-    except ValueError:
-        sf_val = sf
+    sf_val = sf_now
     line = json.dumps(
         {
             "metric": "headline_queries_total_sec",
