@@ -183,16 +183,32 @@ def streaming_sessionize(
     )
 
     def update(key, pdfs, state):
+        import numpy as np
+
         last_ts, n_sessions, n_events = (
             state.get if state.exists else (None, 0, 0)
         )
-        for pdf in pdfs:
-            for ts in pdf.sort_values(["ts_us", "event_id"])["ts_us"]:
-                ts = int(ts)
-                if last_ts is None or ts - last_ts > gap_us:
-                    n_sessions += 1
-                n_events += 1
-                last_ts = ts
+        # A key's batch rows can arrive as SEVERAL Arrow chunks whose
+        # order depends on upstream partitioning — sorting per chunk
+        # folded chunks in arrival order and broke partition
+        # invariance at 10 M rows (caught by the 100x pressure row).
+        # Concatenate the whole group FIRST, then one global
+        # (ts, event_id) lexsort; the gap fold vectorizes from there.
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if parts:
+            allpdf = pd.concat(parts) if len(parts) > 1 else parts[0]
+            order = np.lexsort(
+                (
+                    allpdf["event_id"].to_numpy(),
+                    allpdf["ts_us"].to_numpy(),
+                )
+            )
+            ts_arr = allpdf["ts_us"].to_numpy()[order]
+            n_sessions += int((np.diff(ts_arr) > gap_us).sum())
+            if last_ts is None or int(ts_arr[0]) - last_ts > gap_us:
+                n_sessions += 1
+            n_events += len(ts_arr)
+            last_ts = int(ts_arr[-1])
         state.update((last_ts, n_sessions, n_events))
         yield pd.DataFrame(
             {
@@ -248,8 +264,13 @@ def streaming_ewma(
 
     def update(key, pdfs, state):
         ewma, n = state.get if state.exists else (None, 0)
-        for pdf in pdfs:
-            ordered = pdf.sort_values(["ts_us", "event_id"])["value"]
+        # Concat the whole group before the single global sort: a
+        # per-chunk sort folds chunks in arrival order, which depends
+        # on upstream partitioning (the s21 100x lesson).
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if parts:
+            allpdf = pd.concat(parts) if len(parts) > 1 else parts[0]
+            ordered = allpdf.sort_values(["ts_us", "event_id"])["value"]
             for x in ordered:
                 x = float(x)
                 ewma = x if ewma is None else alpha * x + (1.0 - alpha) * ewma
@@ -304,8 +325,12 @@ def streaming_holt(
 
     def update(key, pdfs, state):
         level, trend, n = state.get if state.exists else (None, 0.0, 0)
-        for pdf in pdfs:
-            ordered = pdf.sort_values(["ts_us", "event_id"])["value"]
+        # Concat-before-sort (the s21 100x lesson): per-chunk sorting
+        # folds chunks in partitioning-dependent arrival order.
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if parts:
+            allpdf = pd.concat(parts) if len(parts) > 1 else parts[0]
+            ordered = allpdf.sort_values(["ts_us", "event_id"])["value"]
             for x in ordered:
                 x = float(x)
                 if level is None:
@@ -393,8 +418,12 @@ def streaming_attribution(
             "user_id", "conv_event_id", "touch_event_id",
             "touch_type", "pos", "n_touches", "credit_ppm",
         )}
-        for pdf in pdfs:
-            ordered = pdf.sort_values(["ts_us", "event_id"])
+        # Concat-before-sort (the s21 100x lesson): per-chunk sorting
+        # folds chunks in partitioning-dependent arrival order.
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if parts:
+            big = pd.concat(parts) if len(parts) > 1 else parts[0]
+            ordered = big.sort_values(["ts_us", "event_id"])
             for eid, etype in zip(ordered["event_id"], ordered["event_type"]):
                 if etype == "purchase":
                     n = len(ids)
@@ -802,8 +831,12 @@ def streaming_funnel(
 
     def update(key, pdfs, state):
         t1, t2, t3 = state.get if state.exists else (None, None, None)
-        for pdf in pdfs:
-            for _, row in pdf.sort_values("ts_us").iterrows():
+        # Concat-before-sort (the s21 100x lesson): per-chunk sorting
+        # folds chunks in partitioning-dependent arrival order.
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if parts:
+            big = pd.concat(parts) if len(parts) > 1 else parts[0]
+            for _, row in big.sort_values("ts_us").iterrows():
                 ts, et = int(row["ts_us"]), row["event_type"]
                 if et == s1 and t1 is None:
                     t1 = ts
@@ -865,9 +898,13 @@ def streaming_debounce(
     def update(key, pdfs, state):
         (last_k,) = state.get if state.exists else (None,)
         kept_ids, kept_ts = [], []
-        for pdf in pdfs:
+        # Concat-before-sort (the s21 100x lesson): per-chunk sorting
+        # folds chunks in partitioning-dependent arrival order.
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if parts:
+            big = pd.concat(parts) if len(parts) > 1 else parts[0]
             for _, row in (
-                pdf.sort_values(["ts_us", "event_id"]).iterrows()
+                big.sort_values(["ts_us", "event_id"]).iterrows()
             ):
                 k = int(row.ts_us) * 4096 + int(row.event_id) % 4096
                 if last_k is None or k - last_k >= gap_k:

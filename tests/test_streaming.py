@@ -1382,6 +1382,72 @@ def test_streaming_holt_parity_on_real_events_table(spark, tmp_path):
     assert streamed == batch  # bit-exact, every user
 
 
+def test_stateful_folds_survive_multi_chunk_groups(spark, tmp_path):
+    """Round-12 100x regression: a key's micro-batch rows can arrive as
+    SEVERAL Arrow chunks whose order depends on upstream partitioning;
+    sorting per chunk folded chunks in arrival order (caught by s21's
+    checksum mismatch between shuffle-partition settings at 10 M rows).
+    Force tiny Arrow chunks + shuffled multi-partition input and demand
+    the sessionizer and EWMA still match the in-order batch fold."""
+    import random
+
+    from pyspark_recs.streaming import (
+        read_event_stream,
+        streaming_ewma,
+        streaming_sessionize,
+    )
+
+    rows = [(1, i, 1_700_000_000_000_000 + i * 10_000_000, float(i % 7))
+            for i in range(200)]  # 10 s apart -> gaps < 30 min: 1 session
+    rows += [(1, 999, 1_700_000_000_000_000 + 200 * 10_000_000
+              + 3_600_000_000, 5.0)]  # 1 h later -> second session
+    random.Random(7).shuffle(rows)
+    df = (
+        spark.createDataFrame(
+            rows, "user_id long, event_id long, ts_us long, value double"
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.timestamp_micros("ts_us").alias("ts"),
+            "value",
+        )
+        .repartition(13)
+    )
+    drop = str(tmp_path / "drops")
+    df.write.parquet(drop)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        stream = read_event_stream(
+            spark, drop, spark.read.parquet(drop).schema
+        )
+        got = {
+            r.user_id: (r.n_sessions, r.n_events)
+            for r in _run_stream(
+                streaming_sessionize(stream, gap_us=1800 * 1_000_000),
+                tmp_path / "s",
+                mode="update",
+            ).collect()
+        }
+        assert got == {1: (2, 201)}
+        # EWMA: exact half-decay fold must equal the in-order python fold
+        expect = None
+        for _, _, _, v in sorted(rows, key=lambda r: (r[2], r[1])):
+            expect = v if expect is None else 0.5 * v + 0.5 * expect
+        ew = {
+            r.user_id: (r.n_events, r.ewma)
+            for r in _run_stream(
+                streaming_ewma(stream), tmp_path / "e", mode="update"
+            ).collect()
+        }
+        assert ew == {1: (201, expect)}
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+
+
 def test_staged_events_dir_memoizes_per_session(spark):
     """The streaming-executed rows' drop-dir staging is once per
     (session, sf, columns, doubled): repeated calls return the SAME
