@@ -360,6 +360,30 @@ def main() -> None:
                     "delta_vs_expected": round(delta, 3),
                     "noise_gate": round(gate, 3),
                 }
+        # Isolated re-probe (the SCALING.md protocol, mechanized —
+        # round 12): every flagged row re-runs SOLO right here, after
+        # the main loop, with no co-scheduled neighbors — and the flag
+        # records whether the regression REPRODUCES in isolation.
+        # Run-order/co-scheduling noise (HEADLINE insertions shift
+        # which query pays a neighbor's shared materialization) dies
+        # here instead of consuming judge/builder attention; only
+        # `reproduced: true` rows deserve a plan investigation.
+        for n, reg in regressions.items():
+            fn = QUERIES[n]
+            run_query(fn)
+            run_query(fn)
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run_query(fn)
+                runs.append(time.perf_counter() - t0)
+            runs.sort()
+            iso = runs[1]
+            reg["isolated"] = round(iso, 3)
+            reg["reproduced"] = bool(
+                iso - reg["drift_expected"] > reg["noise_gate"]
+                and iso > 1.5 * reg["drift_expected"]
+            )
         vs_prev = {
             "n_common": len(common),
             "session_drift": round(drift, 3),
@@ -409,6 +433,15 @@ def main() -> None:
             "n_queries": len(timings),
             "n_regressions_vs_prev": (
                 len(vs_prev["regressions"]) if vs_prev else None
+            ),
+            "n_reproduced_in_isolation": (
+                sum(
+                    1
+                    for r in vs_prev["regressions"].values()
+                    if r.get("reproduced")
+                )
+                if vs_prev
+                else None
             ),
             "prev_total_common": (
                 vs_prev["prev_total_common"] if vs_prev else None
