@@ -127,6 +127,13 @@ HEADLINE = [
     "l98_corpus_e2e",
     "l99_policy_gate",
     "l100_robots_gate",
+    # round-12 addition: the corpus→tokenizer handoff — engine-vs-
+    # engine on identical unscaled documents (like l98); DuckDB runs
+    # the full recursive-CTE funnel replay feeding 3 unrolled BPE
+    # merge rounds, Spark's serve path loads the published
+    # canonical-ids artifact and trains from the vocabulary table.
+    # s22 stays excluded with s18–s21 (trigger-machinery benchmark).
+    "l101_corpus_to_tokenizer",
 ]
 KEY_SHIFT = 10_000_000  # > max o_orderkey at sf0.1 (600k)
 
