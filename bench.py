@@ -222,6 +222,7 @@ HEADLINE = [
     # the corpus→tokenizer training handoff
     "s22_streaming_multibatch_exec",
     "l101_corpus_to_tokenizer",
+    "s23_streaming_stream_join_exec",
 ]
 
 

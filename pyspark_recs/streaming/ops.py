@@ -103,6 +103,58 @@ def streaming_static_anti_join(
     return stream.join(static_keys, on, "left_anti")
 
 
+def streaming_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    horizon: str = "1 hour",
+    horizon_us: int = 3600 * 1_000_000,
+    watermark: str = "3650 days",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner interval join — the §2.9
+    surface where BOTH sides keep state: every left row within the
+    watermark waits for future right matches and vice versa (Spark
+    buffers each side in its own state store, keyed by ``key``).
+    Semantics: rows pair when they share ``key`` and the right event
+    time falls in ``[left_ts, left_ts + horizon]``.
+
+    The range condition is applied TWICE, deliberately:
+
+    - on the raw timestamp columns (what Spark's state-cleanup
+      analysis reads — with a production-tight watermark this bounds
+      each side's buffer to watermark + horizon);
+    - on integer MICROSECONDS (``unix_micros``), the boundary rule an
+      engine-agnostic oracle can reproduce exactly (nanos sources
+      truncate to micros identically in Spark's reader and DuckDB's
+      ``epoch_us``).
+
+    On a micros-precision stream the two predicates are identical, so
+    the duplication costs nothing and pins the boundary.
+
+    ``left_ts`` / ``right_ts`` (and every non-``key`` column) must be
+    DISTINCT names across the two inputs — rename before calling, as
+    any self-join must.
+
+    Scale: state is per-key rows within watermark + horizon on each
+    side; the join shuffles both streams on ``key`` once (the same
+    hash partitioning feeds the state stores), and emitted pairs are
+    exactly-once per (left, right) match — append-mode safe.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    lts, rts = F.col(left_ts), F.col(right_ts)
+    cond = (
+        (lw[key] == rw[key])
+        & (rts >= lts)
+        & (rts <= lts + F.expr(f"INTERVAL {horizon}"))
+        & (F.unix_micros(rts) >= F.unix_micros(lts))
+        & (F.unix_micros(rts) <= F.unix_micros(lts) + F.lit(horizon_us))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: list[str],

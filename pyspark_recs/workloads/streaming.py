@@ -1447,6 +1447,111 @@ def s22_streaming_multibatch_exec(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------- s23
+def s23_streaming_stream_join_exec(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAM-STREAM join EXECUTED under the oracle gate — the last
+    §2.9 surface the executed family lacked (s18–s22 cover ingest,
+    windowed agg, dedup, foreachBatch sinks, custom state, and
+    multi-batch carry; this is the operator where BOTH streams hold
+    state): clicks and purchases read as two file-source streams over
+    the same staged drop dir, and the watermarked interval join emits
+    every (click, purchase-within-1-hour) attribution pair for the
+    same user — the classic streaming conversion-attribution shape.
+    The sink is the executor-side parquet pattern; the read-back —
+    (user_id, click_id, purchase_id, gap_us) — must hash-match the
+    batch self-join SQL, which pins key matching, both boundary
+    comparisons, and the pair set exactly (a set, so no order or
+    batch-split sensitivity; the file sink is exactly-once per match).
+
+    Boundary exactness: the join compares integer MICROSECONDS on
+    both engines (`streaming_stream_join`'s doubled predicate) — the
+    staged parquet is micros, DuckDB's `epoch_us` truncates the nanos
+    source identically, so a pair landing exactly on the horizon
+    agrees engine-to-engine.
+
+    Scale: both sides shuffle once on user_id into their state
+    stores; state is per-user rows within watermark + horizon per
+    side (the backfill watermark keeps everything, a production
+    deployment's tight watermark bounds it by delivery delay + 1 h);
+    emitted pairs stream straight to the executor-side sink.
+    """
+    from pyspark_recs.streaming import (
+        read_event_stream,
+        streaming_stream_join,
+    )
+
+    drop_dir, schema = _staged_events_dir(
+        spark, sf, ("event_id", "ts", "user_id", "event_type")
+    )
+    clicks = (
+        read_event_stream(spark, drop_dir, schema)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        read_event_stream(spark, drop_dir, schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    pairs = streaming_stream_join(
+        clicks, purchases, "user_id", "click_ts", "purchase_ts"
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+        ).alias("gap_us"),
+    )
+    out_dir = _stream_tmpdir("s23_out_")
+    ckpt = _stream_tmpdir("s23_ckpt_")
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        # Stream-stream state insertion is the slow phase at scale —
+        # give the backfill real headroom; a stop() on timeout would
+        # truncate the sink silently (the 100x p13 lesson).
+        if not q.awaitTermination(1800):
+            raise RuntimeError(
+                "s23 join backfill exceeded 1800 s — raise the bound "
+                "instead of hashing a truncated sink"
+            )
+    finally:
+        q.stop()
+    return spark.read.schema(
+        "user_id long, click_id long, purchase_id long, gap_us long"
+    ).parquet(out_dir)
+
+
+S23_SQL = """
+SELECT a.user_id,
+       a.event_id AS click_id,
+       b.event_id AS purchase_id,
+       CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click'
+ AND b.event_type = 'purchase'
+ AND epoch_us(b.ts) >= epoch_us(a.ts)
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
+"""
+
+
 QUERIES = {
     "s01_tumbling_daily": s01_tumbling_daily,
     "s02_sessionize": s02_sessionize,
@@ -1470,6 +1575,7 @@ QUERIES = {
     "s20_streaming_kv_sink_exec": s20_streaming_kv_sink_exec,
     "s21_streaming_sessionize_exec": s21_streaming_sessionize_exec,
     "s22_streaming_multibatch_exec": s22_streaming_multibatch_exec,
+    "s23_streaming_stream_join_exec": s23_streaming_stream_join_exec,
 }
 
 ORACLE = {
@@ -1502,4 +1608,5 @@ ORACLE = {
     # replay must land on the same daily aggregate, which it can only
     # do through real cross-batch state-store carry.
     "s22_streaming_multibatch_exec": S20_SQL,
+    "s23_streaming_stream_join_exec": S23_SQL,
 }

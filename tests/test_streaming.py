@@ -1382,6 +1382,50 @@ def test_streaming_holt_parity_on_real_events_table(spark, tmp_path):
     assert streamed == batch  # bit-exact, every user
 
 
+def test_stream_stream_join_boundaries_planted(spark, tmp_path):
+    """streaming_stream_join emits exactly the pairs whose right event
+    falls in [left_ts, left_ts + horizon] for the same key — planted:
+    a pair exactly AT the horizon is kept (inclusive), 1 us past is
+    dropped, earlier-than-left is dropped, and keys never cross."""
+    from pyspark_recs.streaming import streaming_stream_join
+
+    t0 = 1_700_000_000_000_000
+    hour = 3600 * 1_000_000
+    clicks = [(1, 10, t0), (2, 11, t0)]
+    purchases = [
+        (1, 20, t0 + hour),        # exactly at horizon -> kept
+        (1, 21, t0 + hour + 1),    # 1 us past -> dropped
+        (1, 22, t0 - 1),           # before the click -> dropped
+        (2, 23, t0 + 5),           # kept (key 2)
+        (3, 24, t0 + 5),           # wrong key -> dropped
+    ]
+
+    def _stage(rows, cols, sub):
+        df = spark.createDataFrame(
+            rows, f"user_id long, {cols[0]} long, us long"
+        ).select(
+            "user_id", cols[0], F.timestamp_micros("us").alias(cols[1])
+        )
+        p = str(tmp_path / sub)
+        df.write.parquet(p)
+        return spark.readStream.schema(
+            spark.read.parquet(p).schema
+        ).parquet(p)
+
+    joined = streaming_stream_join(
+        _stage(clicks, ("click_id", "click_ts"), "c"),
+        _stage(purchases, ("purchase_id", "purchase_ts"), "p"),
+        "user_id",
+        "click_ts",
+        "purchase_ts",
+    ).select("user_id", "click_id", "purchase_id")
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in _run_stream(joined, tmp_path, mode="append").collect()
+    }
+    assert got == {(1, 10, 20), (2, 11, 23)}
+
+
 def test_stateful_folds_survive_multi_chunk_groups(spark, tmp_path):
     """Round-12 100x regression: a key's micro-batch rows can arrive as
     SEVERAL Arrow chunks whose order depends on upstream partitioning;

@@ -33,7 +33,8 @@ sys.path.insert(0, REPO)
 SRC_SF = "/root/testdata/sf0.1"
 REPLICAS = 100
 KEY_SHIFT = 10_000_000  # > max o_orderkey at sf0.1
-DOC_SHIFT = 1_000_000  # > max doc_id / vec_id at sf0.1
+DOC_SHIFT = 1_000_000  # > max doc_id / vec_id / event_id at sf0.1
+USER_SHIFT = 100_000  # > max events.user_id at sf0.1 (1499)
 
 # Join/agg-heavy, fact-table-driven headliners: scan-agg, 3-way join,
 # window-per-key, top-k, distribution agg, join-reorder, semi-join,
@@ -135,6 +136,11 @@ QUERIES_100X = [
     "s20_streaming_kv_sink_exec",
     "s21_streaming_sessionize_exec",
     "s22_streaming_multibatch_exec",
+    # round-12 session-2: the stream-stream interval join — BOTH
+    # sides' state stores hold the 100x-dense per-user buffers and
+    # the emitted pair set grows quadratically in density (~3.7 M
+    # pairs at 100x) through the executor-side file sink.
+    "s23_streaming_stream_join_exec",
 ]
 PARTITION_SETTINGS = (32, 13)
 
@@ -192,17 +198,24 @@ def build_scratch(scale_dir: str) -> None:
         os.path.join(scale_dir, "documents.parquet")
     )
 
-    # events: shift event_id per replica, keep ts/user_id/value —
-    # 10 M rows for the streaming-executed family. Same users with
-    # 100x history and the same time span is the honest shape (a
-    # busier site, not a longer one): dedup keys and per-user state
-    # scale 100x while window/day state stays horizon-bounded,
-    # which is exactly the state-bound claim under test.
+    # events: shift event_id AND user_id per replica — 10 M rows /
+    # 150k users for the streaming-executed family. Users grow WITH
+    # volume (the growth shape of a real 100x site — the same reason
+    # rs11 is excluded above: replicating activity over a FIXED user
+    # set densifies per-user interactions quadratically, which blows
+    # up any per-user pairing — s23's interval join went from 371 to
+    # 3.7 M pairs and 380+ s under that shape). With users shifted:
+    # dedup keys scale 100x (s19), per-user state rows scale 100x
+    # (s21: 150k state-store entries), window/day state stays
+    # horizon-bounded (s18/s20/s22), and per-user join fan-out stays
+    # sf0.1-sized so s23's pair set grows linearly (~37k).
     ev = load_table(spark, SRC_SF, "events")
     ev.crossJoin(
         spark.range(REPLICAS).select(F.col("id").alias("_rep"))
     ).withColumn(
         "event_id", F.col("event_id") + F.col("_rep") * F.lit(DOC_SHIFT)
+    ).withColumn(
+        "user_id", F.col("user_id") + F.col("_rep") * F.lit(USER_SHIFT)
     ).drop("_rep").repartition(64).write.mode("overwrite").parquet(
         os.path.join(scale_dir, "events.parquet")
     )
