@@ -1545,3 +1545,35 @@ def test_stream_tmpdirs_are_tracked_and_cleaned(spark):
     ws._cleanup_stream_tmpdirs()
     assert not os.path.exists(d) and not os.path.exists(c)
     assert ws._STREAM_TMPDIRS == [] and ws._STAGED_DROPS == {}
+
+
+def test_stream_exec_conf_scopes_state_partitions(spark, monkeypatch):
+    """r12-opt: the streaming-executed rows pin their state-store
+    parallelism (spark.sql.shuffle.partitions at stream start) to
+    _stream_state_partitions() — sized by env/cpu budget, NOT the batch
+    session's shuffle width — and restore the session conf afterwards,
+    even on error."""
+    import pyspark_recs.workloads.streaming as ws
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with ws._stream_exec_conf(spark):
+        assert spark.conf.get(key) == str(ws._stream_state_partitions())
+    assert spark.conf.get(key) == before
+
+    try:
+        with ws._stream_exec_conf(spark):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == before  # restored on error too
+
+    # Env override wins (the production sizing knob); default scales
+    # with the core budget instead of a local[32]-tuned constant.
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_PARTITIONS", "13")
+    assert ws._stream_state_partitions() == 13
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_PARTITIONS")
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "2")
+    assert ws._stream_state_partitions() == 2
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "64")
+    assert ws._stream_state_partitions() == 8
