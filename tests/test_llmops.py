@@ -1763,3 +1763,47 @@ def test_l97_tone_power_matches_pure_python(spark):
         (expected[f"mag_k{k}"], -k) for k, _, _ in TONE_PROBES
     )[1] * -1
     assert rows[17].status == "decode_error" and rows[17].mag_k8 is None
+
+
+def test_embedding_covariance_kernel_matches_expression_plan(spark):
+    """r12-opt: the dim-known covariance path is a vectorized NumPy
+    kernel (one mapInPandas pass emitting partial moment/first-moment
+    sums). Its per-element quantization must replay the JVM expression
+    floor(double(x)*double(y)*scale + 0.5) BIT-FOR-BIT, so the kernel
+    plan (dim=...) and the expression plan (dim=None) must agree
+    exactly — including negative values and irrational-ish floats."""
+    import random
+
+    from pyspark_recs.llmops.similarity import embedding_covariance
+
+    rng = random.Random(44)
+    rows = [
+        (i, [rng.uniform(-2.0, 2.0) for _ in range(5)]) for i in range(37)
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(4)
+    expr_rows = {
+        (r.i, r.j): (r.n, r.cov)
+        for r in embedding_covariance(vecs).collect()
+    }
+    kern_rows = {
+        (r.i, r.j): (r.n, r.cov)
+        for r in embedding_covariance(vecs, dim=5).collect()
+    }
+    assert kern_rows == expr_rows  # exact, not approx: same fixed point
+    assert len(kern_rows) == 5 * 6 // 2
+
+    # Empty input stays empty (no zero-filled phantom triangle).
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert embedding_covariance(empty, dim=5).count() == 0
+
+    # Dimension mismatch is a hard in-kernel error, not a mislabel.
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(Exception):
+        embedding_covariance(bad, dim=5).collect()
