@@ -10,7 +10,6 @@ are attached per operator. Reference-parity citations point into
 from __future__ import annotations
 
 from collections.abc import Sequence
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -749,45 +748,42 @@ def grouped_exact_median(
 def _order_bucketed(
     df: DataFrame, order_col: str, num_ranges: int
 ) -> DataFrame:
-    """Assign a DETERMINISTIC range-bucket id ``_pid`` to every row.
+    """Assign a DETERMINISTIC range-bucket id ``_pid`` to every row,
+    materialized once.
 
-    ``repartitionByRange`` + ``spark_partition_id`` is the obvious way to
-    split an ordered sweep into parallel ranges, but its boundaries are
-    re-SAMPLED on every physical execution of the exchange: when a plan
-    references the partitioned frame twice (local windows + offsets) and
-    the optimizer does not reuse the exchange, the two branches can see
-    DIFFERENT pid assignments and the broadcast offsets land on the wrong
-    ranges (observed as a nondeterministic s13 oracle mismatch).  Instead
-    we pick split points once via ``approxQuantile`` (one tiny extra scan
-    of the order column — driver holds ≤ num_ranges floats) and derive
-    the bucket id as a pure projection, ``Σ 1[order ≥ split]``, so every
-    branch computes the identical id from the data itself.
+    ``repartitionByRange`` + ``spark_partition_id`` boundaries are
+    re-SAMPLED on every physical execution of the exchange, so when a
+    plan references the bucketed frame twice (local windows + offsets)
+    and the optimizer does not reuse the exchange, the two branches can
+    see DIFFERENT pid assignments and the broadcast offsets land on the
+    wrong ranges (observed as a nondeterministic s13 oracle mismatch).
+    Earlier rounds fixed that with an ``approxQuantile`` driver scan +
+    a pure-projection bucket id — consistent, but it made THREE full
+    upstream executions per run (quantile scan, local-window branch,
+    offsets branch; s11's plan showed 4 parquet scans,
+    plans/r12/s11_peak_concurrency_before.txt).
+
+    This round's fix (guide §3.3 "materialise the intermediate", §2.4
+    "share one exchange"): range-partition, stamp ``_pid``, and
+    SNAPSHOT the result once (``workloads.common.snapshot_plan`` —
+    eager localCheckpoint, teardown-registered). The materialization
+    freezes the pid assignment, so both consumer branches read the
+    same bucketing by construction — resampling can never diverge —
+    and the upstream executes exactly once (inside the range
+    exchange). Result rows are identical for ANY boundary placement
+    (offsets absorb the split), so correctness never depended on
+    where the boundaries land, only on branch agreement. Callers feed
+    pre-aggregated nets/series or narrow projections, so the snapshot
+    is small; the upstream it stops recomputing is not. RangePartitioner
+    keys equal order values to one partition and orders partitions
+    ascending, which is exactly the contract ``_pid`` must satisfy.
     """
-    qs = [i / num_ranges for i in range(1, num_ranges)]
-    # approxQuantile only speaks numeric; cast timestamps/dates through
-    # a monotone numeric shadow (bucket ORDER is preserved — exact
-    # boundary placement is irrelevant by construction). DATE refuses a
-    # direct double cast, so it goes through days-since-epoch.
-    order_dtype = dict(df.dtypes).get(order_col, "")
-    if order_dtype == "date":
-        ordnum = F.unix_date(F.col(order_col)).cast("double")
-    else:
-        ordnum = F.col(order_col).cast("double")
-    shadowed = df.withColumn("_ordnum", ordnum)
-    splits = shadowed.stat.approxQuantile("_ordnum", qs, 0.001)
-    uniq: list = []
-    for s in splits:
-        if not uniq or s > uniq[-1]:
-            uniq.append(s)
-    pid = reduce(
-        lambda acc, s: acc + (F.col("_ordnum") >= F.lit(s)).cast("int"),
-        uniq,
-        F.lit(0),
-    )
-    return (
-        shadowed.withColumn("_pid", pid)
-        .drop("_ordnum")
-        .repartition(max(len(uniq) + 1, 1), "_pid")
+    from pyspark_recs.workloads.common import snapshot_plan
+
+    return snapshot_plan(
+        df.repartitionByRange(num_ranges, F.col(order_col)).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
 
 

@@ -32,6 +32,7 @@ which makes golden-file testing of pipelines possible at all.
 
 from __future__ import annotations
 
+import itertools as _itertools
 import os as _os
 
 from pyspark.sql import Column
@@ -405,6 +406,43 @@ def persisted_ids(spark) -> set:
     snapshot-diff primitive operators use to scope RDD-level releases
     to storage THEY created."""
     return {i for i, _ in persistent_rdd_snapshot(spark)}
+
+
+_SNAPSHOT_SEQ = _itertools.count()
+
+
+def snapshot_plan(df):
+    """Materialize a multiply-consumed intermediate ONCE via
+    ``localCheckpoint(eager=True)`` and register the created RDD blocks
+    for session teardown (``unpersist_shared`` → ``PersistedRddHandle``),
+    so the snapshot cannot leak past the cache lint.
+
+    This is the optimization-guide §3.3 move ("materialising an
+    intermediate result truncates the plan") applied to helpers whose
+    output feeds 2-3 plan branches (e.g. ``_order_bucketed``: a driver
+    quantile scan + the local-window branch + the offsets branch):
+    without it, every branch re-executes the FULL upstream. Unlike
+    ``.cache()``, a localCheckpoint is not registered in the SQL
+    CacheManager, so a bit-identical plan built later (the bench's
+    repeated runs) does NOT silently reuse this run's blocks — every
+    execution honestly pays one upstream compute.
+
+    Non-goal: fault tolerance. localCheckpoint blocks are not
+    recomputable; a lost executor fails the query (the documented
+    trade, same as lloyd_kmeans_fixed's round snapshots). Callers pass
+    pre-aggregated or narrowly-projected frames, so the materialized
+    bytes stay small relative to the upstream they replace.
+    """
+    spark = df.sparkSession
+    before = persisted_ids(spark)
+    snap = df.localCheckpoint(eager=True)
+    created = persisted_ids(spark) - before
+    if created:
+        register_persisted(
+            PersistedRddHandle(spark, created),
+            key=f"__snapshot_{next(_SNAPSHOT_SEQ)}",
+        )
+    return snap
 
 
 def release_local_checkpoints(spark, before_ids=None) -> int:
