@@ -1071,11 +1071,41 @@ def _stream_exec_conf(spark: SparkSession):
         spark.conf.set(key, prev)
 
 
+def _stream_scratch_root() -> str | None:
+    """Root for the streaming rows' THROWAWAY dirs (checkpoints, drop
+    stagings, sink outputs — all atexit-removed, never durable).
+
+    r12-opt (guide §1.1 "decide whether the time is going to ... I/O",
+    §6 "small files hurt twice"): recentProgress profiling showed the
+    executed rows' cost was NOT compute — per micro-batch, the HDFS
+    state-store commits plus offset/commit WAL writes issue dozens of
+    small create+fsync+rename operations, and on this rig's disk-backed
+    /tmp those fsyncs dominated (s22 ~8.8 s, s23 ~10.2 s warm;
+    commitTimeMs 20–36 s summed across 8 store partitions for ~MB of
+    state). On a RAM-backed scratch (tmpfs) the same runs measure
+    s22 ~2.5 s / s23 ~3.4 s with identical results. Since every one of
+    these dirs is explicitly throwaway (unique per call, removed at
+    exit), RAM-backed scratch is the honest placement — durability
+    buys nothing here. A production deployment pointing checkpoints at
+    durable object storage sets $SPARK_GRAFT_STREAM_TMPDIR instead
+    (the same knob also restores the old behavior for A/B runs)."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_TMPDIR")
+    if env:
+        return env
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return shm
+    return None  # tempfile default ($TMPDIR or /tmp)
+
+
 def _stream_tmpdir(prefix: str) -> str:
-    """mkdtemp + register for end-of-process removal."""
+    """mkdtemp (on the scratch root) + register for end-of-process
+    removal."""
     import tempfile
 
-    d = tempfile.mkdtemp(prefix=prefix)
+    d = tempfile.mkdtemp(prefix=prefix, dir=_stream_scratch_root())
     _STREAM_TMPDIRS.append(d)
     return d
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import pytest
 from pyspark.sql import functions as F
@@ -1545,6 +1546,30 @@ def test_stream_tmpdirs_are_tracked_and_cleaned(spark):
     ws._cleanup_stream_tmpdirs()
     assert not os.path.exists(d) and not os.path.exists(c)
     assert ws._STREAM_TMPDIRS == [] and ws._STAGED_DROPS == {}
+
+
+def test_stream_scratch_root_policy(monkeypatch, tmp_path):
+    """r12-opt: throwaway stream dirs land on the RAM-backed scratch
+    (/dev/shm) by default — profiling showed state-store commit +
+    WAL fsyncs on disk-backed /tmp dominated the executed rows — and
+    $SPARK_GRAFT_STREAM_TMPDIR overrides the placement (production
+    durable-checkpoint deployments, A/B runs)."""
+    import pyspark_recs.workloads.streaming as ws
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_TMPDIR", str(tmp_path))
+    d = ws._stream_tmpdir("test_scratch_")
+    try:
+        assert os.path.dirname(d) == str(tmp_path)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        ws._STREAM_TMPDIRS.remove(d)
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_TMPDIR")
+    expected = (
+        "/dev/shm"
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+        else None
+    )
+    assert ws._stream_scratch_root() == expected
 
 
 def test_stream_exec_conf_scopes_state_partitions(spark, monkeypatch):
