@@ -363,10 +363,12 @@ def decontaminate_spans(
         # Same pre-built index decontaminate() shares (column "gram").
         bench = bench_grams.select(F.col("gram").alias("g"))
 
-    # (No spread_partitions here: measured at sf0.1 the cost is the
-    # exploded-gram semi-join + collect_set shuffle, not scan-side
-    # parallelism — repartitioning the token arrays first was neutral.)
-    tr = train.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    from pyspark_recs.io.loaders import spread_partitions
+    from pyspark_recs.workloads.common import snapshot_plan
+
+    tr = spread_partitions(
+        train.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    )
     # Word hashes as their own projection: inlined, the shingle_n slice
     # references would re-run the md5 transform shingle_n times per doc
     # (same fix as l72 — measured ~25% off the whole query at sf0.1).
@@ -386,9 +388,22 @@ def decontaminate_spans(
             F.slice(wh, 1 + j, m),
             lambda a, b: (a * F.lit(SHINGLE_BASE) + b) % MINHASH_PRIME,
         )
-    with_grams = hashed.select("doc_id", "toks", acc.alias("pos_grams"))
+    # SNAPSHOT the tokenized+folded frame (r12-opt, guide §3.3): the
+    # plan consumes it twice (the starts branch and the final rebuild),
+    # and worse, InferFiltersFromGenerate used to push a
+    # `size(pos_grams) > 0 AND isnotnull(pos_grams)` predicate BELOW
+    # the projections — re-inlining the whole tokenize→md5→Horner
+    # chain into a scan-side Filter that evaluated it twice more per
+    # row (plans/r12/l64_decontaminate_spans_before.txt node (5)).
+    # Materializing (doc_id, toks, pos_grams) once runs the expensive
+    # projection exactly once; both consumers read the snapshot
+    # (spread_partitions above parallelizes the build — the raw
+    # parquet is a single split at test SF).
+    snap = snapshot_plan(
+        hashed.select("doc_id", "toks", acc.alias("pos_grams"))
+    )
     starts = (
-        with_grams.select(
+        snap.select(
             "doc_id", F.posexplode("pos_grams").alias("pos", "g")
         )
         .join(F.broadcast(bench), "g", "left_semi")
@@ -406,15 +421,15 @@ def decontaminate_spans(
     kept = F.filter(
         F.col("toks"), lambda t, i: ~F.array_contains(F.col("covered"), i)
     )
-    # Shuffle join on doc_id, deliberately: on THIS protocol the
-    # benchmark is a slice of the corpus itself, so most documents are
-    # contaminated and `starts` is corpus-sized — broadcasting it
-    # measured ~15% slower at sf0.1 (build-side cost per task). For a
-    # production corpus where contamination is the rare exception,
-    # F.broadcast(starts) flips the trade and keeps the token arrays
+    # Join on doc_id back to the SNAPSHOT (not the raw scan): the left
+    # side is already materialized, so this branch pays no second
+    # tokenize pass. On THIS protocol the benchmark is a slice of the
+    # corpus itself, so most documents are contaminated and `starts`
+    # is corpus-sized; for a production corpus where contamination is
+    # the rare exception, F.broadcast(starts) keeps the snapshot
     # un-shuffled.
     return (
-        tr.join(starts, "doc_id", "left")
+        snap.select("doc_id", "toks").join(starts, "doc_id", "left")
         .withColumn("covered", covered)
         .withColumn("kept", kept)
         .select(
