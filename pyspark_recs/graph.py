@@ -101,11 +101,21 @@ def pagerank(
     single job instead of paying a checkpoint job per round.
     """
     mult = float(10**scale)
-    e = (
+    from pyspark_recs.workloads.common import snapshot_plan
+
+    # SNAPSHOT the distinct'd edge list instead of .cache() (r12-opt,
+    # guide §3.3): a cache keeps the FULL edge-derivation lineage in
+    # every consumer's plan (r57's static plan embedded the fact-join
+    # subtree 180+ times → Catalyst re-optimized a huge tree per run),
+    # and the first action (nodes.count()) races the two union branches
+    # into computing the un-filled cache twice. The eager
+    # localCheckpoint materializes the derivation exactly once and
+    # truncates lineage, so every consumer — nodes, deg, 3 iterations —
+    # plans against a leaf.
+    e = snapshot_plan(
         edges.filter(F.col(src) != F.col(dst))
         .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
-        .cache()
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -152,12 +162,12 @@ def pagerank(
             if prev is not None:
                 prev.unpersist()
             prev = ranks
-    # e/nodes/the last materialized round stay cached for the caller's
+    # nodes/the last materialized round stay cached for the caller's
     # action on the returned (lazy) ranks — register them so session
-    # teardown releases them (the r89 lint class).
+    # teardown releases them (the r89 lint class). e is a snapshot_plan
+    # (self-registered).
     from pyspark_recs.workloads.common import register_persisted
 
-    register_persisted(e)
     register_persisted(nodes)
     if prev is not None:
         register_persisted(prev)
@@ -190,7 +200,15 @@ def personalized_pagerank(
     neighborhood, not the graph.
     """
     mult = float(10**scale)
-    e = (
+    from pyspark_recs.workloads.common import snapshot_plan
+
+    # SNAPSHOT the distinct'd edge list (r12-opt, guide §3.3): building
+    # e_deg below consumes e TWICE (the degree aggregate and the join
+    # side), and rs16's e derives from a union of two fact-join
+    # branches — un-materialized, the lineitem⋈orders join executed
+    # 4× per run. The eager localCheckpoint runs the derivation once;
+    # deg and the join both read the materialized pairs.
+    e = snapshot_plan(
         edges.filter(F.col(src) != F.col(dst))
         .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
@@ -444,11 +462,15 @@ def khop_min_distance(
     billion-edge graphs co-partition edges on src once (bucketing) so
     every hop's probe is shuffle-free on the edge side.
     """
-    e = (
+    # Snapshot (not cache) the pruned edge list: every hop references
+    # it, and a cache would re-embed the full backbone-derivation
+    # lineage in each hop's plan (see pagerank's note; r12-opt).
+    from pyspark_recs.workloads.common import snapshot_plan
+
+    e = snapshot_plan(
         edges.filter(F.col(src) != F.col(dst))
         .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
-        .cache()
     )
     visited = (
         seeds.select(F.col(seeds.columns[0]).alias("node"))
@@ -479,5 +501,5 @@ def khop_min_distance(
     for df in pinned:
         if df is not result:
             df.unpersist()
-    e.unpersist()
+    # e is a snapshot_plan; its blocks release at session teardown.
     return result
