@@ -4205,7 +4205,18 @@ def l83_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     payloads = docs.mapInPandas(
         make_payloads, schema="doc_id bigint, payload binary"
     )
-    hashed = image_ahash(payloads)
+    # hashed feeds two branches (the cluster aggregate and the final
+    # join's left side); its upstream is the PNG encode+decode seam,
+    # so without a barrier every branch re-runs the full codec pass
+    # (the before plan shows the mapInPandas pair twice). Snapshot the
+    # 4-small-column hash table once.
+    from pyspark_recs.workloads.common import snapshot_plan
+
+    hashed = snapshot_plan(
+        image_ahash(payloads).select(
+            "doc_id", "status", "phash_hi", "phash_lo"
+        )
+    )
     ok = hashed.filter(F.col("status") == "ok")
     clusters = ok.groupBy("phash_hi", "phash_lo").agg(
         F.count(F.lit(1)).alias("cluster_size"),
