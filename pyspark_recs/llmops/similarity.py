@@ -242,10 +242,21 @@ def _maxsim_pairs_arrow(
         sub = dim // nt
         qt = q.reshape(b, nt, sub)
         ct = c.reshape(b, nt, sub)
-        # P[b, t, s, d] = q_t[d] * c_s[d], quantized per element
-        prod = qt[:, :, None, :] * ct[:, None, :, :]
-        fp = np.floor(prod * scale + 0.5).astype(np.int64)
-        score = fp.sum(axis=3).max(axis=2).sum(axis=1)
+        # P[b, t, s, d] = q_t[d] * c_s[d], quantized per element —
+        # computed in bounded row chunks: the whole-batch 4-D tensor is
+        # ~100 MB transient at the 10k-row Arrow batch default, and
+        # those allocations intermittently stalled the Python worker
+        # for seconds (measured at sf0.1: run times alternating
+        # 0.8 s / 3–27 s; chunked, a flat ~0.5 s). ~4 MB per chunk
+        # keeps the arithmetic identical (per-pair, chunk-independent)
+        # while bounding worker memory (guide §4.2/§5).
+        score = np.empty(b, dtype=np.int64)
+        chunk = 1024
+        for s in range(0, b, chunk):
+            e = min(s + chunk, b)
+            prod = qt[s:e, :, None, :] * ct[s:e, None, :, :]
+            fp = np.floor(prod * scale + 0.5).astype(np.int64)
+            score[s:e] = fp.sum(axis=3).max(axis=2).sum(axis=1)
         return pd.Series(score)
 
     cand = candidates.select(
