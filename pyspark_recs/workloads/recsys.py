@@ -917,7 +917,17 @@ def rs11_copurchase_triangles(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.src", "p.dst")
-    return triangle_counts(edges)
+    # Orientation order = item frequency straight off the fact scan
+    # (one map-side-combined aggregation, node-sized output) instead
+    # of deriving degree from the edge list — which would re-execute
+    # the basket explode. Triangle counts are identical under ANY
+    # total order (triangle_counts docstring); frequency tracks
+    # degree closely on a co-purchase graph, preserving the
+    # low-out-degree orientation the O(m^1.5) bound wants.
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("w")).select(
+        F.col("l_partkey").alias("node"), "w"
+    )
+    return triangle_counts(edges, node_order=freq)
 
 
 RS11_SQL = """
