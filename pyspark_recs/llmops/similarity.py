@@ -247,11 +247,18 @@ def _maxsim_pairs_arrow(
         # ~100 MB transient at the 10k-row Arrow batch default, and
         # those allocations intermittently stalled the Python worker
         # for seconds (measured at sf0.1: run times alternating
-        # 0.8 s / 3–27 s; chunked, a flat ~0.5 s). ~4 MB per chunk
-        # keeps the arithmetic identical (per-pair, chunk-independent)
-        # while bounding worker memory (guide §4.2/§5).
+        # 0.8 s / 3–27 s; chunked, a flat ~0.5 s). The chunk size is
+        # DERIVED from the tensor shape (ADVICE r12): each chunk row
+        # costs nt*nt*sub*8 bytes for the float64 product tensor
+        # (the int64 quantized copy briefly doubles that peak), so
+        # the ~4 MB bound holds for any embedding configuration
+        # instead of only the shape the old hardcoded 1024 was tuned
+        # on (it reproduces chunk=1024 exactly for the l91 shape:
+        # nt=8, sub=8). Arithmetic is per-pair and chunk-independent,
+        # so results are identical for any chunk size (guide §4.2/§5).
         score = np.empty(b, dtype=np.int64)
-        chunk = 1024
+        target_bytes = 4 << 20
+        chunk = max(1, target_bytes // (nt * nt * sub * 8))
         for s in range(0, b, chunk):
             e = min(s + chunk, b)
             prod = qt[s:e, :, None, :] * ct[s:e, None, :, :]
@@ -1578,10 +1585,20 @@ def ivfpq_topk(
     )
 
     # Probe join → per-pair code unpivot → ADC lookups summed exactly.
+    # Both joins broadcast the PROVABLY small side (probes is
+    # Q·nprobe rows; codes is one 10-byte row per candidate): after
+    # the window/aggregate subtrees Spark's size estimates are wildly
+    # pessimistic and it planned SortMergeJoins — 4 exchanges + 4
+    # sorts for sides this small (guide §3.1 "use an explicit
+    # broadcast hint when you know a side is small";
+    # plans/r13/l58_ivfpq_search_before.txt). The hints replace the
+    # cascade with two BroadcastHashJoins and leave the corpus-sized
+    # inverted file un-shuffled. At 10⁹ vectors codes outgrows the
+    # broadcast budget — bucket it by cell_id instead (docstring).
     pairs = (
-        probes.join(inv_file, "cell_id")
+        F.broadcast(probes).join(inv_file, "cell_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .join(codes, "neighbor_id")
+        .join(F.broadcast(codes), "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
