@@ -32,8 +32,11 @@ which makes golden-file testing of pipelines possible at all.
 
 from __future__ import annotations
 
+import atexit as _atexit
 import itertools as _itertools
 import os as _os
+import shutil as _shutil
+import tempfile as _tempfile
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -427,13 +430,30 @@ def snapshot_plan(df):
     repeated runs) does NOT silently reuse this run's blocks — every
     execution honestly pays one upstream compute.
 
-    Non-goal: fault tolerance. localCheckpoint blocks are not
-    recomputable; a lost executor fails the query (the documented
+    Non-goal (by default): fault tolerance. localCheckpoint blocks are
+    not recomputable; a lost executor fails the query (the documented
     trade, same as lloyd_kmeans_fixed's round snapshots). Callers pass
     pre-aggregated or narrowly-projected frames, so the materialized
     bytes stay small relative to the upstream they replace.
+
+    ``$SPARK_GRAFT_SNAPSHOT=parquet`` (VERDICT r12 #4) switches EVERY
+    snapshot_plan call site at once from executor-memory blocks to a
+    scratch-parquet write + read-back — the cluster-scale variant that
+    survives executor loss and never competes with execution memory.
+    Scratch dirs are unique per call, rooted at
+    ``$SPARK_GRAFT_SNAPSHOT_DIR`` (default: a session tempdir) and
+    removed at interpreter exit. Default stays ``localCheckpoint``:
+    on this single-node rig the extra fsync+parse round trip is pure
+    cost, but the knob removes the local-mode assumption from every
+    snapshotting operator without per-site rewrites.
     """
     spark = df.sparkSession
+    if _os.environ.get("SPARK_GRAFT_SNAPSHOT", "localCheckpoint") == "parquet":
+        path = _os.path.join(
+            _snapshot_scratch_root(), f"snap_{next(_SNAPSHOT_SEQ)}"
+        )
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
     before = persisted_ids(spark)
     snap = df.localCheckpoint(eager=True)
     created = persisted_ids(spark) - before
@@ -443,6 +463,28 @@ def snapshot_plan(df):
             key=f"__snapshot_{next(_SNAPSHOT_SEQ)}",
         )
     return snap
+
+
+_SNAPSHOT_SCRATCH: list = []
+
+
+def _snapshot_scratch_root() -> str:
+    """Lazily-created scratch root for parquet-mode snapshots: one
+    directory per process, removed at interpreter exit (same lifecycle
+    as the streaming scratch dirs). ``$SPARK_GRAFT_SNAPSHOT_DIR``
+    overrides the location for deployments that want snapshots on a
+    specific filesystem (e.g. durable object storage at cluster
+    scale)."""
+    if not _SNAPSHOT_SCRATCH:
+        base = _os.environ.get("SPARK_GRAFT_SNAPSHOT_DIR")
+        if base:
+            _os.makedirs(base, exist_ok=True)
+            root = _tempfile.mkdtemp(prefix="snapshots_", dir=base)
+        else:
+            root = _tempfile.mkdtemp(prefix="spark_graft_snapshots_")
+        _atexit.register(_shutil.rmtree, root, True)
+        _SNAPSHOT_SCRATCH.append(root)
+    return _SNAPSHOT_SCRATCH[0]
 
 
 def release_local_checkpoints(spark, before_ids=None) -> int:

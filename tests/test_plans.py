@@ -876,3 +876,37 @@ def test_l95_url_dedup_is_single_shuffle_pure_jvm(spark):
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert "EvalPython" not in plan
+
+
+def test_snapshot_plan_parquet_mode(spark, monkeypatch, tmp_path):
+    # $SPARK_GRAFT_SNAPSHOT=parquet routes EVERY snapshot through a
+    # scratch-parquet write + read-back (the cluster-scale,
+    # executor-loss-safe variant) instead of localCheckpoint blocks:
+    # rows identical, the read-back plan is a plain parquet scan, and
+    # no persisted RDDs are registered (nothing for teardown to leak).
+    from pyspark_recs.workloads import common as C
+
+    base = spark.range(100).selectExpr("id", "id * 2 AS v")
+    expected = sorted(tuple(r) for r in base.collect())
+
+    monkeypatch.setenv("SPARK_GRAFT_SNAPSHOT", "parquet")
+    monkeypatch.setenv("SPARK_GRAFT_SNAPSHOT_DIR", str(tmp_path))
+    monkeypatch.setattr(C, "_SNAPSHOT_SCRATCH", [])
+    before_ids = C.persisted_ids(spark)
+    snap = C.snapshot_plan(base)
+    assert sorted(tuple(r) for r in snap.collect()) == expected
+    assert "parquet" in plan_of(snap, "simple").lower()
+    assert C.persisted_ids(spark) == before_ids
+    # the scratch root lives under the override dir
+    assert C._SNAPSHOT_SCRATCH and C._SNAPSHOT_SCRATCH[0].startswith(
+        str(tmp_path)
+    )
+
+    # default mode unchanged: localCheckpoint blocks, teardown-registered
+    monkeypatch.delenv("SPARK_GRAFT_SNAPSHOT")
+    snap2 = C.snapshot_plan(base)
+    assert sorted(tuple(r) for r in snap2.collect()) == expected
+    created = C.persisted_ids(spark) - before_ids
+    assert created
+    C.unpersist_shared(spark)
+    assert C.persisted_ids(spark) == before_ids

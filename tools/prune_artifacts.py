@@ -139,6 +139,42 @@ def rebuild() -> None:
     print(f"rebuild done: {n} files in {C.ARTIFACT_ROOT}")
 
 
+def normalize() -> int:
+    """Give every committed artifact file a STABLE name (VERDICT r12
+    #8): Spark writes parquet parts as part-NNNNN-<random uuid>..., so
+    a rebuild produces brand-new paths even when the bytes are
+    identical and every round-close commit moved hundreds of binary
+    blobs for nothing. Renaming to the deterministic part-NNNNN prefix
+    (+ extension) and dropping Hadoop's optional .crc sidecars makes a
+    content-identical rebuild a ZERO diff, and a changed artifact a
+    same-path content diff. Parquet directory readers list by
+    extension, not name, so reads are unaffected; the .crc files are
+    LocalFS checksums that are simply absent afterwards (absent is
+    valid; stale would error)."""
+    n = 0
+    for dirpath, _dirs, files in os.walk(C.ARTIFACT_ROOT):
+        for f in sorted(files):
+            p = os.path.join(dirpath, f)
+            if f.endswith(".crc"):
+                os.remove(p)
+                n += 1
+                continue
+            if f.startswith("part-") and "-" in f[5:]:
+                idx = f[5:].split("-", 1)[0]
+                ext = ""
+                for known_ext in (".snappy.parquet", ".zstd.parquet",
+                                  ".parquet", ".json", ".csv"):
+                    if f.endswith(known_ext):
+                        ext = known_ext
+                        break
+                stable = os.path.join(dirpath, f"part-{idx}{ext}")
+                if p != stable and not os.path.exists(stable):
+                    os.rename(p, stable)
+                    n += 1
+    print(f"normalize: {n} files renamed/removed")
+    return n
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "prune"
     unknown = "--unknown" in sys.argv
@@ -146,3 +182,5 @@ if __name__ == "__main__":
         prune(unknown)
     if mode in ("rebuild", "both"):
         rebuild()
+    if mode in ("rebuild", "both", "normalize"):
+        normalize()
