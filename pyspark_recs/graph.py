@@ -427,9 +427,18 @@ def triangle_counts(
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("w"))
         )
-    wl = F.broadcast(node_order.selectExpr("node AS lo", "w AS w_lo"))
-    wh = F.broadcast(node_order.selectExpr("node AS hi", "w AS w_hi"))
-    with_w = pairs.join(wl, "lo").join(wh, "hi")
+    # ONE broadcast consulted twice: two alias-projected broadcasts
+    # (node AS lo / node AS hi) are not `sameResult` and each rebuilt
+    # the weight aggregate (rs11: an extra fact scan per endpoint);
+    # joining the identical frame twice makes the second
+    # BroadcastExchange a ReusedExchange by construction.
+    bw = F.broadcast(node_order)
+    with_w = (
+        pairs.join(bw, F.col("lo") == F.col("node"))
+        .select("lo", "hi", F.col("w").alias("w_lo"))
+        .join(bw, F.col("hi") == F.col("node"))
+        .select("lo", "hi", "w_lo", F.col("w").alias("w_hi"))
+    )
     lo_first = (F.col("w_lo") < F.col("w_hi")) | (
         (F.col("w_lo") == F.col("w_hi")) & (F.col("lo") < F.col("hi"))
     )
