@@ -210,31 +210,42 @@ def robots_decisions(
 
     Scale: ``rules`` is host-dimension-sized — broadcast — so the
     decision is one broadcast join + per-URL max-struct aggregate;
-    URLs never shuffle on anything but their own id."""
-    cand = (
-        urls.join(F.broadcast(rules), host_col, "left")
-        .filter(
-            F.col("prefix").isNull()
-            | F.col(path_col).startswith(F.col("prefix"))
-        )
-        .groupBy(id_col)
-        .agg(
-            F.max(
-                F.when(
-                    F.col("prefix").isNotNull(),
-                    F.struct(
-                        F.length("prefix").alias("plen"),
-                        (F.col("rule_type") == "allow")
-                        .cast("int")
-                        .alias("pri"),
-                        F.col("rule_type").alias("rule_type"),
-                        F.col("prefix").alias("prefix"),
-                    ),
-                )
-            ).alias("best")
-        )
+    URLs never shuffle on anything but their own id. The prefix match
+    lives IN the join condition (a left outer keeps every URL exactly
+    once when nothing matches), and host/path ride the aggregate — so
+    ``urls`` is consumed ONCE instead of re-derived for a second
+    doc_id-keyed join against the aggregate (r13-opt, guide §2.4:
+    that re-join was a full extra scan + parse plus a shuffle join of
+    two url-sized sides; plan went 3 url derivations → 1)."""
+    r = rules.select(
+        F.col(host_col).alias("_r_host"),
+        F.col("rule_type").alias("_r_type"),
+        F.col("prefix").alias("_r_prefix"),
     )
-    return urls.join(cand, id_col, "left").select(
+    matched = urls.join(
+        F.broadcast(r),
+        (F.col(host_col) == F.col("_r_host"))
+        & F.col(path_col).startswith(F.col("_r_prefix")),
+        "left",
+    )
+    best = matched.groupBy(id_col).agg(
+        # host/path are constant per URL id — max() re-emits them
+        # without a second join back to ``urls``
+        F.max(F.col(host_col)).alias(host_col),
+        F.max(F.col(path_col)).alias(path_col),
+        F.max(
+            F.when(
+                F.col("_r_prefix").isNotNull(),
+                F.struct(
+                    F.length("_r_prefix").alias("plen"),
+                    (F.col("_r_type") == "allow").cast("int").alias("pri"),
+                    F.col("_r_type").alias("rule_type"),
+                    F.col("_r_prefix").alias("prefix"),
+                ),
+            )
+        ).alias("best"),
+    )
+    return best.select(
         id_col,
         host_col,
         path_col,

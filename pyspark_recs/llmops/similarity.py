@@ -1327,14 +1327,20 @@ def pq_encode(
 
     Determinism: sub-distances are per-term fixed-point quantized
     BIGINTs (floor((a−b)²·1e12 + 0.5), summed exactly), and argmin
-    tie-breaks on the smaller code id via min(struct) — bit-identical
-    across engines and partitionings.
+    tie-breaks on the smaller code id by packing (dist, code) into ONE
+    BIGINT — ``dist_q · n_codes + code_id`` — whose min is the
+    lexicographic (dist, code) min because ``code_id < n_codes``.
+    Bit-identical across engines and partitionings.
 
     Scale: the candidate expansion is N × (n_subspaces · n_codes) rows
     against a BROADCAST codebook, collapsed by ONE map-side-combined
-    groupBy(id) carrying 4 struct aggregates — no window, no second
+    groupBy(id) carrying 4 LONG min aggregates — no window, no second
     shuffle; at 10⁹ vectors the exchange moves one ~40-byte row per
-    vector.
+    vector. The packed min keeps the aggregate HASH-based: min over a
+    STRUCT plans as SortAggregate (two extra sorts flanking the
+    exchange, r13-opt plan diff), and the int64 headroom is ample —
+    dist_q ≤ subdim·(Δ²·1e12), so even |Δ| ≤ 20 over 16 terms packs
+    under 2⁵⁹.
     """
     if centroids is None:
         from pyspark.sql import Window
@@ -1400,27 +1406,33 @@ def pq_encode(
         F.lit(0).cast("long"),
         lambda acc, t: acc + t,
     )
+    packed = (
+        dist_q * F.lit(n_codes).cast("long")
+        + F.col("code_id").cast("long")
+    )
     scored = vecs.join(F.broadcast(cents), "m").select(
-        id_col, "m", "code_id", dist_q.alias("dist_q")
+        id_col, "m", packed.alias("packed")
     )
     aggs = [
-        F.min(
-            F.when(
-                F.col("m") == m, F.struct(F.col("dist_q"), F.col("code_id"))
-            )
-        ).alias(f"b{m}")
+        F.min(F.when(F.col("m") == m, F.col("packed"))).alias(f"b{m}")
         for m in range(n_subspaces)
     ]
     collapsed = scored.groupBy(id_col).agg(*aggs)
     code_cols = [
-        F.col(f"b{m}.code_id").alias(f"code_{m}") for m in range(n_subspaces)
+        (F.col(f"b{m}") % F.lit(n_codes).cast("long"))
+        .cast("int")
+        .alias(f"code_{m}")
+        for m in range(n_subspaces)
     ]
+    # exact integer unpack of the distance halves (div, never float /)
     err = sum(
-        (F.col(f"b{m}.dist_q") for m in range(n_subspaces)),
+        (F.expr(f"b{m} div {n_codes}L") for m in range(n_subspaces)),
         F.lit(0).cast("long"),
     )
     return collapsed.select(
-        id_col, *code_cols, (err.cast("double") / F.lit(1e12)).alias("sq_error")
+        id_col,
+        *code_cols,
+        (err.cast("double") / F.lit(1e12)).alias("sq_error"),
     )
 
 

@@ -5395,19 +5395,26 @@ def l100_robots_gate(spark: SparkSession, sf: str) -> DataFrame:
         canonicalize_url,
         synthetic_url_blocked,
     )
+    from pyspark_recs.workloads.common import snapshot_plan
 
     docs = load_table(spark, sf, "documents").select("doc_id")
     canon = canonicalize_url(synthetic_url_blocked(F.col("doc_id")))
     query = F.parse_url(canon, F.lit("QUERY"))
-    urls = docs.select(
-        "doc_id",
-        F.parse_url(canon, F.lit("HOST")).alias("host"),
-        F.concat(
-            F.parse_url(canon, F.lit("PATH")),
-            F.when(
-                query.isNotNull(), F.concat(F.lit("?"), query)
-            ).otherwise(F.lit("")),
-        ).alias("path"),
+    # SNAPSHOT the parsed-url frame (r13-opt, guide §3.3): it feeds
+    # both the hosts→rules branch and the decision join, and the
+    # canonicalize+parse_url chain is the query's expensive projection
+    # — without this each branch re-scans and re-parses.
+    urls = snapshot_plan(
+        docs.select(
+            "doc_id",
+            F.parse_url(canon, F.lit("HOST")).alias("host"),
+            F.concat(
+                F.parse_url(canon, F.lit("PATH")),
+                F.when(
+                    query.isNotNull(), F.concat(F.lit("?"), query)
+                ).otherwise(F.lit("")),
+            ).alias("path"),
+        )
     )
     hosts = urls.select("host").distinct().withColumn(
         "host_idx",
