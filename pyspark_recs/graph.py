@@ -191,6 +191,7 @@ def personalized_pagerank(
     scale: int = 12,
     src: str = "src",
     dst: str = "dst",
+    pre_normalized: bool = False,
 ) -> DataFrame:
     """Personalized PageRank: the random walk restarts into the SEED
     set instead of uniformly — the classic graph recommender (Pixie /
@@ -207,6 +208,16 @@ def personalized_pagerank(
     pagerank; additionally the per-iteration join only carries nodes
     with non-zero rank, so early iterations touch the seed
     neighborhood, not the graph.
+
+    ``pre_normalized``: the caller PROMISES ``edges`` is already
+    self-loop-free, distinct and cheap to re-read (a snapshot or a
+    projection of one) — the normalize+snapshot here is skipped. Use
+    it when the caller can normalize more cheaply than this generic
+    pass (rs16: distinct + snapshot HALF the bipartite edge list, then
+    mirror the materialized half — the union's two fact-join branches
+    and a double-width distinct never run, r13-opt, guide §1.2/§2.3).
+    A caller that breaks the promise double-counts contributions
+    (duplicate edges) — the oracle catches it, but nothing here does.
     """
     mult = float(10**scale)
     from pyspark_recs.workloads.common import snapshot_plan
@@ -217,11 +228,14 @@ def personalized_pagerank(
     # branches — un-materialized, the lineitem⋈orders join executed
     # 4× per run. The eager localCheckpoint runs the derivation once;
     # deg and the join both read the materialized pairs.
-    e = snapshot_plan(
-        edges.filter(F.col(src) != F.col(dst))
-        .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-    )
+    if pre_normalized:
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    else:
+        e = snapshot_plan(
+            edges.filter(F.col(src) != F.col(dst))
+            .select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .distinct()
+        )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # Pre-join out-degrees ONCE and cache: the iteration then needs a
     # single join per hop, and broadcasting the frontier (bounded by

@@ -78,19 +78,35 @@ def prepare_corpus(
     serve path of the train≠serve artifact discipline. When None, the
     fit runs here (iterative, executes eagerly).
     """
+    # SNAPSHOT the survivor ID SETS, not the text (r13-opt, guide
+    # §3.3): every downstream stage (chunks, packed, the funnel
+    # brackets, l98's external counts, l101's BPE source) re-derives
+    # its input frame, and without materialization each re-derivation
+    # re-ran the URL keep-first aggregate and the tokenizing
+    # gopher_rules pass from the raw scan (l98's before-plan: 19
+    # document scans, 5 of them full-text). The id sets are
+    # doc_id-only (KB–MB at any corpus scale); consumers re-attach
+    # text with a cheap semi-join probe of the scan, so text itself
+    # never materializes and never shuffles.
+    from pyspark_recs.workloads.common import snapshot_plan
+
     if url_col is not None:
         url_winners = docs.groupBy(url_col).agg(
             F.min("doc_id").alias("doc_id")
         )
         url_kept = docs.join(
-            url_winners.select("doc_id"), "doc_id", "left_semi"
+            snapshot_plan(url_winners.select("doc_id")),
+            "doc_id",
+            "left_semi",
         )
     else:
         url_kept = docs
 
     rules = gopher_rules(url_kept)
     kept = url_kept.join(
-        rules.filter(F.col("passes")).select("doc_id"), "doc_id", "left_semi"
+        snapshot_plan(rules.filter(F.col("passes")).select("doc_id")),
+        "doc_id",
+        "left_semi",
     )
 
     if canonical_ids is None:

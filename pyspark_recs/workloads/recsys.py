@@ -1305,6 +1305,7 @@ def rs16_personalized_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     space holds both sides.
     """
     from pyspark_recs.graph import personalized_pagerank
+    from pyspark_recs.workloads.common import snapshot_plan
 
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
@@ -1315,8 +1316,17 @@ def rs16_personalized_pagerank(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("l_partkey") + F.lit(_ITEM_OFFSET)).alias("dst"),
         )
     )
-    edges = ui.unionByName(
-        ui.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # Normalize HALF the bipartite edge list, then mirror the
+    # materialized half (r13-opt, guide §1.2/§2.3): the user→item and
+    # item→user directions are mirror images over DISJOINT id spaces
+    # (users < 10⁹ ≤ item+offset), so distinct(ui ∪ mirror(ui)) ==
+    # distinct(ui) ∪ mirror(distinct(ui)) and no edge is a self-loop.
+    # The old form ran the fact join once per union branch and
+    # distinct'd at double width; this runs the join once, shuffles
+    # half the rows, and the mirror re-reads the snapshot blocks.
+    d = snapshot_plan(ui.distinct())
+    edges = d.unionByName(
+        d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     seeds = (
         load_table(spark, sf, "orders")
@@ -1324,7 +1334,9 @@ def rs16_personalized_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("o_custkey").alias("node"))
         .distinct()
     )
-    ranks = personalized_pagerank(edges, seeds, iterations=3, damping=0.85)
+    ranks = personalized_pagerank(
+        edges, seeds, iterations=3, damping=0.85, pre_normalized=True
+    )
     return ranks.filter(F.col("node") >= _ITEM_OFFSET).select(
         (F.col("node") - F.lit(_ITEM_OFFSET)).alias("item_id"),
         F.col("rank").alias("ppr"),
@@ -2951,7 +2963,13 @@ def rs30_ensemble_eval(spark: SparkSession, sf: str) -> DataFrame:
     w_f = Window.partitionBy("user_id").orderBy(
         F.desc("rrf_q"), F.asc("item_id")
     )
-    ens = (
+    # SNAPSHOT the fused top-10 (r13-opt, guide §3.3): it feeds both
+    # the hit flags and the per-user k check, and Spark has no
+    # DataFrame CSE — unsnapshotted, the union+RRF+window pipeline ran
+    # once per consumer. eval-users × 10 rows, KB-scale.
+    from pyspark_recs.workloads.common import snapshot_plan
+
+    ens = snapshot_plan(
         fused.withColumn("frank", F.row_number().over(w_f))
         .filter(F.col("frank") <= 10)
         .select("user_id", "item_id")
@@ -2966,24 +2984,64 @@ def rs30_ensemble_eval(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.max(F.col("t").isNotNull()).alias(name))
         )
 
+    # Per-user measures assemble via ONE tagged union + ONE user-keyed
+    # aggregate instead of eval_users left-joining five user-keyed
+    # aggregates (r13-opt, guide §2.4): every joined side is ≤ 1 row
+    # per user, so max(value WHERE tag) over the union reproduces the
+    # left-join row exactly (absent user → null), and five
+    # SortMergeJoins' worth of exchanges+sorts collapse into one
+    # hash-partitioned aggregate. Scale-honest: no side is assumed
+    # broadcastable — the union shuffles user-count-sized rows once.
+    def _tag(df: DataFrame, tag: str, vcol) -> DataFrame:
+        return df.select(
+            "user_id",
+            F.lit(tag).alias("_t"),
+            vcol.cast("long").alias("_v"),
+        )
+
+    tagged = (
+        _tag(eval_users, "base", F.lit(1))
+        .unionByName(
+            _tag(
+                _hits(als_r.select("user_id", "item_id"), "h"),
+                "ha",
+                F.col("h"),
+            )
+        )
+        .unionByName(
+            _tag(
+                _hits(content_r.select("user_id", "item_id"), "h"),
+                "hc",
+                F.col("h"),
+            )
+        )
+        .unionByName(_tag(_hits(ens, "h"), "he", F.col("h")))
+        .unionByName(_tag(cand_counts, "nc", F.col("n_cand")))
+        .unionByName(
+            _tag(
+                ens.groupBy("user_id").agg(
+                    F.count(F.lit(1)).alias("n_ens")
+                ),
+                "ne",
+                F.col("n_ens"),
+            )
+        )
+    )
+
+    def _of(tag: str):
+        return F.max(F.when(F.col("_t") == tag, F.col("_v")))
+
     peru = (
-        eval_users.join(
-            _hits(als_r.select("user_id", "item_id"), "hit_als"),
-            "user_id",
-            "left",
+        tagged.groupBy("user_id")
+        .agg(
+            _of("base").alias("_is_eval"),
+            _of("ha").alias("hit_als"),
+            _of("hc").alias("hit_content"),
+            _of("he").alias("hit_ens"),
+            _of("nc").alias("n_cand"),
+            _of("ne").alias("n_ens"),
         )
-        .join(
-            _hits(content_r.select("user_id", "item_id"), "hit_content"),
-            "user_id",
-            "left",
-        )
-        .join(_hits(ens, "hit_ens"), "user_id", "left")
-        .join(cand_counts, "user_id", "left")
-        .join(
-            ens.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ens")),
-            "user_id",
-            "left",
-        )
+        .filter(F.col("_is_eval") == 1)
     )
     return peru.agg(
         F.count(F.lit(1)).alias("n_eval_users"),
@@ -2991,9 +3049,9 @@ def rs30_ensemble_eval(spark: SparkSession, sf: str) -> DataFrame:
         F.min(
             F.col("n_ens") == F.least(F.lit(10), F.col("n_cand"))
         ).alias("k_per_user_ok"),
-        F.sum(F.col("hit_als").cast("long")).alias("ha"),
-        F.sum(F.col("hit_content").cast("long")).alias("hc"),
-        F.sum(F.col("hit_ens").cast("long")).alias("he"),
+        F.sum("hit_als").alias("ha"),
+        F.sum("hit_content").alias("hc"),
+        F.sum("hit_ens").alias("he"),
     ).select(
         "n_eval_users",
         "n_candidates",
