@@ -2411,15 +2411,18 @@ def l57_source_leakage(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    ca = counts.select(
-        F.col("source").alias("src_a"), F.col("n").alias("n_a")
-    )
-    cb = counts.select(
-        F.col("source").alias("src_b"), F.col("n").alias("n_b")
-    )
+    # ONE broadcast consulted twice (the rs11 degree-table fix, r13):
+    # alias-projected broadcasts (source AS src_a / src_b) are not
+    # `sameResult`, so each rebuilt the counts aggregate — and with it
+    # the whole scan→explode→distinct gram pipeline it hangs off.
+    # Joining the identical frame twice makes the second
+    # BroadcastExchange a ReusedExchange by construction.
+    bc = F.broadcast(counts)
     return (
-        pairs.join(F.broadcast(ca), "src_a")
-        .join(F.broadcast(cb), "src_b")
+        pairs.join(bc, F.col("src_a") == F.col("source"))
+        .select("src_a", "src_b", "n_shared", F.col("n").alias("n_a"))
+        .join(bc, F.col("src_b") == F.col("source"))
+        .select("src_a", "src_b", "n_shared", "n_a", F.col("n").alias("n_b"))
         .select(
             "src_a",
             "src_b",
